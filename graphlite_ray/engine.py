@@ -1,0 +1,208 @@
+"""BSP superstep driver: the Ray-native analog of the reference master
+(`engine/Master.cc:390-455`), minus all hand-rolled transport.
+
+The driver loop IS the superstep barrier (C1): every iteration issues one
+`step` call per partition actor, and collecting the per-partition metadata
+(`ray.get` on the first return object only — message payloads are routed as
+object refs, never fetched by the driver) is the synchronization point.
+Per-superstep it:
+
+  - merges aggregator partials into globals that become visible to
+    `compute()` in the NEXT superstep (reference `engine/Master.cc:354-366`
+    merge + `MW.nextss_start` broadcast; the ss k -> k+1 visibility
+    off-by-one of `example/PageRankVertex.cc:152-157`),
+  - sums the built-in counters (computed / sent / recv / active — the
+    analog of `WM.curss_finish.proto:8-20`),
+  - evaluates termination rule C4: user master hook OR
+    (active == 0 AND sent == 0) (`engine/Master.cc:429-431`),
+  - optionally checkpoints every partition + writes an atomic JSON lineage
+    manifest (superstep, per-partition metrics, aggregators, config hash) —
+    the north rule's resumability, absent in the reference (SURVEY.md §4).
+
+Scale notes: the driver handles only O(P) refs + O(P) small dicts per
+superstep; message data moves partition-to-partition through the object
+store. P is chosen independently of node count; actors reserve
+``min(1, total_cpus / P)`` CPUs so a small test session (4 CPUs, P=8)
+cannot deadlock on actor placement while a full node gets one core per
+partition actor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import ray
+import ray.data
+
+from graphlite_ray.programs import VertexProgram
+from graphlite_ray.state.csr import load_graph_meta
+from graphlite_ray.worker import PartitionWorker
+
+ENGINE_VERSION = "1"
+
+
+@dataclass
+class BSPResult:
+    final_superstep: int
+    supersteps_run: int
+    halted: bool
+    ckpt_dir: str
+    metrics: list[dict] = field(default_factory=list)   # per-superstep totals
+    aggr_history: list[dict] = field(default_factory=list)
+
+    def values(self) -> "ray.data.Dataset":
+        """Final per-vertex values as a Ray Data dataset
+        (vertex_id:int64, value, active:bool) read from the final
+        checkpoint — the analog of the reference OutputFormatter walk
+        (`engine/OutputFormatter.cc:34-61`), but a streaming source."""
+        d = os.path.join(self.ckpt_dir, f"ss_{self.final_superstep}")
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.startswith("values_p")
+        )
+        return ray.data.read_parquet(files)
+
+    @property
+    def total_messages(self) -> int:
+        return sum(m["sent"] for m in self.metrics)
+
+
+def _manifest_path(ckpt_dir: str, ss: int) -> str:
+    return os.path.join(ckpt_dir, f"manifest_ss{ss}.json")
+
+
+def latest_checkpoint(ckpt_dir: str) -> dict | None:
+    """Newest COMPLETE superstep manifest, or None (FIXTURES.md F6)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for f in os.listdir(ckpt_dir):
+        if f.startswith("manifest_ss") and f.endswith(".json"):
+            with open(os.path.join(ckpt_dir, f)) as fh:
+                m = json.load(fh)
+            if m.get("complete") and (best is None or m["superstep"] > best["superstep"]):
+                best = m
+    return best
+
+
+def run_bsp(
+    program: VertexProgram,
+    graph_dir: str,
+    ckpt_dir: str,
+    max_supersteps: int = 200,
+    ckpt_every: int = 0,
+    resume: bool = False,
+) -> BSPResult:
+    """Run a vertex program over pre-built CSR shards to termination.
+
+    ``ckpt_every=0`` checkpoints only at termination (the final values are
+    always persisted — they are the result). ``resume=True`` restarts from
+    the latest complete manifest: values + active mask + in-flight messages
+    are reloaded per partition and the loop continues at the next superstep,
+    bit-identical to an uninterrupted run (tested).
+    """
+    meta = load_graph_meta(graph_dir)
+    P = int(meta["P"])
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    if program.max_supersteps is not None:
+        max_supersteps = min(max_supersteps, program.max_supersteps)
+
+    specs = program.aggregators()
+    aggr_global = {k: s.init for k, s in specs.items()}
+    start_ss = 0
+    use_restored = False
+    result = BSPResult(final_superstep=-1, supersteps_run=0, halted=False, ckpt_dir=ckpt_dir)
+
+    restore_from = None
+    if resume:
+        m = latest_checkpoint(ckpt_dir)
+        if m is not None:
+            if m.get("halted"):  # already complete: no actors needed
+                result.final_superstep = m["superstep"]
+                result.halted = True
+                return result
+            restore_from = m
+
+    total_cpus = ray.cluster_resources().get("CPU", P) or P
+    actor_cpus = min(1.0, max(0.01, float(total_cpus) / max(1, P)))
+    Actor = ray.remote(num_cpus=actor_cpus)(PartitionWorker)
+    workers = [
+        Actor.remote(p, P, graph_dir, program, meta["n_vertices"]) for p in range(P)
+    ]
+    ray.get([w.ready.remote() for w in workers])  # surface load errors early
+
+    if restore_from is not None:
+        ray.get([w.restore.remote(restore_from["superstep"], ckpt_dir) for w in workers])
+        aggr_global = restore_from["aggr_global"]
+        start_ss = restore_from["superstep"] + 1
+        use_restored = True
+
+    msgs: list[list] = [[None] * P for _ in range(P)]
+    halted = False
+    ss = start_ss - 1
+    for ss in range(start_ss, max_supersteps):
+        t0 = time.perf_counter()
+        refs = []
+        for j, w in enumerate(workers):
+            incoming = [None] * P if use_restored else [msgs[i][j] for i in range(P)]
+            refs.append(
+                w.step.options(num_returns=1 + P).remote(
+                    ss, aggr_global, *incoming, use_restored=use_restored
+                )
+            )
+        use_restored = False
+        metas = ray.get([r[0] for r in refs])
+        msgs = [[refs[i][1 + j] for j in range(P)] for i in range(P)]
+
+        totals = {
+            k: int(sum(m[k] for m in metas))
+            for k in ("computed", "sent", "recv", "active_end")
+        }
+        totals["superstep"] = ss
+        totals["wall_s"] = time.perf_counter() - t0
+        totals["max_part_wall_s"] = max(m["wall_s"] for m in metas)
+        aggr_next = {}
+        for k, spec in specs.items():
+            v = spec.init
+            for m in metas:
+                v = spec.merge(v, m["aggr"].get(k, spec.init))
+            aggr_next[k] = v
+        result.metrics.append(totals)
+        result.aggr_history.append(aggr_next)
+
+        halted = program.master_halt(ss, aggr_next, totals) or (
+            totals["active_end"] == 0 and totals["sent"] == 0
+        )
+        aggr_global = aggr_next
+        result.supersteps_run += 1
+
+        if halted or (ckpt_every and (ss + 1) % ckpt_every == 0) or ss + 1 == max_supersteps:
+            part_stats = ray.get([w.checkpoint.remote(ss, ckpt_dir) for w in workers])
+            manifest = {
+                "engine_version": ENGINE_VERSION,
+                "program": program.name,
+                "graph_dir": graph_dir,
+                "graph_meta": meta,
+                "superstep": ss,
+                "halted": halted,
+                "aggr_global": aggr_global,
+                "totals": totals,
+                "per_partition": part_stats,
+                "parent_superstep": start_ss - 1 if ss == start_ss else ss - 1,
+                "complete": True,
+            }
+            tmp = _manifest_path(ckpt_dir, ss) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, _manifest_path(ckpt_dir, ss))
+
+        if halted:
+            break
+
+    result.final_superstep = ss
+    result.halted = halted
+    return result

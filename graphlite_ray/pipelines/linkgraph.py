@@ -1,0 +1,261 @@
+"""End-to-end link-graph pipelines: pages parquet -> per-vertex results.
+
+Staged, resumable layout under a work dir (every stage writes Parquet and
+is skipped when its artifact already exists — the batch-pipeline meaning of
+"resumable from checkpoint"):
+
+    work_dir/
+      edges/            (src:int64, dst:int64)           stage 1
+      urlmap_p{p}.parquet (vertex_id, url) per partition stage 1
+      graph/            CSR shards (+ graph_sym/ for CC/LPA)   stage 2
+      ckpt_<algo>/      BSP checkpoints + manifests      stage 3
+
+Reference lifecycle analog: SURVEY.md §3.4.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from graphlite_ray.engine import BSPResult, run_bsp
+from graphlite_ray.programs import (
+    BUILTIN_PROGRAMS,
+    VertexProgram,
+)
+from graphlite_ray.stages.extract import (
+    assign_ids_batch,
+    extract_links_batch,
+)
+from graphlite_ray.state.csr import build_graph_shards, load_graph_meta
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _mark_done(path: str) -> None:
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("ok")
+
+
+def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
+    """Stage 1: pages -> edge table parquet + per-partition url dictionary.
+
+    One streaming pass: read only (url, html) (column pruning at the read),
+    extract anchors, hash urls to ids. The edge table is persisted before
+    the CSR build so downstream stages re-read Parquet instead of
+    re-running extraction (lineage + resume)."""
+    edges_dir = os.path.join(work_dir, "edges")
+    if _done(edges_dir):
+        return edges_dir
+    os.makedirs(edges_dir, exist_ok=True)
+    pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_batch, batch_format="pyarrow")
+    with_ids = edge_urls.map_batches(assign_ids_batch, batch_format="pyarrow")
+    with_ids.select_columns(["src", "dst"]).write_parquet(edges_dir)
+
+    # url dictionary, co-partitioned with the graph (vertex_id % P)
+    def _pairs(batch: pa.Table) -> pa.Table:
+        from graphlite_ray.functions.hashing import ids_from_urls
+
+        urls = np.unique(
+            np.concatenate(
+                [
+                    batch["src_url"].to_numpy(zero_copy_only=False),
+                    batch["dst_url"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        vids = ids_from_urls(urls)
+        return pa.table(
+            {
+                "vertex_id": pa.array(vids),
+                "url": pa.array(urls, pa.string()),
+                "part": pa.array(vids % np.int64(P)),
+            }
+        )
+
+    def _write_shard(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        vids = g["vertex_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vids)
+        keep = np.ones(len(vids), bool)
+        sv = vids[order]
+        keep[1:] = sv[1:] != sv[:-1]
+        t = pa.table(
+            {
+                "vertex_id": pa.array(sv[keep]),
+                "url": pa.array(
+                    g["url"].to_numpy(zero_copy_only=False)[order][keep], pa.string()
+                ),
+            }
+        )
+        tmp = os.path.join(work_dir, f"urlmap_p{p}.parquet")
+        pq.write_table(t, tmp + ".tmp")
+        os.replace(tmp + ".tmp", tmp)
+        return pa.table({"part": [p], "n": [t.num_rows]})
+
+    (
+        with_ids.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_write_shard, batch_format="pyarrow")
+        .count()
+    )
+    _mark_done(edges_dir)
+    return edges_dir
+
+
+def prepare_graph(pages_dir: str, work_dir: str, P: int, symmetrize: bool = False) -> str:
+    """Stage 2: edge table -> CSR shards (hash-partitioned by src % P)."""
+    edges_dir = prepare_edges(pages_dir, work_dir, P)
+    graph_dir = os.path.join(work_dir, "graph_sym" if symmetrize else "graph")
+    if _done(graph_dir):
+        return graph_dir
+    edges = ray.data.read_parquet(edges_dir)
+    build_graph_shards(edges, P, graph_dir, symmetrize=symmetrize)
+    _mark_done(graph_dir)
+    return graph_dir
+
+
+def run_algorithm(
+    algo: str | VertexProgram,
+    pages_dir: str,
+    work_dir: str,
+    P: int = 8,
+    max_supersteps: int = 200,
+    ckpt_every: int = 0,
+    resume: bool = False,
+    **program_kwargs,
+) -> BSPResult:
+    """Stages 1-3: pages -> BSP result for a built-in or custom program."""
+    program = (
+        BUILTIN_PROGRAMS[algo](**program_kwargs) if isinstance(algo, str) else algo
+    )
+    graph_dir = prepare_graph(pages_dir, work_dir, P, symmetrize=program.symmetrize)
+    ckpt_dir = os.path.join(work_dir, f"ckpt_{program.name}")
+    return run_bsp(
+        program,
+        graph_dir,
+        ckpt_dir,
+        max_supersteps=max_supersteps,
+        ckpt_every=ckpt_every,
+        resume=resume,
+    )
+
+
+def run_on_edges(
+    algo: str | VertexProgram,
+    src: np.ndarray,
+    dst: np.ndarray,
+    work_dir: str,
+    P: int = 4,
+    max_supersteps: int = 200,
+    ckpt_every: int = 0,
+    resume: bool = False,
+    **program_kwargs,
+) -> BSPResult:
+    """Run a program directly on an integer edge list (the reference's own
+    input boundary — used by fixtures, oracle tests and benchmarks)."""
+    program = (
+        BUILTIN_PROGRAMS[algo](**program_kwargs) if isinstance(algo, str) else algo
+    )
+    graph_dir = os.path.join(work_dir, "graph_sym" if program.symmetrize else "graph")
+    if not _done(graph_dir):
+        edges = ray.data.from_arrow(
+            pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+        )
+        build_graph_shards(edges, P, graph_dir, symmetrize=program.symmetrize)
+        _mark_done(graph_dir)
+    ckpt_dir = os.path.join(work_dir, f"ckpt_{program.name}")
+    return run_bsp(
+        program,
+        graph_dir,
+        ckpt_dir,
+        max_supersteps=max_supersteps,
+        ckpt_every=ckpt_every,
+        resume=resume,
+    )
+
+
+class _JoinUrls:
+    """Per-partition zero-shuffle join of result values with the url
+    dictionary: both sides were laid out by vertex_id % P in stage 1 /
+    checkpointing, so each task touches exactly two co-partitioned files."""
+
+    def __init__(self, work_dir: str, ckpt_dir: str, final_ss: int):
+        self.work_dir = work_dir
+        self.values_dir = os.path.join(ckpt_dir, f"ss_{final_ss}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["part"].to_pylist():
+            vpath = os.path.join(self.values_dir, f"values_p{p}.parquet")
+            upath = os.path.join(self.work_dir, f"urlmap_p{p}.parquet")
+            if not os.path.exists(vpath):
+                continue
+            vt = pq.read_table(vpath)
+            vids = vt["vertex_id"].to_numpy(zero_copy_only=False)
+            matched = np.full(len(vids), None, object)
+            if os.path.exists(upath):
+                ut = pq.read_table(upath)
+                uvids = ut["vertex_id"].to_numpy(zero_copy_only=False)
+                if len(uvids):
+                    urls_np = ut["url"].to_numpy(zero_copy_only=False)
+                    pos = np.clip(np.searchsorted(uvids, vids), 0, len(uvids) - 1)
+                    hit = uvids[pos] == vids
+                    matched[hit] = urls_np[pos[hit]]
+            outs.append(
+                pa.table(
+                    {
+                        "vertex_id": vt["vertex_id"],
+                        "url": pa.array(matched.tolist(), pa.string()),
+                        "value": vt["value"],
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "vertex_id": pa.array([], pa.int64()),
+                    "url": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+
+def result_with_urls(result: BSPResult, work_dir: str) -> "ray.data.Dataset":
+    """BSP result -> Dataset (vertex_id, url, value), distributed per-part."""
+    meta = None
+    for g in ("graph", "graph_sym"):
+        p = os.path.join(work_dir, g, "meta.json")
+        if os.path.exists(p):
+            meta = load_graph_meta(os.path.join(work_dir, g))
+            break
+    P = meta["P"] if meta else 8
+    parts = ray.data.from_items([{"part": p} for p in range(P)])
+    return parts.map_batches(
+        _JoinUrls(work_dir, result.ckpt_dir, result.final_superstep),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+
+
+def format_reference_output(scores: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Render the reference's output lines `"<vid>: <value>"` (`%f`, 6
+    decimals — `example/PageRankVertex.cc:106-119`) for byte-compat export."""
+
+    def _fmt(batch: pa.Table) -> pa.Table:
+        vids = batch["vertex_id"].to_pylist()
+        vals = batch["value"].to_pylist()
+        return pa.table(
+            {"line": pa.array([f"{v}: {x:f}" for v, x in zip(vids, vals)], pa.string())}
+        )
+
+    return scores.map_batches(_fmt, batch_format="pyarrow")

@@ -1,0 +1,276 @@
+"""Vertex programs: the vectorized, partition-level re-expression of the
+reference's per-vertex `Vertex::compute(MessageIterator*)` API
+(`include/Vertex.h:122-136` in the reference; invocation loop
+`engine/Worker.cc:839-859`).
+
+Instead of a Python call per vertex, a program's `compute()` runs ONCE per
+partition per superstep over numpy arrays (SURVEY.md §2.2 M1): message
+delivery is a vectorized segmented reduction, sends are a vectorized
+scatter over the CSR row structure. The per-vertex API surface
+(`getSuperstep`, `getValue/mutableValue`, `getOutEdgeIterator`,
+`sendMessageTo(AllNeighbors)`, `voteToHalt`, `getAggrGlobal`,
+`accumulateAggr` — `include/Vertex.h:122-255`) maps onto `Ctx`, the value
+array, the `CSRShard`, the returned message block, the returned `halted`
+mask, and the aggregator dicts respectively.
+
+Message semantics preserved from the reference (SURVEY.md §2.9):
+  - messages sent in superstep k are visible only in k+1 (C1)
+  - delivery to a halted vertex reactivates it (C3, `engine/Node.cc:56-62`)
+  - all vertices start active; superstep 0 computes with an empty inbox (C6)
+  - results must not depend on message order (§2.12) — all built-in
+    programs use commutative, order-insensitive reductions.
+
+Combiners: the reference has NO combiner (every message is delivered
+individually); our engine adds producer-side combining (legal per §2.12,
+required for skew at web scale — SURVEY.md §4) declared per program:
+  "sum"         messages (dst, float val)        -> sum per dst
+  "min"         messages (dst, int val)          -> min per dst
+  "sum_by_key"  messages (dst, int key, int cnt) -> sum cnt per (dst, key)
+Reactivation still works because a combined row proves >=1 message.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from graphlite_ray.state.csr import CSRShard
+
+PAGERANK_EPS = 1e-6
+
+
+@dataclass
+class AggregatorSpec:
+    """Analog of the reference `Aggregator<T>` (`include/Aggregator.h:45-61`):
+    per-superstep partial ("local") values merged to a global that becomes
+    visible to compute() in the NEXT superstep (the ss k -> k+1 off-by-one,
+    `example/PageRankVertex.cc:152-157` — tested explicitly)."""
+
+    init: float
+    op: str = "sum"  # sum | min | max
+
+    def merge(self, a, b):
+        if self.op == "sum":
+            return a + b
+        if self.op == "min":
+            return min(a, b)
+        return max(a, b)
+
+
+@dataclass
+class Ctx:
+    superstep: int
+    part_id: int
+    P: int
+    aggr_global: dict
+    n_vertices_global: int = 0
+
+
+@dataclass
+class Inbox:
+    """Post-delivery, partition-locally combined incoming messages."""
+
+    idx: np.ndarray                      # local vertex rows that received >=1 msg (unique for sum/min)
+    val: np.ndarray                      # combined payload (sum/min) — or counts for sum_by_key
+    key: Optional[np.ndarray] = None     # sum_by_key only: one row per (idx, key)
+
+    @property
+    def empty(self) -> bool:
+        return len(self.idx) == 0
+
+
+EMPTY_INBOX = Inbox(idx=np.empty(0, np.int64), val=np.empty(0, np.float64))
+
+
+@dataclass
+class ComputeOut:
+    halted: Optional[np.ndarray] = None        # bool mask: voted to halt this superstep
+    out_dst: Optional[np.ndarray] = None       # global dst ids of sent messages
+    out_val: Optional[np.ndarray] = None       # payload
+    out_key: Optional[np.ndarray] = None       # sum_by_key payload
+    aggr: dict = field(default_factory=dict)   # aggregator partials
+    sent: int = 0                              # logical message count (pre-combine)
+
+
+class VertexProgram:
+    """Subclass and override; everything is vectorized per partition."""
+
+    name = "abstract"
+    value_dtype: np.dtype = np.dtype(np.float64)
+    combiner = "sum"            # "sum" | "min" | "sum_by_key"
+    symmetrize = False          # build CSR over the symmetrized edge set?
+    max_supersteps: Optional[int] = None
+
+    def aggregators(self) -> dict[str, AggregatorSpec]:
+        return {}
+
+    def init_values(self, shard: CSRShard) -> np.ndarray:
+        raise NotImplementedError
+
+    def compute(
+        self,
+        ctx: Ctx,
+        shard: CSRShard,
+        values: np.ndarray,
+        active: np.ndarray,
+        inbox: Inbox,
+    ) -> ComputeOut:
+        raise NotImplementedError
+
+    def master_halt(self, superstep: int, aggr_global: dict, totals: dict) -> bool:
+        """Analog of `Graph::masterComputePerstep` returning 1
+        (`engine/Master.cc:429-431`; default 0 = continue,
+        `include/Graph.h:147-149`)."""
+        return False
+
+
+def _scatter_to_neighbors(shard: CSRShard, per_vertex_val: np.ndarray, sender_mask: np.ndarray):
+    """sendMessageToAllNeighbors, vectorized (`engine/Node.cc:139-145`):
+    every out-edge of every sender carries that sender's value."""
+    if shard.nnz == 0:
+        return np.empty(0, np.int64), np.empty(0, per_vertex_val.dtype)
+    emask = sender_mask[shard.edge_src_local]
+    return shard.indices[emask], per_vertex_val[shard.edge_src_local[emask]]
+
+
+class PageRank(VertexProgram):
+    """Exact semantics of the reference's shipped PageRank vertex program
+    (`example/PageRankVertex.cc:145-172`):
+
+      ss0:   val = 1.0; send val/outdeg to all out-neighbors
+      ss>=1: if ss >= 2 and aggr_global < 1e-6: voteToHalt, send nothing
+             else val = 0.15 + 0.85 * sum(msgs); accumulate |old-new|;
+                  send val/outdeg
+    Dangling vertices (outdeg 0) keep receiving and updating but never send
+    (the reference's `val/n` with n=0 is never delivered because the edge
+    loop is empty). Golden: tinygraph converges at superstep 19
+    (FIXTURES.md F2)."""
+
+    name = "pagerank"
+    combiner = "sum"
+
+    def __init__(self, eps: float = PAGERANK_EPS):
+        self.eps = eps
+
+    def aggregators(self):
+        return {"delta": AggregatorSpec(init=0.0, op="sum")}
+
+    def init_values(self, shard):
+        return np.zeros(shard.n, np.float64)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        mask = active
+        out = ComputeOut(aggr={"delta": 0.0})
+        if ctx.superstep == 0:
+            values[mask] = 1.0
+        else:
+            if ctx.superstep >= 2 and ctx.aggr_global["delta"] < self.eps:
+                out.halted = mask.copy()
+                return out
+            sums = np.zeros(shard.n, np.float64)
+            if not inbox.empty:
+                sums[inbox.idx] = inbox.val
+            new = 0.15 + 0.85 * sums
+            out.aggr["delta"] = float(np.abs(values[mask] - new[mask]).sum())
+            values[mask] = new[mask]
+        send_val = np.divide(
+            values, shard.out_deg, out=np.zeros(shard.n), where=shard.out_deg > 0
+        )
+        out.out_dst, out.out_val = _scatter_to_neighbors(shard, send_val, mask)
+        out.sent = len(out.out_dst)
+        return out
+
+
+class ConnectedComponents(VertexProgram):
+    """Weakly-connected components by min-label flood (our documented spec —
+    the reference ships no CC program; SURVEY.md §7.1 step 7). Exact:
+    final label = min vertex id in the component. Runs on the symmetrized
+    edge set. Exercises vote-to-halt + reactivation (C2/C3): every vertex
+    halts every superstep and only message arrival revives it; termination
+    is the engine's global rule C4 (no active, no messages)."""
+
+    name = "connected_components"
+    value_dtype = np.dtype(np.int64)
+    combiner = "min"
+    symmetrize = True
+
+    def init_values(self, shard):
+        return shard.vids.copy()
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        mask = active
+        if ctx.superstep == 0:
+            senders = mask
+            send_val = values
+        else:
+            senders = np.zeros(shard.n, bool)
+            if not inbox.empty:
+                better = inbox.val < values[inbox.idx]
+                rows = inbox.idx[better]
+                values[rows] = inbox.val[better]
+                senders[rows] = True
+            send_val = values
+        out.out_dst, out.out_val = _scatter_to_neighbors(shard, send_val, senders)
+        out.sent = len(out.out_dst)
+        out.halted = mask.copy()  # halt everyone; messages reactivate
+        return out
+
+
+class LabelPropagation(VertexProgram):
+    """Synchronous LPA, our documented spec (no reference program exists):
+    init label = own id; each superstep every vertex adopts the most
+    frequent label among its neighbors (symmetrized), ties broken by MIN
+    label (deterministic — message-order independence per SURVEY.md §2.12);
+    halts globally when a round changes no label or after `max_supersteps`.
+    Two-level combine: messages are (dst, label, count) rows summed by
+    (dst, label) producer-side, so a hub's fan-in is <= P*distinct_labels
+    (SURVEY.md §4 skew row)."""
+
+    name = "label_propagation"
+    value_dtype = np.dtype(np.int64)
+    combiner = "sum_by_key"
+    symmetrize = True
+
+    def __init__(self, max_supersteps: int = 20):
+        self.max_supersteps = max_supersteps
+
+    def aggregators(self):
+        return {"changes": AggregatorSpec(init=0.0, op="sum")}
+
+    def init_values(self, shard):
+        return shard.vids.copy()
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut(aggr={"changes": 0.0})
+        mask = active
+        if ctx.superstep > 0 and not inbox.empty:
+            # mode with min-label tie-break: sort by (idx asc, count desc,
+            # label asc) and take the first row per idx
+            order = np.lexsort((inbox.key, -inbox.val, inbox.idx))
+            idx_sorted = inbox.idx[order]
+            first = np.ones(len(idx_sorted), bool)
+            first[1:] = idx_sorted[1:] != idx_sorted[:-1]
+            rows = idx_sorted[first]
+            winners = inbox.key[order][first]
+            changed = winners != values[rows]
+            out.aggr["changes"] = float(changed.sum())
+            values[rows] = winners
+        out.out_dst, out.out_key = _scatter_to_neighbors(shard, values, mask)
+        out.out_val = np.ones(len(out.out_dst), np.int64)  # counts
+        out.sent = len(out.out_dst)
+        return out
+
+    def master_halt(self, superstep, aggr_global, totals):
+        if superstep >= 1 and aggr_global.get("changes", 1.0) == 0.0:
+            return True
+        return superstep + 1 >= self.max_supersteps
+
+
+BUILTIN_PROGRAMS = {
+    "pagerank": PageRank,
+    "connected_components": ConnectedComponents,
+    "label_propagation": LabelPropagation,
+}

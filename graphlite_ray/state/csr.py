@@ -1,0 +1,188 @@
+"""Hash-partitioned CSR shards: the Ray-Data-native analog of the
+reference's per-worker Node/Edge contiguous arrays.
+
+Reference parity (see SURVEY.md §1.1): GraphLite holds one malloc'd node
+array + one edge array per worker — `(m_edge_index, m_out_degree)` is a CSR
+row pointer (`engine/Worker.cc:303-322,335-362` in the reference), vertices
+hash-partitioned by `vid % W` (`engine/Node.cc:104`,
+`bin/hash-partitioner.pl:23-26`). Here the same partitioning (`id % P`) is
+the FIRST SHUFFLE of the pipeline (`groupby("part")`), each group is
+written as a sorted Parquet edge shard + vertex list, and partition actors
+rebuild zero-copy numpy CSR views in `__init__`. Because our vertex ids are
+63-bit hashes (not dense — SURVEY.md §7.1 step 3), the reference's dense
+`vid / W` slot arithmetic is replaced by a sorted-vid array +
+`np.searchsorted` local index.
+
+Shard layout under `graph_dir` (local path in the sandbox; shared storage
+on a real cluster — every shard file is independent, so builds are
+resumable per partition):
+    meta.json                     {P, n_vertices, n_edges, symmetrized}
+    edges_p{p}.parquet            (src:int64, dst:int64) sorted by src
+    verts_p{p}.parquet            (vid:int64) sorted unique
+Missing shard files mean an empty partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def part_of(ids: np.ndarray, P: int) -> np.ndarray:
+    """Partition function: id % P (ids are non-negative int64)."""
+    return ids % np.int64(P)
+
+
+def _atomic_write_table(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def build_graph_shards(
+    edges: "ray.data.Dataset",
+    P: int,
+    graph_dir: str,
+    symmetrize: bool = False,
+) -> dict:
+    """edges (src:int64, dst:int64) -> P CSR shards on disk + meta.
+
+    Two wide steps, both keyed on the SAME partition function so every later
+    stage (message shuffle, checkpoints, output join) reuses the layout
+    (SURVEY.md §7.3):
+      1. edges grouped by src % P -> sorted edge shard per partition
+      2. vertex universe (src ∪ dst) grouped by vid % P -> vid list per
+         partition (captures dangling, in-edge-only vertices)
+
+    `symmetrize=True` unions the reversed edges first (weakly-connected
+    semantics for CC/LPA — documented deviation; the reference computes
+    nothing but PageRank).
+    """
+    os.makedirs(graph_dir, exist_ok=True)
+
+    if symmetrize:
+        def _sym(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()]),
+                    "dst": pa.concat_arrays([t["dst"].combine_chunks(), t["src"].combine_chunks()]),
+                }
+            )
+
+        edges = edges.map_batches(_sym, batch_format="pyarrow")
+
+    def _with_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(np.remainder(t["src"].to_numpy(zero_copy_only=False), P), pa.int64())
+        return t.append_column("part", pa.array(part))
+
+    def _write_edge_shard(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        g = g.select(["src", "dst"]).sort_by("src")
+        _atomic_write_table(g, os.path.join(graph_dir, f"edges_p{p}.parquet"))
+        return pa.table({"part": [p], "n_edges": [g.num_rows]})
+
+    edge_stats = (
+        edges.map_batches(_with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_write_edge_shard, batch_format="pyarrow")
+        .take_all()
+    )
+
+    def _vertex_rows(t: pa.Table) -> pa.Table:
+        vid = pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()])
+        arr = np.unique(vid.to_numpy(zero_copy_only=False))  # per-batch pre-dedup
+        return pa.table({"vid": arr, "part": arr % np.int64(P)})
+
+    def _write_vert_shard(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        vids = np.unique(g["vid"].to_numpy(zero_copy_only=False))
+        _atomic_write_table(pa.table({"vid": vids}), os.path.join(graph_dir, f"verts_p{p}.parquet"))
+        return pa.table({"part": [p], "n_vertices": [len(vids)]})
+
+    vert_stats = (
+        edges.map_batches(_vertex_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_write_vert_shard, batch_format="pyarrow")
+        .take_all()
+    )
+
+    meta = {
+        "P": P,
+        "symmetrized": symmetrize,
+        "n_edges": int(sum(r["n_edges"] for r in edge_stats)),
+        "n_vertices": int(sum(r["n_vertices"] for r in vert_stats)),
+    }
+    tmp = os.path.join(graph_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(graph_dir, "meta.json"))
+    return meta
+
+
+def load_graph_meta(graph_dir: str) -> dict:
+    with open(os.path.join(graph_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+@dataclass
+class CSRShard:
+    """One partition's topology, as numpy views over Arrow buffers."""
+
+    part_id: int
+    P: int
+    vids: np.ndarray       # int64, sorted unique — all vertices with id % P == part_id
+    indptr: np.ndarray     # int64, len n+1
+    indices: np.ndarray    # int64, global dst ids, grouped by src
+    out_deg: np.ndarray    # int64, len n
+    edge_src_local: np.ndarray  # int32/int64, len nnz: local row of each edge
+
+    @property
+    def n(self) -> int:
+        return len(self.vids)
+
+    @property
+    def nnz(self) -> int:
+        return len(self.indices)
+
+    def local_index(self, global_ids: np.ndarray) -> np.ndarray:
+        """Global vertex ids (owned by this partition) -> local row index."""
+        return np.searchsorted(self.vids, global_ids)
+
+    @staticmethod
+    def load(graph_dir: str, part_id: int, P: int) -> "CSRShard":
+        vpath = os.path.join(graph_dir, f"verts_p{part_id}.parquet")
+        epath = os.path.join(graph_dir, f"edges_p{part_id}.parquet")
+        if os.path.exists(vpath):
+            vids = pq.read_table(vpath)["vid"].to_numpy(zero_copy_only=False)
+        else:  # empty partition
+            vids = np.empty(0, np.int64)
+        if os.path.exists(epath):
+            et = pq.read_table(epath)
+            e_src = et["src"].to_numpy(zero_copy_only=False)
+            indices = et["dst"].to_numpy(zero_copy_only=False)
+        else:
+            e_src = np.empty(0, np.int64)
+            indices = np.empty(0, np.int64)
+        counts = np.searchsorted(e_src, vids, side="right") - np.searchsorted(
+            e_src, vids, side="left"
+        )
+        indptr = np.zeros(len(vids) + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        edge_src_local = np.repeat(np.arange(len(vids), dtype=np.int64), counts)
+        return CSRShard(
+            part_id=part_id,
+            P=P,
+            vids=vids,
+            indptr=indptr,
+            indices=indices,
+            out_deg=counts.astype(np.int64),
+            edge_src_local=edge_src_local,
+        )

@@ -1,0 +1,240 @@
+"""Partition worker: one stateful actor per graph partition.
+
+The Ray-native analog of the reference's worker process
+(`engine/Worker.cc:107-119,789-931`): it holds the partition's CSR shard,
+value array and active mask across supersteps (reference T1-T3 state,
+SURVEY.md §2.3), performs message delivery as a vectorized segmented
+reduction (replacing the per-message hash-lookup loop + prefetch variants,
+`engine/Worker.cc:416-576`), runs the vertex program's vectorized
+`compute`, and returns producer-side-combined, destination-partitioned
+message blocks.
+
+Why a raw actor rather than `map_batches`: the BSP loop mutates
+partition-resident state across tens of supersteps — exactly the "shared
+mutable index" case where the Dataset API cannot express the semantics.
+All one-pass, wide stages around the loop (extraction, id assignment, CSR
+build, output) remain Ray Data pipelines (SURVEY.md §7.4 point 1).
+
+Message blocks between partitions are numpy-array tuples:
+    combiner "sum"/"min":   (dst_global:int64, val)
+    combiner "sum_by_key":  (dst_global:int64, key:int64, cnt:int64)
+They travel through the Ray object store as separate return objects
+(`num_returns = 1 + P`), so the driver routes block refs without ever
+fetching payloads — the analog of the reference's WW_NODEMSGLIST worker-to-
+worker traffic (`engine/WW.nodemsg_list.proto`) with the master (driver)
+seeing only control metadata, as in the reference (`SURVEY.md §3.1 step 6`).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from graphlite_ray.programs import Ctx, Inbox, VertexProgram
+from graphlite_ray.state.csr import CSRShard
+
+
+# ---------------------------------------------------------------- combiners
+
+
+def combine_sum(dst: np.ndarray, val: np.ndarray):
+    u, inv = np.unique(dst, return_inverse=True)
+    return u, np.bincount(inv, weights=val)
+
+
+def combine_min(dst: np.ndarray, val: np.ndarray):
+    order = np.lexsort((val, dst))
+    d, v = dst[order], val[order]
+    first = np.ones(len(d), bool)
+    first[1:] = d[1:] != d[:-1]
+    return d[first], v[first]
+
+
+def combine_sum_by_key(dst: np.ndarray, key: np.ndarray, cnt: np.ndarray):
+    order = np.lexsort((key, dst))
+    d, k, c = dst[order], key[order], cnt[order]
+    first = np.ones(len(d), bool)
+    first[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(first)
+    return d[starts], k[starts], np.add.reduceat(c, starts)
+
+
+def _combine_block(combiner: str, block: tuple) -> tuple:
+    if combiner == "sum":
+        return combine_sum(block[0], block[1])
+    if combiner == "min":
+        return combine_min(block[0], block[1])
+    return combine_sum_by_key(block[0], block[1], block[2])
+
+
+# ------------------------------------------------------------------- worker
+
+
+class PartitionWorker:
+    """Instantiated via ``ray.remote(PartitionWorker)`` by the engine."""
+
+    def __init__(
+        self,
+        part_id: int,
+        P: int,
+        graph_dir: str,
+        program: VertexProgram,
+        n_vertices_global: int,
+    ):
+        self.part_id = part_id
+        self.P = P
+        self.program = program
+        self.n_vertices_global = n_vertices_global
+        self.shard = CSRShard.load(graph_dir, part_id, P)  # once per actor
+        self.values = program.init_values(self.shard)
+        self.active = np.ones(self.shard.n, bool)
+        self._restored_incoming: list[tuple] | None = None
+        self.last_out: list[tuple | None] = [None] * P
+
+    def ready(self) -> int:
+        return self.shard.n
+
+    # -- the superstep ------------------------------------------------------
+
+    def step(self, superstep: int, aggr_global: dict, *incoming, use_restored: bool = False):
+        t0 = time.perf_counter()
+        blocks = (
+            self._restored_incoming
+            if use_restored
+            else [b for b in incoming if b is not None and len(b[0])]
+        )
+        self._restored_incoming = None
+        combiner = self.program.combiner
+
+        # 1. delivery (reference `deliverAllNewNodeMsg`,
+        #    `engine/Worker.cc:416-576`) + reactivation (C3, `engine/Node.cc:56-62`)
+        recv = 0
+        inbox = Inbox(idx=np.empty(0, np.int64), val=np.empty(0, np.float64))
+        if blocks:
+            dst = np.concatenate([b[0] for b in blocks])
+            recv = int(len(dst))
+            idx = self.shard.local_index(dst)
+            if combiner == "sum_by_key":
+                key = np.concatenate([b[1] for b in blocks])
+                cnt = np.concatenate([b[2] for b in blocks])
+                i2, k2, c2 = combine_sum_by_key(idx, key, cnt)
+                inbox = Inbox(idx=i2, val=c2, key=k2)
+                self.active[np.unique(i2)] = True
+            else:
+                val = np.concatenate([b[1] for b in blocks])
+                i2, v2 = combine_sum(idx, val) if combiner == "sum" else combine_min(idx, val)
+                inbox = Inbox(idx=i2, val=v2)
+                self.active[i2] = True
+
+        # 2. compute on active vertices (reference loop `engine/Worker.cc:839-859`)
+        computed = int(self.active.sum())
+        ctx = Ctx(
+            superstep=superstep,
+            part_id=self.part_id,
+            P=self.P,
+            aggr_global=dict(aggr_global),
+            n_vertices_global=self.n_vertices_global,
+        )
+        out = self.program.compute(ctx, self.shard, self.values, self.active, inbox)
+        if out.halted is not None:
+            self.active &= ~out.halted
+
+        # 3. producer-side combine + split by destination partition
+        #    (reference routing `engine/Node.cc:103-137`; combining is our
+        #    addition, legal per SURVEY.md §2.12, vital for hub skew §4)
+        blocks_out: list[tuple | None] = [None] * self.P
+        if out.out_dst is not None and len(out.out_dst):
+            if combiner == "sum_by_key":
+                d, k, c = combine_sum_by_key(out.out_dst, out.out_key, out.out_val)
+                payload = (d, k, c)
+            else:
+                d, v = _combine_block(combiner, (out.out_dst, out.out_val))
+                payload = (d, v)
+            part = (payload[0] % np.int64(self.P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            sorted_part = part[order]
+            bounds = np.searchsorted(sorted_part, np.arange(self.P + 1))
+            for j in range(self.P):
+                lo, hi = bounds[j], bounds[j + 1]
+                if hi > lo:
+                    blocks_out[j] = tuple(a[order[lo:hi]] for a in payload)
+        self.last_out = blocks_out
+
+        meta = {
+            "part": self.part_id,
+            "superstep": superstep,
+            "computed": computed,
+            "recv": recv,
+            "sent": int(out.sent),
+            "active_end": int(self.active.sum()),
+            "aggr": dict(out.aggr),
+            "wall_s": time.perf_counter() - t0,
+        }
+        return (meta, *blocks_out)
+
+    # -- checkpoint / restore (north rule; reference has none — SURVEY.md §4)
+
+    def checkpoint(self, superstep: int, ckpt_dir: str) -> dict:
+        d = os.path.join(ckpt_dir, f"ss_{superstep}")
+        os.makedirs(d, exist_ok=True)
+        vt = pa.table(
+            {
+                "vertex_id": self.shard.vids,
+                "value": self.values,
+                "active": self.active,
+            }
+        )
+        _atomic(vt, os.path.join(d, f"values_p{self.part_id}.parquet"))
+        n_msg_rows = 0
+        for j, b in enumerate(self.last_out):
+            path = os.path.join(d, f"msgs_s{self.part_id}_d{j}.parquet")
+            if b is None:
+                continue
+            cols = {"dst": b[0]}
+            if self.program.combiner == "sum_by_key":
+                cols["key"], cols["cnt"] = b[1], b[2]
+            else:
+                cols["val"] = b[1]
+            _atomic(pa.table(cols), path)
+            n_msg_rows += len(b[0])
+        return {"part": self.part_id, "n_vertices": self.shard.n, "msg_rows": n_msg_rows}
+
+    def restore(self, superstep: int, ckpt_dir: str) -> int:
+        d = os.path.join(ckpt_dir, f"ss_{superstep}")
+        vt = pq.read_table(os.path.join(d, f"values_p{self.part_id}.parquet"))
+        vids = vt["vertex_id"].to_numpy(zero_copy_only=False)
+        rows = self.shard.local_index(vids)
+        self.values[rows] = vt["value"].to_numpy(zero_copy_only=False)
+        self.active[:] = False
+        self.active[rows] = vt["active"].to_numpy(zero_copy_only=False)
+        blocks = []
+        for path in sorted(glob.glob(os.path.join(d, f"msgs_s*_d{self.part_id}.parquet"))):
+            t = pq.read_table(path)
+            if self.program.combiner == "sum_by_key":
+                blocks.append(
+                    (
+                        t["dst"].to_numpy(zero_copy_only=False),
+                        t["key"].to_numpy(zero_copy_only=False),
+                        t["cnt"].to_numpy(zero_copy_only=False),
+                    )
+                )
+            else:
+                blocks.append(
+                    (
+                        t["dst"].to_numpy(zero_copy_only=False),
+                        t["val"].to_numpy(zero_copy_only=False),
+                    )
+                )
+        self._restored_incoming = blocks
+        return sum(len(b[0]) for b in blocks)
+
+
+def _atomic(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
