@@ -1,44 +1,384 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship link-graph pipeline (pages -> extraction ->
+CSR -> PageRank -> scores joined with urls) at sf0.001 scale.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes every implemented operator/pipeline from SURVEY.md §2
+plus the training-data operator suite. SQL-expressible ones have a DuckDB
+oracle in ``oracle_sql()`` with matching column names; graph algorithms and
+hash-based operators are rows-only checks (their exactness oracles live in
+pytest — tests/test_engine_graph.py, tests/test_stages.py).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init``/``ray.shutdown``.
+
+Float-aggregate note: distributed partial sums differ from DuckDB's
+sequential sums in the last ulp, so every SUM-derived float column is
+rounded to a fixed precision ON BOTH SIDES; single-pass ratios of integer
+counts are bit-exact and left unrounded.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# the synthetic page-table scale used for graph pipelines per sf dir
+_PAGES_FOR_SF = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 20000}
+_SEED = 42
+
+
+def _pages_n(sf_dir: str) -> int:
+    return _PAGES_FOR_SF.get(os.path.basename(os.path.normpath(sf_dir)), 1000)
+
+
+def _graph_work(sf_dir: str) -> tuple[str, str]:
+    """(pages_dir, work_dir) for this sf scale; work dir is resumable."""
+    from graphlite_ray.sources.pages import pages_path
+
+    n = _pages_n(sf_dir)
+    pages = pages_path(n, seed=_SEED)
+    work = f"/tmp/glr_entry/n{n}_s{_SEED}"
+    os.makedirs(work, exist_ok=True)
+    return pages, work
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data  # noqa: F401  (Ray initialised by the driver)
+
+    from graphlite_ray.pipelines.linkgraph import result_with_urls, run_algorithm
+
+    pages, work = _graph_work("/root/testdata/sf0.001")
+    res = run_algorithm("pagerank", pages, work, P=8, resume=True)
+    return result_with_urls(res, work)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_pagerank(sf_dir: str):
+    from graphlite_ray.pipelines.linkgraph import result_with_urls, run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm("pagerank", pages, work, P=8, resume=True)
+    return result_with_urls(res, work)
+
+
+def _q_cc(sf_dir: str):
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm("connected_components", pages, work, P=8, resume=True)
+    return res.values().select_columns(["vertex_id", "value"])
+
+
+def _q_lpa(sf_dir: str):
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm("label_propagation", pages, work, P=8, resume=True)
+    return res.values().select_columns(["vertex_id", "value"])
+
+
+def _q_triangles(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.triangles import triangle_count
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    n = triangle_count(
+        ray.data.read_parquet(edges_dir), work_dir=os.path.join(work, "tri"), B=16
+    )
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def _q_extract_edges(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.extract import extract_links_batch
+
+    pages, _ = _graph_work(sf_dir)
+    return ray.data.read_parquet(pages, columns=["url", "html"]).map_batches(
+        extract_links_batch, batch_format="pyarrow"
+    )
+
+
+def _q_degrees(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"src": u, "c": c})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": [int(g["src"].iloc[0])], "out_degree": [int(g["c"].sum())]}
+        )
+
+    return (
+        ray.data.read_parquet(edges_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("src")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def _edges_glob(sf_dir: str) -> str:
+    _, work = _graph_work(sf_dir)
+    return os.path.join(work, "edges", "*.parquet")
+
+
+# -- documents / embeddings ------------------------------------------------
+
+
+def _q_doc_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs).select_columns(["doc_id"])
+
+
+def _q_doc_tokens(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.textstats import TokenCounter
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4))
+
+
+def _q_doc_quality_sqlable(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.textstats import QualityScorer
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "n_chars", "alpha_ratio", "digit_ratio"])
+
+
+def _q_doc_langid(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.textstats import LangId
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.textstats import Fingerprinter
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+
+
+def _q_doc_minhash(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.dedup import minhash_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    res = minhash_dedup(docs, threshold=0.7)
+    cl = res.clusters.sort_values("doc_id", ignore_index=True)
+    if not len(cl):
+        cl = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "cluster_rep": pd.Series([], dtype="int64")})
+    return cl
+
+
+def _q_doc_simhash(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.dedup import simhash_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    res = simhash_dedup(docs, max_hamming=3)
+    out = res.pairs[["a", "b"]].sort_values(["a", "b"], ignore_index=True)
+    if not len(out):
+        out = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    return out
+
+
+def _q_emb_knn(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.similarity import knn_bruteforce
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.take(3)
+    Q = np.stack([r["embedding"] for r in qrows]).astype(np.float64)
+    out = knn_bruteforce(emb, Q, k=10)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _q_emb_near_dup(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.dedup import embedding_near_dup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = embedding_near_dup(emb, tau=0.98, nbits=10)
+    out = res.pairs[["a", "b"]].sort_values(["a", "b"], ignore_index=True)
+    if not len(out):
+        out = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    return out
+
+
+def _q_emb_label_counts(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["label"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"label": u.astype(np.int32), "c": c})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"label": [g["label"].iloc[0]], "n": [int(g["c"].sum())]})
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    df = df.copy()
+    for c, nd in cols.items():
+        df[c] = df[c].round(nd)
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from graphlite_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # link-graph engine (pytest-oracled; rows-only here)
+        "pagerank": _q_pagerank,
+        "connected_components": _q_cc,
+        "label_propagation": _q_lpa,
+        "triangle_count": _q_triangles,
+        "extract_edges": _q_extract_edges,
+        "out_degrees": _q_degrees,
+        # relational operator family (DuckDB-oracled)
+        "filter_project": lambda sf: R.q_filter_project(sf),
+        "pricing_summary": lambda sf: _round_cols(
+            R.q_pricing_summary(sf),
+            {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6},
+        ),
+        "revenue_by_nation": lambda sf: _round_cols(R.q_revenue_by_nation(sf), {"revenue": 2}),
+        "topk_orders": lambda sf: R.q_topk_orders(sf),
+        "distinct_users": lambda sf: R.q_distinct_users(sf),
+        "hourly_windows": lambda sf: _round_cols(R.q_hourly_windows(sf), {"sum_value": 4}),
+        "sessions": lambda sf: R.q_sessions(sf),
+        "union_counts": lambda sf: R.q_union_counts(sf),
+        # training-data operators over documents/embeddings
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_count": _q_doc_tokens,
+        "doc_quality": _q_doc_quality_sqlable,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_minhash_dedup": _q_doc_minhash,
+        "doc_simhash_pairs": _q_doc_simhash,
+        "emb_knn": _q_emb_knn,
+        "emb_near_dup": _q_emb_near_dup,
+        "emb_label_counts": _q_emb_label_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": (
+            "SELECT l_orderkey, l_quantity, "
+            "l_extendedprice * (1 - l_discount) AS revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 30"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(sum(l_quantity), 2) AS sum_qty, "
+            "ROUND(sum(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(sum(l_quantity) / count(*), 6) AS avg_qty, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, ROUND(sum(o_totalprice), 2) AS revenue, "
+            "count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "topk_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "hourly_windows": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n_events, ROUND(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts) "
+            "ORDER BY event_type, window_start"
+        ),
+        "sessions": (
+            "WITH gaps AS (SELECT user_id, ts, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events) "
+            "SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM gaps GROUP BY user_id ORDER BY user_id"
+        ),
+        "union_counts": (
+            "SELECT side, count(*) AS n FROM ("
+            "SELECT c_name AS name, 'customer' AS side FROM customer "
+            "UNION ALL SELECT s_name AS name, 'supplier' AS side FROM supplier"
+            ") GROUP BY side ORDER BY side"
+        ),
+        "doc_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "doc_token_count": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+            "/ CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS alpha_ratio, "
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) "
+            "/ CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS digit_ratio "
+            "FROM documents"
+        ),
+        "emb_label_counts": (
+            "SELECT label, count(*) AS n FROM embeddings GROUP BY label ORDER BY label"
+        ),
+        # pagerank / connected_components / label_propagation / triangle_count /
+        # extract_edges / out_degrees / doc_langid / doc_fingerprint /
+        # doc_minhash_dedup / doc_simhash_pairs / emb_knn / emb_near_dup:
+        # non-SQL-expressible (iterative BSP / HTML parsing / hash-based);
+        # exactness is oracle-tested in pytest (see module docstring).
+    }

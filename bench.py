@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Benchmark harness for graphlite_ray.
+
+Default mode: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) in one Ray session with num_cpus=$RAY_GRAFT_CPUS
+(default 32) and prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
+   "pagerank": {...engine counters incl. edges/sec...}}
+
+--scaling: runs the headline PageRank job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 over the SAME input (sandbox proxy for the
+north rule's N vs 4N cluster sizes), prints both throughputs + the scaling
+efficiency, and records the result in BASELINE.md between the marker lines.
+
+The graph workload is the deterministic synthetic page table (seeded; no
+external data): sf0.1 -> 20k pages, ~70k edges extracted from html.
+Override with GLR_BENCH_PAGES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+HEADLINE_METRIC = (
+    "PageRank supersteps/hour proxy: end-to-end pages->PageRank seconds "
+    "(+ edges processed/sec) on the synthetic Common-Crawl-style page table"
+)
+
+_PAGES_FOR_SF = {"sf0.001": 1000, "sf0.01": 5000, "sf0.1": 20000}
+
+
+def _bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges, prepare_graph, run_algorithm
+    from graphlite_ray.pipelines.triangles import triangle_count
+    from graphlite_ray.pipelines import relational as R
+    from graphlite_ray.sources.pages import pages_path
+    from graphlite_ray.stages.dedup import minhash_dedup
+    from graphlite_ray.stages.textstats import QualityScorer
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_pages = int(os.environ.get("GLR_BENCH_PAGES", _PAGES_FOR_SF.get(sf_name, 20000)))
+    P = max(8, min(64, num_cpus))
+
+    pages = pages_path(n_pages, seed=42)  # cached: generation cost excluded
+    # warm the page cache with one untimed read so we measure compute+shuffle
+    ray.data.read_parquet(pages).count()
+
+    work = f"/tmp/glr_bench/n{n_pages}_c{num_cpus}_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    q: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    edges_dir = prepare_edges(pages, work, P)
+    q["extract_edges"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    prepare_graph(pages, work, P)
+    q["csr_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = run_algorithm("pagerank", pages, work, P=P)
+    q["pagerank"] = time.perf_counter() - t0
+    superstep_wall = sum(m["wall_s"] for m in res.metrics)
+    pr = {
+        "supersteps": res.supersteps_run,
+        "halted": res.halted,
+        "messages": res.total_messages,
+        "superstep_wall_s": round(superstep_wall, 3),
+        "edges_per_s": round(res.total_messages / max(superstep_wall, 1e-9)),
+        "supersteps_per_hour": round(res.supersteps_run / max(superstep_wall, 1e-9) * 3600),
+    }
+
+    t0 = time.perf_counter()
+    run_algorithm("connected_components", pages, work, P=P)
+    q["connected_components"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    triangle_count(ray.data.read_parquet(edges_dir), work_dir=f"{work}/tri", B=P)
+    q["triangles"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    R.q_pricing_summary(sf_dir)
+    q["pricing_summary"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs.map_batches(
+        QualityScorer, batch_format="pandas", batch_size=2048, concurrency=(1, max(2, num_cpus // 4))
+    ).count()
+    q["doc_quality"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    minhash_dedup(docs, threshold=0.8)
+    q["minhash_dedup"] = time.perf_counter() - t0
+
+    out = {
+        "metric": HEADLINE_METRIC,
+        "value": round(q["extract_edges"] + q["csr_build"] + q["pagerank"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "sf": sf_name,
+        "n_pages": n_pages,
+        "num_cpus": num_cpus,
+        "pagerank": pr,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def _run_fresh(ncpu: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def _scaling(sf_dir: str) -> dict:
+    lo, hi = 8, 32
+    r_lo = _run_fresh(lo, sf_dir)
+    r_hi = _run_fresh(hi, sf_dir)
+    tp_lo = r_lo["pagerank"]["edges_per_s"]
+    tp_hi = r_hi["pagerank"]["edges_per_s"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    e2e_eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    result = {
+        "mode": "scaling",
+        "sf": r_lo["sf"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "edges_per_s_lo": tp_lo,
+        "edges_per_s_hi": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "e2e_sec_lo": r_lo["value"],
+        "e2e_sec_hi": r_hi["value"],
+        "e2e_scaling_efficiency": round(e2e_eff, 3),
+    }
+    _record_baseline(result)
+    return result
+
+
+def _record_baseline(result: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    begin, end = "<!-- SCALING-RESULT -->", "<!-- /SCALING-RESULT -->"
+    block = (
+        f"{begin}\n## Measured scaling result (latest `bench.py --scaling`)\n\n"
+        f"| cpus | PageRank edges/s | end-to-end sec |\n|---|---|---|\n"
+        f"| {result['cpus_lo']} | {result['edges_per_s_lo']} | {result['e2e_sec_lo']} |\n"
+        f"| {result['cpus_hi']} | {result['edges_per_s_hi']} | {result['e2e_sec_hi']} |\n\n"
+        f"Superstep-throughput scaling efficiency ({result['cpus_lo']}->"
+        f"{result['cpus_hi']} cpus): **{result['scaling_efficiency']}** "
+        f"(end-to-end: {result['e2e_scaling_efficiency']}); sf={result['sf']}.\n{end}"
+    )
+    try:
+        with open(path) as f:
+            text = f.read()
+        if begin in text:
+            pre = text.split(begin)[0]
+            post = text.split(end)[-1]
+            text = pre + block + post
+        else:
+            text = text.rstrip() + "\n\n" + block + "\n"
+        with open(path, "w") as f:
+            f.write(text)
+    except OSError:
+        pass
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(_scaling(sf_dir)))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Relational operator pipelines over the TPC-H-ish test tables.
+
+The reference engine has none of these (SURVEY.md §2.4-§2.8: no joins, no
+sorts, no aggregates beyond the BSP aggregator), but a complete Ray-Data
+processing engine does; each function here exercises one operator family
+(filter+project, partial+final aggregate, broadcast join, sort/top-k,
+distinct, windowed aggregate, sessionization, union) and is paired with an
+ANSI-SQL oracle in `__ray_entry__.oracle_sql`.
+
+Conventions: every function takes `sf_dir` and returns a Dataset / pandas
+DataFrame whose COLUMN NAMES exactly match the oracle SQL aliases. Reads
+prune columns; aggregations pre-combine inside `map_batches` before the
+small groupby shuffle where the cardinality reduction pays for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_filter_project(sf_dir: str) -> "ray.data.Dataset":
+    """Vectorized filter + computed projection (revenue)."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"]
+    )
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+                pc.greater(t["l_quantity"], pa.scalar(30.0)),
+            )
+        )
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_quantity": t["l_quantity"],
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: group-aggregate with producer-side partial combine —
+    each batch collapses to <=8 partial rows before the shuffle."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["l_shipdate"] < pd.Timestamp("1998-09-02")]
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "l_linestatus": [g["l_linestatus"].iloc[0]],
+                "sum_qty": [g["sum_qty"].sum()],
+                "sum_base_price": [g["sum_base_price"].sum()],
+                "sum_disc_price": [g["sum_disc_price"].sum()],
+                "avg_qty": [g["sum_qty"].sum() / g["count_order"].sum()],
+                "count_order": [int(g["count_order"].sum())],
+            }
+        )
+
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Two broadcast joins (customer, nation are the small sides: ray.put
+    once, merged per batch) + partial aggregate."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    ref = ray.put(dim)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class _J:
+        def __init__(self):
+            self.dim = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch.merge(self.dim, left_on="o_custkey", right_on="c_custkey")
+            return m.groupby("n_name", as_index=False).agg(
+                revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            )
+
+    partials = orders.map_batches(_J, batch_format="pandas", concurrency=(1, 8))
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [g["n_name"].iloc[0]],
+                "revenue": [g["revenue"].sum()],
+                "n_orders": [int(g["n_orders"].sum())],
+            }
+        )
+
+    return (
+        partials.groupby("n_name")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("n_name", ignore_index=True)
+    )
+
+
+def q_topk_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Global sort + limit (Ray Data distributed sort)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return out.to_pandas()
+
+
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct + count per group over the events stream."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _pre(t: pa.Table) -> pd.DataFrame:
+        return t.to_pandas().drop_duplicates()  # per-batch pre-dedup
+
+    def _per_type(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [int(g["user_id"].nunique())],
+            }
+        )
+
+    return (
+        ds.map_batches(_pre, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(_per_type, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+
+
+def q_hourly_windows(sf_dir: str) -> pd.DataFrame:
+    """Tumbling event-time window aggregate: (event_type, hour bucket)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n_events": [int(g["n_events"].sum())],
+                "sum_value": [g["sum_value"].sum()],
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+
+
+def q_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization: per-user event stream split on >gap inactivity.
+    Shuffle by user, per-group sort by ts + vectorized gap scan — the
+    streaming-window pattern on a batch engine (ordering assumption: within
+    a user the group holds all their events)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _sess(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        brk = (ts.diff() > gap).sum() + 1
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [int(brk)], "n_events": [len(g)]}
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(_sess, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+def q_union_counts(sf_dir: str) -> pd.DataFrame:
+    """Union of two sources + group count."""
+    c = _read(sf_dir, "customer", ["c_name"]).map_batches(
+        lambda t: pa.table({"name": t["c_name"], "side": pa.array(["customer"] * t.num_rows)}),
+        batch_format="pyarrow",
+    )
+    s = _read(sf_dir, "supplier", ["s_name"]).map_batches(
+        lambda t: pa.table({"name": t["s_name"], "side": pa.array(["supplier"] * t.num_rows)}),
+        batch_format="pyarrow",
+    )
+    u = c.union(s)
+
+    def _cnt(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"side": [g["side"].iloc[0]], "n": [len(g)]})
+
+    return (
+        u.groupby("side").map_groups(_cnt, batch_format="pandas").to_pandas()
+        .sort_values("side", ignore_index=True)
+    )

@@ -1,0 +1,425 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact and near-duplicate detection, all expressed as Ray Data pipelines:
+
+  exact        content hash -> hash-partitioned groupby -> first per group
+  MinHash-LSH  shingle -> minhash signature -> banded LSH buckets ->
+               candidate pairs -> exact Jaccard verify -> clusters
+  SimHash      64-bit weighted token signature -> 16-bit band blocking ->
+               Hamming verify
+  embedding    random-hyperplane LSH buckets -> within-bucket cosine
+
+Scale notes: signatures/bands are computed batch-vectorized (one polars
+hash call per batch over all shingles, `np.minimum.reduceat` segmented
+minima); the only all-to-all steps are groupbys on short keys. Candidate
+PAIRS (post-LSH) are assumed << corpus size — the standard LSH contract;
+`max_candidate_docs` guards the verify stage and raises rather than
+silently degrading (tune bands/rows instead). Reference has no dedup at
+all (SURVEY.md §2.7); these are the additional training-data operators the
+north rule asks for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from graphlite_ray.functions.hashing import hash_strings
+
+MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(
+    docs: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Keep the min-id row per distinct text. Hash-partitioned shuffle on a
+    64-bit content hash; groups verify exact text equality (collisions)."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch[text_col].to_pylist()).astype(np.int64) >> 1
+        return batch.append_column("__h", pa.array(h))
+
+    def _min_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(id_col).groupby(text_col, sort=False).head(1).drop(columns="__h")
+        )
+
+    return (
+        docs.map_batches(_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(_min_per_text, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _batch_shingle_hashes(texts, k: int):
+    """All docs' shingle hashes in ONE vectorized hash call.
+    Returns (hashes:uint64, starts:int64 per doc, counts:int64)."""
+    all_sh: list[str] = []
+    counts = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        sh = word_shingles(t, k)
+        counts[i] = len(sh)
+        all_sh.extend(sh)
+    hashes = (
+        hash_strings(all_sh) if all_sh else np.empty(0, np.uint64)
+    )
+    starts = np.zeros(len(texts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return hashes, starts, counts
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(word_shingles(a, k)), set(word_shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ----------------------------------------------------------- MinHash-LSH
+
+
+class MinHashBander:
+    """(doc_id, text) -> exploded LSH band rows (band, band_hash, doc_id).
+
+    Permutation parameters are derived once per actor from a fixed seed
+    (deterministic across runs/processes)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
+        assert num_perm % bands == 0
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.rows = num_perm // bands
+
+    def signatures(self, texts) -> np.ndarray:
+        """-> (n_docs, num_perm) uint64 matrix."""
+        hashes, starts, counts = _batch_shingle_hashes(texts, self.k)
+        n = len(texts)
+        sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max, np.uint64)
+        nonempty = counts > 0
+        if hashes.size:
+            hm = (hashes % MERSENNE61).astype(np.uint64)
+            starts_ne = starts[nonempty]
+            with np.errstate(over="ignore"):
+                for p in range(self.num_perm):
+                    v = (self.a[p] * hm + self.b[p]) % MERSENNE61
+                    sig[nonempty, p] = np.minimum.reduceat(v, starts_ne)
+        return sig
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sig = self.signatures(batch["text"].tolist())
+        n = len(batch)
+        band_hash = np.zeros((n, self.bands), np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(self.bands):
+                block = sig[:, j * self.rows : (j + 1) * self.rows]
+                h = np.uint64(14695981039346656037)
+                for r in range(self.rows):
+                    h = (h ^ block[:, r]) * np.uint64(1099511628211)
+                band_hash[:, j] = h
+        ids = np.repeat(batch["doc_id"].to_numpy(), self.bands)
+        bands = np.tile(np.arange(self.bands, dtype=np.int64), n)
+        return pd.DataFrame(
+            {
+                "band": bands,
+                "band_hash": band_hash.reshape(-1).astype(np.int64),
+                "doc_id": ids,
+            }
+        )
+
+
+def _pairs_from_groups(g: pd.DataFrame, max_group: int = 200) -> pd.DataFrame:
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+    if len(ids) > max_group:  # pathological bucket: keep bounded work
+        ids = ids[:max_group]
+    i, j = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+
+@dataclass
+class DedupResult:
+    pairs: pd.DataFrame        # verified duplicate pairs (a, b, score)
+    clusters: pd.DataFrame     # (doc_id, cluster_rep) for docs in any cluster
+    n_candidates: int
+
+    def representatives(self, docs: "ray.data.Dataset", id_col: str = "doc_id"):
+        """Filter the corpus to cluster representatives + non-duplicates."""
+        drop = set(self.clusters[self.clusters["doc_id"] != self.clusters["cluster_rep"]]["doc_id"])
+        ref = ray.put(drop)
+
+        class _Filter:
+            def __init__(self):
+                self.drop = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return batch[~batch[id_col].isin(self.drop)]
+
+        return docs.map_batches(_Filter, batch_format="pandas", concurrency=(1, 4))
+
+
+def _cluster(pairs: pd.DataFrame) -> pd.DataFrame:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(x, find(x)) for x in list(parent)]
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_rep"]).astype("int64")
+
+
+def minhash_dedup(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    max_candidate_docs: int = 100_000,
+) -> DedupResult:
+    """MinHash + banded LSH near-dedup with exact-Jaccard verification.
+
+    Pipeline: signature+band stage (actor pool) -> groupby(band, band_hash)
+    -> candidate pairs -> fetch candidate texts (broadcast-filtered scan)
+    -> exact Jaccard -> union-find clusters (driver; candidate graph is
+    small by LSH design, enforced by `max_candidate_docs`)."""
+    band_rows = docs.map_batches(
+        MinHashBander,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+    cand = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(_pairs_from_groups, batch_format="pandas")
+    )
+    pairs_df = cand.to_pandas().drop_duplicates(ignore_index=True)
+    cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
+    if len(cand_ids) > max_candidate_docs:
+        raise RuntimeError(
+            f"LSH produced {len(cand_ids)} candidate docs (> {max_candidate_docs}); "
+            "raise bands/rows selectivity or the guard"
+        )
+    if not len(pairs_df):
+        return DedupResult(
+            pairs=pd.DataFrame({"a": [], "b": [], "score": []}),
+            clusters=pd.DataFrame({"doc_id": [], "cluster_rep": []}),
+            n_candidates=0,
+        )
+    ref = ray.put(cand_ids)
+
+    class _Pick:
+        def __init__(self):
+            self.want = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["doc_id"].isin(self.want)][["doc_id", "text"]]
+
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in docs.map_batches(_Pick, batch_format="pandas", concurrency=(1, 4)).take_all()
+    }
+    scores = [
+        jaccard(texts[int(a)], texts[int(b)], k)
+        for a, b in zip(pairs_df["a"], pairs_df["b"])
+    ]
+    pairs_df["score"] = scores
+    dups = pairs_df[pairs_df["score"] >= threshold].reset_index(drop=True)
+    return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=len(pairs_df))
+
+
+# --------------------------------------------------------------- SimHash
+
+
+class SimHasher:
+    """(doc_id, text) -> (doc_id, simhash:int64): 64-bit weighted token
+    signature (bit-majority over token hashes weighted by count)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(batch), np.uint64)
+        for i, text in enumerate(batch["text"]):
+            toks = text.lower().split()
+            if not toks:
+                continue
+            u, c = np.unique(np.array(toks, object), return_counts=True)
+            h = hash_strings(u.tolist())
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = ((bits * 2 - 1) * c[:, None]).sum(axis=0)
+            with np.errstate(over="ignore"):
+                out[i] = np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": out.astype(np.int64),
+            }
+        )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.uint64)) ^ (b.astype(np.uint64))
+    cnt = np.zeros(len(x), np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def simhash_dedup(docs: "ray.data.Dataset", max_hamming: int = 3) -> DedupResult:
+    """SimHash near-dedup: block on each of four 16-bit bands (any pair
+    within Hamming<=3 of 64 bits shares at least one exact 16-bit band by
+    pigeonhole... with 4 bands that guarantees Hamming<=3), verify
+    Hamming distance on the full signature."""
+    sh = docs.map_batches(
+        SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+    )
+
+    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["simhash"].to_numpy().astype(np.uint64)
+        rows = []
+        for j in range(4):
+            band = ((s >> np.uint64(16 * j)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows.append(
+                pd.DataFrame(
+                    {"band": j, "band_hash": band, "doc_id": batch["doc_id"], "sim": s.astype(np.int64)}
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []})
+        ids = g["doc_id"].to_numpy()
+        sims = g["sim"].to_numpy()
+        order = np.argsort(ids)
+        ids, sims = ids[order], sims[order]
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j], "ha": sims[i], "hb": sims[j]})
+
+    cand = (
+        sh.map_batches(_bands, batch_format="pandas")
+        .groupby(["band", "band_hash"])
+        .map_groups(_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["a", "b"], ignore_index=True)
+    )
+    if not len(cand):
+        return DedupResult(
+            pairs=pd.DataFrame({"a": [], "b": [], "score": []}),
+            clusters=pd.DataFrame({"doc_id": [], "cluster_rep": []}),
+            n_candidates=0,
+        )
+    d = hamming64(cand["ha"].to_numpy(), cand["hb"].to_numpy())
+    dups = cand.loc[d <= max_hamming, ["a", "b"]].copy()
+    dups["score"] = (64 - d[d <= max_hamming]) / 64.0
+    dups = dups.reset_index(drop=True).astype({"a": "int64", "b": "int64"})
+    return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=len(cand))
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+
+class HyperplaneBucketer:
+    """embedding -> LSH bucket id from `nbits` random hyperplane signs."""
+
+    def __init__(self, dim: int, nbits: int = 16, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, nbits))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch["embedding"].to_numpy())
+        signs = (vecs @ self.planes) > 0
+        bucket = np.zeros(len(batch), np.int64)
+        for b in range(self.planes.shape[1]):
+            bucket |= signs[:, b].astype(np.int64) << b
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": bucket,
+                "embedding": batch["embedding"],
+            }
+        )
+
+
+def embedding_near_dup(
+    emb: "ray.data.Dataset",
+    tau: float = 0.95,
+    nbits: int = 12,
+    dim: int | None = None,
+) -> DedupResult:
+    """Cosine near-duplicate pairs via hyperplane-LSH blocking + exact
+    within-bucket cosine. Recall depends on nbits vs tau (documented LSH
+    tradeoff); exact verification keeps precision 1.0."""
+    if dim is None:
+        first = emb.take(1)[0]
+        dim = len(first["embedding"])
+
+    bucketed = emb.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"dim": dim, "nbits": nbits},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "score": []})
+        ids = g["vec_id"].to_numpy()
+        V = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = V @ V.T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = S[i, j] >= tau
+        return pd.DataFrame(
+            {"a": ids[i][keep], "b": ids[j][keep], "score": S[i, j][keep]}
+        )
+
+    dups = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas").to_pandas()
+    if not {"a", "b"} <= set(dups.columns) or not len(dups):
+        dups = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    dups = dups.drop_duplicates(["a", "b"], ignore_index=True).astype(
+        {"a": "int64", "b": "int64"}
+    )
+    return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=len(dups))

@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (list<float>).
+
+- `knn_bruteforce`: exact top-k cosine — the query matrix is normalized
+  once on the driver and broadcast via `ray.put`; every batch computes one
+  numpy matmul and emits its local top-k candidates; a tiny groupby reduces
+  per-query candidates to the global top-k. Scales linearly in corpus size
+  with no all-to-all of vectors (only k rows per query per BLOCK move).
+- `build_ivf` / `knn_ivf`: IVF scale path — k-means centroids trained on a
+  driver-side sample (seeded, numpy), assignment as a broadcast map stage,
+  search probes only `nprobe` clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    def __init__(self, q_ref, k: int):
+        self.Q = ray.get(q_ref)  # (nq, d) normalized, fetched once per actor
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        ids = batch["vec_id"].to_numpy()
+        S = V @ self.Q.T  # (nb, nq)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-S, k - 1, axis=0)[:k]  # (k, nq)
+        out = []
+        for q in range(self.Q.shape[0]):
+            rows = top[:, q]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": q, "vec_id": ids[rows], "sim": S[rows, q]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def knn_bruteforce(
+    emb: "ray.data.Dataset", queries: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row -> DataFrame
+    (query_id, vec_id, sim, rank) sorted by (query_id, rank)."""
+    q_ref = ray.put(_normalize(queries.astype(np.float64)))
+    cands = emb.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    out = cands.groupby("query_id").map_groups(_final, batch_format="pandas").to_pandas()
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 42) -> np.ndarray:
+    """Seeded lloyd k-means on a driver-side sample -> (n_clusters, d)."""
+    rng = np.random.RandomState(seed)
+    X = _normalize(sample.astype(np.float64))
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def build_ivf(
+    emb: "ray.data.Dataset",
+    n_clusters: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+):
+    """Train centroids on a sample and assign every vector to its cluster.
+    Returns (assigned_dataset with `cluster` column, centroids)."""
+    frac = 1.0
+    n = emb.count()
+    if n > sample_size:
+        frac = sample_size / n
+    sample_rows = emb.random_sample(frac, seed=seed).take_all()
+    sample = np.stack([r["embedding"] for r in sample_rows])
+    C = kmeans_fit(sample, n_clusters, seed=seed)
+    c_ref = ray.put(C)
+
+    class _Assign:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            batch = batch.copy()
+            batch["cluster"] = np.argmax(V @ self.C.T, axis=1).astype(np.int64)
+            return batch
+
+    return (
+        emb.map_batches(_Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 4)),
+        C,
+    )
+
+
+def knn_ivf(
+    assigned: "ray.data.Dataset",
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k: probe only the `nprobe` nearest clusters per
+    query. Same output schema as `knn_bruteforce`."""
+    Q = _normalize(queries.astype(np.float64))
+    probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(map(int, row)) for row in probe]
+    q_ref = ray.put(Q)
+    p_ref = ray.put(probe_sets)
+
+    class _Probe:
+        def __init__(self):
+            self.Q = ray.get(q_ref)
+            self.probe = ray.get(p_ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            ids = batch["vec_id"].to_numpy()
+            clusters = batch["cluster"].to_numpy()
+            out = []
+            S = V @ self.Q.T
+            for q in range(self.Q.shape[0]):
+                mask = np.isin(clusters, list(self.probe[q]))
+                if not mask.any():
+                    continue
+                s = S[mask, q]
+                sel = np.argsort(-s)[: self.k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": q, "vec_id": ids[mask][sel], "sim": s[sel]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+            return pd.concat(out, ignore_index=True)
+
+    cands = assigned.map_batches(
+        _Probe, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    out = cands.groupby("query_id").map_groups(_final, batch_format="pandas").to_pandas()
+    return out.sort_values(["query_id", "rank"], ignore_index=True).astype(
+        {"query_id": "int64", "vec_id": "int64"}
+    )

@@ -1,0 +1,199 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All are actor-pool `map_batches` stages: regexes / stopword tables are
+compiled once per actor in `__init__`, batches are processed with
+pandas/numpy kernels. Deterministic, dependency-free heuristics (no model
+downloads in this environment); each function is versioned by its module
+constants — change them and downstream fingerprints/goldens change.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+TOKEN_RE = re.compile(r"\S+")
+WORD_RE = re.compile(r"[A-Za-zÀ-ÿ']+")
+
+STOPWORDS = {
+    "en": frozenset(
+        "the of and to a in is it you that he was for on are with as i his they be "
+        "at one have this from or had by not word but what some we can out other".split()
+    ),
+    "de": frozenset(
+        "der die das und ist ich nicht mit sich des auf für als auch es an werden "
+        "aus er hat dass sie nach wird bei einer um am sind noch wie einem über".split()
+    ),
+    "fr": frozenset(
+        "le la les de des et un une est pour que qui dans ce il elle au aux avec "
+        "ne pas sur se plus par je tu nous vous ils sont cette mais ou donc".split()
+    ),
+    "es": frozenset(
+        "el la los las de y un una es en que no con por para se su al lo como "
+        "más pero sus le ya o este sí porque esta entre cuando muy sin sobre".split()
+    ),
+}
+
+_CJK_RANGES = ((0x4E00, 0x9FFF), (0x3040, 0x30FF), (0xAC00, 0xD7AF))
+
+
+def token_count(text: str) -> int:
+    """Whitespace-token count; '' and all-whitespace -> 0.
+    SQL-equivalent: CASE WHEN trim(text)='' THEN 0 ELSE
+    length(regexp_split_to_array(trim(text), '\\s+')) END."""
+    return len(TOKEN_RE.findall(text))
+
+
+class TokenCounter:
+    """(doc_id, text) -> (doc_id, n_tokens)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["text"].map(token_count).astype("int64"),
+            }
+        )
+
+
+def _cjk_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    n = sum(1 for ch in text if any(lo <= ord(ch) <= hi for lo, hi in _CJK_RANGES))
+    return n / len(text)
+
+
+class LangId:
+    """n-gram/stopword heuristic language ID -> (doc_id, lang_pred, lang_conf).
+
+    CJK-character ratio > 0.15 -> "zh" (covers CJK scripts generically);
+    otherwise the language whose stopword set covers the largest fraction
+    of word tokens; "und" when no evidence."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, confs = [], []
+        for text in batch["text"]:
+            cjk = _cjk_ratio(text)
+            if cjk > 0.15:
+                preds.append("zh")
+                confs.append(cjk)
+                continue
+            words = [w.lower() for w in WORD_RE.findall(text)]
+            if not words:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            best_lang, best = "und", 0.0
+            for lang, sw in STOPWORDS.items():
+                r = sum(1 for w in words if w in sw) / len(words)
+                if r > best:
+                    best_lang, best = lang, r
+            preds.append(best_lang if best > 0.05 else "und")
+            confs.append(best)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "lang_pred": preds, "lang_conf": confs}
+        )
+
+
+class QualityScorer:
+    """(doc_id, text) -> per-doc quality features + composite score.
+
+    Features (all SQL-expressible except stopword_ratio):
+      n_chars, n_tokens, alpha_ratio, digit_ratio, space_ratio,
+      mean_token_len, stopword_ratio, quality_score in [0, 1].
+    """
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        n_chars = texts.str.len().astype("int64")
+        n_alpha = texts.str.count(r"[A-Za-z]").astype("int64")
+        n_digit = texts.str.count(r"[0-9]").astype("int64")
+        n_space = texts.str.count(r"\s").astype("int64")
+        toks = texts.map(lambda t: TOKEN_RE.findall(t))
+        n_tokens = toks.map(len).astype("int64")
+        safe_chars = n_chars.replace(0, 1)
+        mean_tok = [
+            (sum(len(w) for w in ws) / len(ws)) if ws else 0.0 for ws in toks
+        ]
+        sw = STOPWORDS["en"]
+        stop_ratio = [
+            (sum(1 for w in ws if w.lower() in sw) / len(ws)) if ws else 0.0
+            for ws in toks
+        ]
+        alpha_ratio = n_alpha / safe_chars
+        digit_ratio = n_digit / safe_chars
+        space_ratio = n_space / safe_chars
+        mt = np.array(mean_tok)
+        score = (
+            0.35 * np.clip(alpha_ratio / 0.7, 0, 1)
+            + 0.25 * np.clip(np.array(stop_ratio) / 0.3, 0, 1)
+            + 0.2 * np.clip(1 - digit_ratio * 4, 0, 1)
+            + 0.2 * np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "alpha_ratio": alpha_ratio,
+                "digit_ratio": digit_ratio,
+                "space_ratio": space_ratio,
+                "mean_token_len": mean_tok,
+                "stopword_ratio": stop_ratio,
+                "quality_score": score,
+            }
+        )
+
+
+FP_WINDOW = 8
+FP_KEEP = 4
+_FP_BASE = np.uint64(1099511628211)
+
+
+def fingerprint(text: str) -> int:
+    """Deterministic 64-bit document fingerprint: min-sampled rolling
+    polynomial hashes of FP_WINDOW-byte windows, xor-folded. Near-identical
+    prefixes/suffixes yield overlapping window sets, so small edits change
+    few of the sampled minima (winnowing-style robustness)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(data) < FP_WINDOW:
+        data = np.pad(data, (0, FP_WINDOW - len(data)), constant_values=0)
+    n = len(data) - FP_WINDOW + 1
+    h = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(FP_WINDOW):  # FP_WINDOW=8 vectorized passes
+            h = h * _FP_BASE + data[i : i + n]
+    k = min(FP_KEEP, len(h))
+    mins = np.sort(np.unique(h))[:k]
+    out = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for i, m in enumerate(mins):
+            out ^= m * _FP_BASE ** np.uint64(i + 1)
+    return int(out)
+
+
+class Fingerprinter:
+    """(doc_id, text) -> (doc_id, fp:int64)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = batch["text"].map(lambda t: fingerprint(t) & 0x7FFFFFFFFFFFFFFF)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fps.astype("int64")})
+
+
+def text_stats_pipeline(
+    docs: "ray.data.Dataset", stage: str = "quality", concurrency=(1, 8), batch_size: int = 1024
+) -> "ray.data.Dataset":
+    cls = {
+        "tokens": TokenCounter,
+        "langid": LangId,
+        "quality": QualityScorer,
+        "fingerprint": Fingerprinter,
+    }[stage]
+    return docs.map_batches(
+        cls, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
+    )

@@ -1,0 +1,191 @@
+"""Training-data operator tests: text stats, dedup family, similarity
+search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphlite_ray.stages.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    jaccard,
+    minhash_dedup,
+    simhash_dedup,
+)
+from graphlite_ray.stages.similarity import build_ivf, knn_bruteforce, knn_ivf
+from graphlite_ray.stages.textstats import (
+    Fingerprinter,
+    LangId,
+    QualityScorer,
+    TokenCounter,
+    fingerprint,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(rows):
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_token_count_edge_cases():
+    assert token_count("") == 0
+    assert token_count("   ") == 0
+    assert token_count("a b  c\n d") == 4
+
+
+def test_textstats_on_real_documents():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok = docs.map_batches(TokenCounter, batch_format="pandas", concurrency=2).take_all()
+    assert len(tok) == 500 and all(r["n_tokens"] >= 0 for r in tok)
+    q = docs.map_batches(QualityScorer, batch_format="pandas", concurrency=2).take(50)
+    for r in q:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+
+
+def test_langid_heuristic():
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat and it was a good day for all of them"},
+        {"doc_id": 2, "text": "der hund ist nicht mit der katze auf der straße und das ist gut"},
+        {"doc_id": 3, "text": "数据图节点边页面链接分区流排名消息聚合数据图节点"},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = {r["doc_id"]: r["lang_pred"] for r in _docs(rows).map_batches(LangId, batch_format="pandas", concurrency=1).take_all()}
+    assert out == {1: "en", 2: "de", 3: "zh", 4: "und"}
+
+
+def test_fingerprint_deterministic_and_locality():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    assert fingerprint(a) == fingerprint(a)
+    assert fingerprint(a) != fingerprint(a[:-20] + "different ending here")
+    out = _docs([{"doc_id": 1, "text": a}]).map_batches(
+        Fingerprinter, batch_format="pandas", concurrency=1
+    ).take_all()
+    assert out[0]["fp"] == fingerprint(a) & 0x7FFFFFFFFFFFFFFF
+
+
+def test_exact_dedup_planted():
+    rows = [{"doc_id": i, "text": f"unique text {i}"} for i in range(20)]
+    rows += [{"doc_id": 100 + i, "text": "unique text 3"} for i in range(3)]  # dups of 3
+    out = exact_dedup(_docs(rows)).to_pandas()
+    assert len(out) == 20
+    assert 3 in set(out["doc_id"]) and 100 not in set(out["doc_id"])  # min id kept
+
+
+def test_minhash_dedup_planted():
+    base = (
+        "large scale web corpora require careful deduplication because near "
+        "duplicate documents skew language model training distributions badly "
+        "and waste compute on repeated content across many shards of data"
+    )
+    rows = [{"doc_id": i, "text": f"totally distinct document number {i} about topic "
+                                  + " ".join(f"w{i}_{j}" for j in range(30))} for i in range(30)]
+    rows.append({"doc_id": 200, "text": base})
+    rows.append({"doc_id": 201, "text": base.replace("badly", "poorly")})  # near-dup
+    rows.append({"doc_id": 202, "text": base})                              # exact dup
+    res = minhash_dedup(_docs(rows), threshold=0.6)
+    got_pairs = {tuple(sorted((int(a), int(b)))) for a, b in zip(res.pairs["a"], res.pairs["b"])}
+    assert (200, 201) in got_pairs and (200, 202) in got_pairs
+    cl = dict(zip(res.clusters["doc_id"], res.clusters["cluster_rep"]))
+    assert cl[201] == 200 and cl[202] == 200
+    # representatives filter drops non-reps only
+    kept = res.representatives(_docs(rows)).to_pandas()
+    ids = set(kept["doc_id"])
+    assert 200 in ids and 201 not in ids and 202 not in ids and len(ids) == 31
+    # verification is exact jaccard
+    assert jaccard(base, base) == 1.0
+
+
+def test_simhash_dedup_planted():
+    words = [f"tok{i}" for i in range(60)]
+    base = " ".join(words)
+    rows = [{"doc_id": i, "text": " ".join(f"z{i}_{j}" for j in range(40))} for i in range(20)]
+    rows.append({"doc_id": 300, "text": base})
+    rows.append({"doc_id": 301, "text": base})  # identical -> hamming 0
+    res = simhash_dedup(_docs(rows), max_hamming=3)
+    pairs = {tuple(sorted((int(a), int(b)))) for a, b in zip(res.pairs["a"], res.pairs["b"])}
+    assert (300, 301) in pairs
+
+
+def test_embedding_near_dup_planted():
+    rng = np.random.RandomState(0)
+    V = rng.standard_normal((40, 16))
+    V[31] = V[30] + 0.001 * rng.standard_normal(16)  # planted near-dup pair
+    rows = [{"vec_id": i, "embedding": V[i].astype(np.float32)} for i in range(40)]
+    res = embedding_near_dup(_docs(rows), tau=0.99, nbits=6)
+    pairs = {tuple(sorted((int(a), int(b)))) for a, b in zip(res.pairs["a"], res.pairs["b"])}
+    assert (30, 31) in pairs
+
+
+def _knn_oracle(V, ids, Q, k):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Vn @ Qn.T
+    out = {}
+    for q in range(Q.shape[0]):
+        order = sorted(range(len(ids)), key=lambda i: (-S[i, q], ids[i]))[:k]
+        out[q] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_knn_bruteforce_exact():
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    Q = V[:3] + 0.01  # three probe queries
+    got = knn_bruteforce(emb, Q, k=5)
+    oracle = _knn_oracle(V, ids, Q, 5)
+    for q in range(3):
+        g = got[got["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert g == oracle[q]
+
+
+def test_knn_ivf_recall():
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    assigned, C = build_ivf(emb, n_clusters=8, seed=1)
+    Q = V[:4]
+    got = knn_ivf(assigned, C, Q, k=5, nprobe=4)
+    oracle = _knn_oracle(V, ids, Q, 5)
+    hits = total = 0
+    for q in range(4):
+        g = set(got[got["query_id"] == q]["vec_id"].tolist())
+        hits += len(g & set(oracle[q]))
+        total += 5
+    assert hits / total >= 0.6  # approximate path: recall, not exactness
+
+
+def test_multimodal_plumbing():
+    from graphlite_ray.stages.multimodal import (
+        decode_images,
+        featurize_images,
+        sample_audio_frames,
+        synthetic_media_table,
+    )
+
+    media = ray.data.from_pandas(synthetic_media_table(30))
+    imgs = media.filter(lambda r: r["media_type"] == "image")
+
+    out = decode_images(imgs, deterministic_fake=True).take_all()
+    assert len(out) == 10
+    for r in out:
+        assert r["channels"] == 3 and 16 <= r["height"] < 64
+
+    feats = featurize_images(imgs, dim=16, deterministic_fake=True).take_all()
+    assert all(len(r["embedding"]) == 16 for r in feats)
+
+    frames = sample_audio_frames(imgs, deterministic_fake=True).take_all()
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+    # without the fake flag the decode boundary must refuse loudly
+    with pytest.raises(Exception) as ei:
+        decode_images(imgs, deterministic_fake=False).take_all()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
