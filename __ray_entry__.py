@@ -94,7 +94,9 @@ def _q_triangles(sf_dir: str):
     pages, work = _graph_work(sf_dir)
     edges_dir = prepare_edges(pages, work, P=8)
     n = triangle_count(
-        ray.data.read_parquet(edges_dir), work_dir=os.path.join(work, "tri"), B=16
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work_dir=os.path.join(work, "tri"),
+        B=16,
     )
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
@@ -118,20 +120,23 @@ def _q_degrees(sf_dir: str):
     pages, work = _graph_work(sf_dir)
     edges_dir = prepare_edges(pages, work, P=8)
 
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
     def _partial(t: pa.Table) -> pa.Table:
         u, c = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"src": u, "c": c})
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"src": [int(g["src"].iloc[0])], "out_degree": [int(g["c"].sum())]}
-        )
+    def _final_frame(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("src", as_index=False)["c"].sum()
+        return out.rename(columns={"c": "out_degree"})
 
-    return (
-        ray.data.read_parquet(edges_dir)
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby("src")
-        .map_groups(_final, batch_format="pandas")
+    return grouped_map_bucketed(
+        ray.data.read_parquet(edges_dir, columns=["src"]).map_batches(
+            _partial, batch_format="pyarrow"
+        ),
+        ["src"],
+        _final_frame,
+        B=16,
     )
 
 

@@ -99,7 +99,11 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     q["connected_components"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    triangle_count(ray.data.read_parquet(edges_dir), work_dir=f"{work}/tri", B=P)
+    triangle_count(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work_dir=f"{work}/tri",
+        B=P,
+    )
     q["triangles"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -203,6 +203,11 @@ def run_bsp(
         if halted:
             break
 
+    # free actor CPU reservations immediately (state is checkpointed);
+    # otherwise the next pipeline stage contends with zombie reservations
+    for w in workers:
+        ray.kill(w, no_restart=True)
+
     result.final_superstep = ss
     result.halted = halted
     return result

@@ -55,10 +55,14 @@ def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
     if _done(edges_dir):
         return edges_dir
     os.makedirs(edges_dir, exist_ok=True)
+    # ONE extraction pass writes the staging table (src, dst, src_url,
+    # dst_url); every consumer re-reads it with column pruning (edges need
+    # 2 of 4 columns), so extraction cost is paid exactly once.
     pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
     edge_urls = pages.map_batches(extract_links_batch, batch_format="pyarrow")
     with_ids = edge_urls.map_batches(assign_ids_batch, batch_format="pyarrow")
-    with_ids.select_columns(["src", "dst"]).write_parquet(edges_dir)
+    with_ids.write_parquet(edges_dir)
+    staged = ray.data.read_parquet(edges_dir)
 
     # url dictionary, co-partitioned with the graph (vertex_id % P)
     def _pairs(batch: pa.Table) -> pa.Table:
@@ -102,7 +106,7 @@ def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
         return pa.table({"part": [p], "n": [t.num_rows]})
 
     (
-        with_ids.map_batches(_pairs, batch_format="pyarrow")
+        staged.map_batches(_pairs, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_write_shard, batch_format="pyarrow")
         .count()
@@ -117,7 +121,7 @@ def prepare_graph(pages_dir: str, work_dir: str, P: int, symmetrize: bool = Fals
     graph_dir = os.path.join(work_dir, "graph_sym" if symmetrize else "graph")
     if _done(graph_dir):
         return graph_dir
-    edges = ray.data.read_parquet(edges_dir)
+    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"])
     build_graph_shards(edges, P, graph_dir, symmetrize=symmetrize)
     _mark_done(graph_dir)
     return graph_dir

@@ -206,16 +206,21 @@ def q_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def _sess(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        brk = (ts.diff() > gap).sum() + 1
-        return pd.DataFrame(
-            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [int(brk)], "n_events": [len(g)]}
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _sess_frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        brk = g.groupby("user_id")["ts"].diff() > gap
+        out = (
+            g.assign(brk=brk)
+            .groupby("user_id", as_index=False)
+            .agg(n_sessions=("brk", "sum"), n_events=("brk", "size"))
         )
+        out["n_sessions"] = out["n_sessions"].astype("int64") + 1
+        return out
 
     return (
-        ds.groupby("user_id")
-        .map_groups(_sess, batch_format="pandas")
+        grouped_map_bucketed(ds, ["user_id"], _sess_frame, B=16)
         .to_pandas()
         .sort_values("user_id", ignore_index=True)
     )

@@ -33,6 +33,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from graphlite_ray.functions.grouping import grouped_map_bucketed
 from graphlite_ray.pipelines.joins import (
     attach_from_bucketed,
     pair_bucket,
@@ -40,7 +41,7 @@ from graphlite_ray.pipelines.joins import (
 )
 
 
-def _canonical_simple_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+def _canonical_simple_edges(edges: "ray.data.Dataset", B: int = 32) -> "ray.data.Dataset":
     def _canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False)
         d = t["dst"].to_numpy(zero_copy_only=False)
@@ -52,23 +53,118 @@ def _canonical_simple_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         u = np.unique(np.stack([lo, hi], axis=1), axis=0)
         return pa.table({"lo": u[:, 0], "hi": u[:, 1]})
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["lo", "hi"])
 
-    return (
-        edges.map_batches(_canon, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .map_groups(_first, batch_format="pandas")
+    return grouped_map_bucketed(
+        edges.map_batches(_canon, batch_format="pyarrow"), ["lo", "hi"], _dedup, B
     )
 
 
-def triangle_count(edges: "ray.data.Dataset", work_dir: str | None = None, B: int = 32) -> int:
+PAIR_DTYPE = np.dtype([("lo", "<i8"), ("hi", "<i8")])
+
+
+def _triangle_count_broadcast(simple: "ray.data.Dataset") -> int:
+    """Small/medium graphs: degrees and the edge set fit in the object
+    store, so both joins become broadcast lookups — 3 small jobs instead of
+    8 shuffles. Exact membership via a sorted structured (lo, hi) array
+    (no hash-collision risk)."""
+
+    def _ends(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t["lo"].to_numpy(zero_copy_only=False), t["hi"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"vid": u, "deg_part": c})
+
+    deg_pd = (
+        simple.map_batches(_ends, batch_format="pyarrow")
+        .groupby("vid")
+        .sum("deg_part", ignore_nulls=True)
+        .to_pandas()
+    )
+    deg_vids = deg_pd["vid"].to_numpy()
+    deg_vals = deg_pd[deg_pd.columns[1]].to_numpy()
+    order = np.argsort(deg_vids)
+    deg_vids, deg_vals = deg_vids[order], deg_vals[order]
+
+    pair_rows = simple.to_pandas()  # <= broadcast_limit rows by contract
+    epairs = np.empty(len(pair_rows), PAIR_DTYPE)
+    epairs["lo"] = pair_rows["lo"].to_numpy()
+    epairs["hi"] = pair_rows["hi"].to_numpy()
+    epairs.sort(order=["lo", "hi"])
+    e_ref = ray.put(epairs)
+    d_ref = ray.put((deg_vids, deg_vals))
+
+    class _Orient:
+        def __init__(self):
+            self.vids, self.deg = ray.get(d_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lo = t["lo"].to_numpy(zero_copy_only=False)
+            hi = t["hi"].to_numpy(zero_copy_only=False)
+            dlo = self.deg[np.searchsorted(self.vids, lo)]
+            dhi = self.deg[np.searchsorted(self.vids, hi)]
+            lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+            return pa.table(
+                {
+                    "a": np.where(lo_first, lo, hi),
+                    "b": np.where(lo_first, hi, lo),
+                }
+            )
+
+    oriented = simple.map_batches(_Orient, batch_format="pyarrow", concurrency=(1, 8))
+
+    def make_closer():
+        cache = {}
+
+        def _close_frame(g: pd.DataFrame) -> pd.DataFrame:
+            """All sources of one bucket: vectorized per-source wedge
+            enumeration + exact membership against the broadcast edge set."""
+            if "e" not in cache:
+                cache["e"] = ray.get(e_ref)
+            e = cache["e"]
+            arr = g[["a", "b"]].to_numpy()
+            order = np.lexsort((arr[:, 1], arr[:, 0]))
+            a_s, b_s = arr[order, 0], arr[order, 1]
+            starts = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
+            ends = np.concatenate((starts[1:], [len(a_s)]))
+            total = 0
+            for s, t in zip(starts, ends):
+                k = t - s
+                if k < 2:
+                    continue
+                nbrs = b_s[s:t]
+                i, j = np.triu_indices(k, k=1)
+                w = np.empty(len(i), PAIR_DTYPE)
+                w["lo"], w["hi"] = nbrs[i], nbrs[j]
+                pos = np.clip(np.searchsorted(e, w), 0, len(e) - 1)
+                total += int((e[pos] == w).sum())
+            return pd.DataFrame({"n": [total]})
+
+        return _close_frame
+
+    counts = grouped_map_bucketed(oriented, ["a"], make_closer(), B=16)
+    total = counts.sum("n")
+    return int(total if not isinstance(total, dict) else total["sum(n)"])
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    work_dir: str | None = None,
+    B: int = 32,
+    broadcast_limit: int = 2_000_000,
+) -> int:
     """edges (src:int64, dst:int64) -> exact triangle count of the simple
-    undirected graph. `B` = hash-join bucket count (choose ~cluster cores)."""
+    undirected graph. `B` = hash-join bucket count (choose ~cluster cores)
+    for the large-graph bucketed path; graphs with <= `broadcast_limit`
+    distinct edges use the broadcast path."""
     work_dir = work_dir or tempfile.mkdtemp(prefix="glr_tri_")
     os.makedirs(work_dir, exist_ok=True)
 
-    simple = _canonical_simple_edges(edges).materialize()  # reused 3x below
+    simple = _canonical_simple_edges(edges).materialize()  # reused below
+    if simple.count() <= broadcast_limit:
+        return _triangle_count_broadcast(simple)
 
     # degrees over the simple graph
     def _ends(t: pa.Table) -> pa.Table:
@@ -128,15 +224,26 @@ def triangle_count(edges: "ray.data.Dataset", work_dir: str | None = None, B: in
 
     # wedges per oriented source: each triangle appears as exactly one wedge
     # at its (deg, id)-minimum vertex; emit pairs id-canonicalized (lo, hi)
-    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
-        nbrs = np.sort(g["b"].to_numpy())
-        k = len(nbrs)
-        if k < 2:
+    def _wedges_frame(g: pd.DataFrame) -> pd.DataFrame:
+        arr = g[["a", "b"]].to_numpy()
+        order = np.lexsort((arr[:, 1], arr[:, 0]))
+        a_s, b_s = arr[order, 0], arr[order, 1]
+        starts = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
+        ends = np.concatenate((starts[1:], [len(a_s)]))
+        los, his = [], []
+        for s, t in zip(starts, ends):
+            k = t - s
+            if k < 2:
+                continue
+            nbrs = b_s[s:t]
+            i, j = np.triu_indices(k, k=1)
+            los.append(nbrs[i])
+            his.append(nbrs[j])
+        if not los:
             return pd.DataFrame({"lo": np.empty(0, np.int64), "hi": np.empty(0, np.int64)})
-        i, j = np.triu_indices(k, k=1)
-        return pd.DataFrame({"lo": nbrs[i], "hi": nbrs[j]})
+        return pd.DataFrame({"lo": np.concatenate(los), "hi": np.concatenate(his)})
 
-    wedges = oriented.groupby("a").map_groups(_wedges, batch_format="pandas")
+    wedges = grouped_map_bucketed(oriented, ["a"], _wedges_frame, B)
 
     def _tag_wedge(t: pa.Table) -> pa.Table:
         lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)

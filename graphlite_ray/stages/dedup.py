@@ -30,6 +30,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from graphlite_ray.functions.grouping import grouped_map_bucketed
 from graphlite_ray.functions.hashing import hash_strings
 
 MERSENNE61 = np.uint64((1 << 61) - 1)
@@ -44,20 +45,10 @@ def exact_dedup(
     """Keep the min-id row per distinct text. Hash-partitioned shuffle on a
     64-bit content hash; groups verify exact text equality (collisions)."""
 
-    def _hash(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch[text_col].to_pylist()).astype(np.int64) >> 1
-        return batch.append_column("__h", pa.array(h))
-
     def _min_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.sort_values(id_col).groupby(text_col, sort=False).head(1).drop(columns="__h")
-        )
+        return g.sort_values(id_col).groupby(text_col, sort=False).head(1)
 
-    return (
-        docs.map_batches(_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(_min_per_text, batch_format="pandas")
-    )
+    return grouped_map_bucketed(docs, [text_col], _min_per_text, B=64)
 
 
 # ------------------------------------------------------------- shingling
@@ -150,14 +141,27 @@ class MinHashBander:
         )
 
 
-def _pairs_from_groups(g: pd.DataFrame, max_group: int = 200) -> pd.DataFrame:
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-    if len(ids) > max_group:  # pathological bucket: keep bounded work
-        ids = ids[:max_group]
-    i, j = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+def _pairs_from_bucket_frame(
+    g: pd.DataFrame, key_cols: list[str], id_col: str, max_group: int = 200
+) -> pd.DataFrame:
+    """All LSH buckets in one frame -> candidate pairs, vectorized: drop
+    singleton buckets first, then enumerate pairs per surviving bucket."""
+    multi = g[g.duplicated(key_cols, keep=False)]
+    outs_a, outs_b = [], []
+    for _, grp in multi.groupby(key_cols, sort=False):
+        ids = np.unique(grp[id_col].to_numpy())
+        if len(ids) < 2:
+            continue
+        if len(ids) > max_group:  # pathological bucket: keep bounded work
+            ids = ids[:max_group]
+        i, j = np.triu_indices(len(ids), k=1)
+        outs_a.append(ids[i])
+        outs_b.append(ids[j])
+    if not outs_a:
+        return pd.DataFrame(
+            {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+        )
+    return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
 
 
 @dataclass
@@ -220,9 +224,11 @@ def minhash_dedup(
         batch_size=1024,
         concurrency=(1, 8),
     )
-    cand = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(_pairs_from_groups, batch_format="pandas")
+    cand = grouped_map_bucketed(
+        band_rows,
+        ["band", "band_hash"],
+        lambda g: _pairs_from_bucket_frame(g, ["band", "band_hash"], "doc_id"),
+        B=32,
     )
     pairs_df = cand.to_pandas().drop_duplicates(ignore_index=True)
     cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
@@ -320,21 +326,39 @@ def simhash_dedup(docs: "ray.data.Dataset", max_hamming: int = 3) -> DedupResult
             )
         return pd.concat(rows, ignore_index=True)
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []})
-        ids = g["doc_id"].to_numpy()
-        sims = g["sim"].to_numpy()
-        order = np.argsort(ids)
-        ids, sims = ids[order], sims[order]
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j], "ha": sims[i], "hb": sims[j]})
+    def _pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
+        multi = g[g.duplicated(["band", "band_hash"], keep=False)]
+        outs = []
+        for _, grp in multi.groupby(["band", "band_hash"], sort=False):
+            grp = grp.drop_duplicates("doc_id")
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            sims = grp["sim"].to_numpy()
+            order = np.argsort(ids)
+            ids, sims = ids[order], sims[order]
+            i, j = np.triu_indices(len(ids), k=1)
+            outs.append(
+                pd.DataFrame({"a": ids[i], "b": ids[j], "ha": sims[i], "hb": sims[j]})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": np.empty(0, np.int64),
+                    "b": np.empty(0, np.int64),
+                    "ha": np.empty(0, np.int64),
+                    "hb": np.empty(0, np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
 
     cand = (
-        sh.map_batches(_bands, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(_pairs, batch_format="pandas")
+        grouped_map_bucketed(
+            sh.map_batches(_bands, batch_format="pandas"),
+            ["band", "band_hash"],
+            _pairs_frame,
+            B=32,
+        )
         .to_pandas()
         .drop_duplicates(["a", "b"], ignore_index=True)
     )
@@ -397,20 +421,34 @@ def embedding_near_dup(
         concurrency=(1, 8),
     )
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "score": []})
-        ids = g["vec_id"].to_numpy()
-        V = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        S = V @ V.T
-        i, j = np.triu_indices(len(ids), k=1)
-        keep = S[i, j] >= tau
-        return pd.DataFrame(
-            {"a": ids[i][keep], "b": ids[j][keep], "score": S[i, j][keep]}
-        )
+    def _pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            V = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            S = V @ V.T
+            i, j = np.triu_indices(len(ids), k=1)
+            keep = S[i, j] >= tau
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"a": ids[i][keep], "b": ids[j][keep], "score": S[i, j][keep]}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": np.empty(0, np.int64),
+                    "b": np.empty(0, np.int64),
+                    "score": np.empty(0, np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
 
-    dups = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas").to_pandas()
+    dups = grouped_map_bucketed(bucketed, ["bucket"], _pairs_frame, B=16).to_pandas()
     if not {"a", "b"} <= set(dups.columns) or not len(dups):
         dups = pd.DataFrame(
             {

@@ -88,13 +88,16 @@ def build_url_map(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
 
-    return (
-        edge_urls.map_batches(_pairs, batch_format="pyarrow")
-        .groupby("vertex_id")
-        .map_groups(_first, batch_format="pyarrow")
+    def _first_frame(g):
+        return g.drop_duplicates("vertex_id")
+
+    return grouped_map_bucketed(
+        edge_urls.map_batches(_pairs, batch_format="pyarrow"),
+        ["vertex_id"],
+        _first_frame,
+        B=32,
     )
 
 
@@ -102,12 +105,13 @@ def id_collision_check(url_map: "ray.data.Dataset") -> int:
     """Number of vertex ids claimed by >1 distinct url (must be 0; at
     10^12-url scale remediate by salting — functions/hashing.py)."""
 
-    def _dups(group: pa.Table) -> pa.Table:
-        n = len(set(group["url"].to_pylist()))
-        if n > 1:
-            return group.slice(0, 1).select(["vertex_id"])
-        return group.slice(0, 0).select(["vertex_id"])
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
 
-    return (
-        url_map.groupby("vertex_id").map_groups(_dups, batch_format="pyarrow").count()
-    )
+    def _dups_frame(g):
+        nun = g.groupby("vertex_id")["url"].nunique()
+        bad = nun[nun > 1].index.to_numpy()
+        import pandas as pd
+
+        return pd.DataFrame({"vertex_id": bad})
+
+    return grouped_map_bucketed(url_map, ["vertex_id"], _dups_frame, B=16).count()

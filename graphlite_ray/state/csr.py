@@ -68,57 +68,54 @@ def build_graph_shards(
     """
     os.makedirs(graph_dir, exist_ok=True)
 
-    if symmetrize:
-        def _sym(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "src": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()]),
-                    "dst": pa.concat_arrays([t["dst"].combine_chunks(), t["src"].combine_chunks()]),
-                }
-            )
+    def _combined_rows(t: pa.Table) -> pa.Table:
+        """Tag edge rows (kind=0, keyed src % P) and per-batch-deduped
+        vertex rows (kind=1, keyed vid % P) so ONE shuffle co-locates a
+        partition's edges and its vertex universe."""
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        if symmetrize:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        vids = np.unique(np.concatenate([src, dst]))
+        a = np.concatenate([src, vids])
+        b = np.concatenate([dst, np.zeros(len(vids), np.int64)])
+        kind = np.concatenate(
+            [np.zeros(len(src), np.int8), np.ones(len(vids), np.int8)]
+        )
+        return pa.table(
+            {"part": a % np.int64(P), "kind": kind, "a": a, "b": b}
+        )
 
-        edges = edges.map_batches(_sym, batch_format="pyarrow")
-
-    def _with_part(t: pa.Table) -> pa.Table:
-        part = pc.cast(np.remainder(t["src"].to_numpy(zero_copy_only=False), P), pa.int64())
-        return t.append_column("part", pa.array(part))
-
-    def _write_edge_shard(g: pa.Table) -> pa.Table:
+    def _write_shard(g: pa.Table) -> pa.Table:
         p = int(g["part"][0].as_py())
-        g = g.select(["src", "dst"]).sort_by("src")
-        _atomic_write_table(g, os.path.join(graph_dir, f"edges_p{p}.parquet"))
-        return pa.table({"part": [p], "n_edges": [g.num_rows]})
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        emask = kind == 0
+        src, dst = a[emask], b[emask]
+        order = np.argsort(src, kind="stable")
+        _atomic_write_table(
+            pa.table({"src": src[order], "dst": dst[order]}),
+            os.path.join(graph_dir, f"edges_p{p}.parquet"),
+        )
+        vids = np.unique(a[~emask])
+        _atomic_write_table(
+            pa.table({"vid": vids}), os.path.join(graph_dir, f"verts_p{p}.parquet")
+        )
+        return pa.table({"part": [p], "n_edges": [len(src)], "n_vertices": [len(vids)]})
 
-    edge_stats = (
-        edges.map_batches(_with_part, batch_format="pyarrow")
+    stats = (
+        edges.map_batches(_combined_rows, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(_write_edge_shard, batch_format="pyarrow")
-        .take_all()
-    )
-
-    def _vertex_rows(t: pa.Table) -> pa.Table:
-        vid = pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()])
-        arr = np.unique(vid.to_numpy(zero_copy_only=False))  # per-batch pre-dedup
-        return pa.table({"vid": arr, "part": arr % np.int64(P)})
-
-    def _write_vert_shard(g: pa.Table) -> pa.Table:
-        p = int(g["part"][0].as_py())
-        vids = np.unique(g["vid"].to_numpy(zero_copy_only=False))
-        _atomic_write_table(pa.table({"vid": vids}), os.path.join(graph_dir, f"verts_p{p}.parquet"))
-        return pa.table({"part": [p], "n_vertices": [len(vids)]})
-
-    vert_stats = (
-        edges.map_batches(_vertex_rows, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(_write_vert_shard, batch_format="pyarrow")
+        .map_groups(_write_shard, batch_format="pyarrow")
         .take_all()
     )
 
     meta = {
         "P": P,
         "symmetrized": symmetrize,
-        "n_edges": int(sum(r["n_edges"] for r in edge_stats)),
-        "n_vertices": int(sum(r["n_vertices"] for r in vert_stats)),
+        "n_edges": int(sum(r["n_edges"] for r in stats)),
+        "n_vertices": int(sum(r["n_vertices"] for r in stats)),
     }
     tmp = os.path.join(graph_dir, "meta.json.tmp")
     with open(tmp, "w") as f:

@@ -39,3 +39,14 @@ def test_triangle_random_matches_oracle(tmp_path, n, m, seed):
     src, dst = random_digraph(n, m, seed, with_dangling=False)
     got = triangle_count(_ds(src, dst), work_dir=str(tmp_path), B=8)
     assert got == tri_oracle(src, dst)
+
+
+def test_triangle_bucketed_path_matches_broadcast(tmp_path):
+    """Force the large-graph bucketed join path (broadcast_limit=0) and
+    check it agrees with the oracle + the broadcast path."""
+    src, dst = random_digraph(60, 400, seed=8, with_dangling=False)
+    bc = triangle_count(_ds(src, dst), work_dir=str(tmp_path / "a"), B=8)
+    bk = triangle_count(
+        _ds(src, dst), work_dir=str(tmp_path / "b"), B=8, broadcast_limit=0
+    )
+    assert bc == bk == tri_oracle(src, dst)
