@@ -141,22 +141,23 @@ def run_bsp(
         start_ss = restore_from["superstep"] + 1
         use_restored = True
 
-    msgs: list[list] = [[None] * P for _ in range(P)]
+    # msgs[i] = ref of producer i's grouped message object (dict dest->block)
+    msgs: list = [None] * P
     halted = False
     ss = start_ss - 1
     for ss in range(start_ss, max_supersteps):
         t0 = time.perf_counter()
         refs = []
         for j, w in enumerate(workers):
-            incoming = [None] * P if use_restored else [msgs[i][j] for i in range(P)]
+            incoming = [None] * P if use_restored else msgs
             refs.append(
-                w.step.options(num_returns=1 + P).remote(
+                w.step.options(num_returns=2).remote(
                     ss, aggr_global, *incoming, use_restored=use_restored
                 )
             )
         use_restored = False
         metas = ray.get([r[0] for r in refs])
-        msgs = [[refs[i][1 + j] for j in range(P)] for i in range(P)]
+        msgs = [refs[i][1] for i in range(P)]
 
         totals = {
             k: int(sum(m[k] for m in metas))

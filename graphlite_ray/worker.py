@@ -18,11 +18,18 @@ build, output) remain Ray Data pipelines (SURVEY.md §7.4 point 1).
 Message blocks between partitions are numpy-array tuples:
     combiner "sum"/"min":   (dst_global:int64, val)
     combiner "sum_by_key":  (dst_global:int64, key:int64, cnt:int64)
-They travel through the Ray object store as separate return objects
-(`num_returns = 1 + P`), so the driver routes block refs without ever
-fetching payloads — the analog of the reference's WW_NODEMSGLIST worker-to-
-worker traffic (`engine/WW.nodemsg_list.proto`) with the master (driver)
-seeing only control metadata, as in the reference (`SURVEY.md §3.1 step 6`).
+
+Routing: each producer returns ONE grouped message object per superstep — a
+dict {dest_partition: block} — and the driver hands every destination the
+refs of all P producer objects (never fetching payloads itself, like the
+reference master, SURVEY.md §3.1 step 6). A destination reads its entry
+from each producer object; on a single node these reads are ZERO-COPY
+plasma views, so the object-store does P object creations per superstep
+instead of P^2 (P^2 small objects measurably serialize on the store lock
+and destroy scaling). On a multi-node cluster the per-dest-object layout
+(P^2 objects, each shipped to exactly one node) would minimize network
+bytes instead — that switch is a routing-layer change only; block format
+and combine semantics are identical.
 """
 
 from __future__ import annotations
@@ -94,7 +101,7 @@ class PartitionWorker:
         self.values = program.init_values(self.shard)
         self.active = np.ones(self.shard.n, bool)
         self._restored_incoming: list[tuple] | None = None
-        self.last_out: list[tuple | None] = [None] * P
+        self.last_out: dict[int, tuple] = {}
 
     def ready(self) -> int:
         return self.shard.n
@@ -103,11 +110,18 @@ class PartitionWorker:
 
     def step(self, superstep: int, aggr_global: dict, *incoming, use_restored: bool = False):
         t0 = time.perf_counter()
-        blocks = (
-            self._restored_incoming
-            if use_restored
-            else [b for b in incoming if b is not None and len(b[0])]
-        )
+        if use_restored:
+            blocks = self._restored_incoming or []
+        else:
+            # incoming = P grouped producer objects (zero-copy plasma views);
+            # pick this partition's entry from each
+            blocks = []
+            for g in incoming:
+                if not g:
+                    continue
+                b = g.get(self.part_id)
+                if b is not None and len(b[0]):
+                    blocks.append(b)
         self._restored_incoming = None
         combiner = self.program.combiner
 
@@ -125,9 +139,18 @@ class PartitionWorker:
                 i2, k2, c2 = combine_sum_by_key(idx, key, cnt)
                 inbox = Inbox(idx=i2, val=c2, key=k2)
                 self.active[np.unique(i2)] = True
+            elif combiner == "sum":
+                # local indices are dense [0, n): O(rows) bincount beats the
+                # sort-based combine for the delivery-side reduction
+                val = np.concatenate([b[1] for b in blocks])
+                sums = np.bincount(idx, weights=val, minlength=self.shard.n)
+                hit = np.bincount(idx, minlength=self.shard.n) > 0
+                i2 = np.flatnonzero(hit)
+                inbox = Inbox(idx=i2, val=sums[i2])
+                self.active[i2] = True
             else:
                 val = np.concatenate([b[1] for b in blocks])
-                i2, v2 = combine_sum(idx, val) if combiner == "sum" else combine_min(idx, val)
+                i2, v2 = combine_min(idx, val)
                 inbox = Inbox(idx=i2, val=v2)
                 self.active[i2] = True
 
@@ -147,7 +170,7 @@ class PartitionWorker:
         # 3. producer-side combine + split by destination partition
         #    (reference routing `engine/Node.cc:103-137`; combining is our
         #    addition, legal per SURVEY.md §2.12, vital for hub skew §4)
-        blocks_out: list[tuple | None] = [None] * self.P
+        blocks_out: dict[int, tuple] = {}
         if out.out_dst is not None and len(out.out_dst):
             if combiner == "sum_by_key":
                 d, k, c = combine_sum_by_key(out.out_dst, out.out_key, out.out_val)
@@ -175,7 +198,7 @@ class PartitionWorker:
             "aggr": dict(out.aggr),
             "wall_s": time.perf_counter() - t0,
         }
-        return (meta, *blocks_out)
+        return meta, (blocks_out or None)
 
     # -- checkpoint / restore (north rule; reference has none — SURVEY.md §4)
 
@@ -191,7 +214,7 @@ class PartitionWorker:
         )
         _atomic(vt, os.path.join(d, f"values_p{self.part_id}.parquet"))
         n_msg_rows = 0
-        for j, b in enumerate(self.last_out):
+        for j, b in self.last_out.items():
             path = os.path.join(d, f"msgs_s{self.part_id}_d{j}.parquet")
             if b is None:
                 continue
