@@ -61,7 +61,10 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_pages = int(os.environ.get("GLR_BENCH_PAGES", _PAGES_FOR_SF.get(sf_name, 20000)))
-    P = max(8, min(64, num_cpus))
+    # partitions sized to the DATA (~2.5k pages per shard min), capped by
+    # the cpu budget: P scales with corpus size on a real cluster, not with
+    # whatever cores this job got — tiny shards pay pure RPC overhead
+    P = max(4, min(num_cpus, n_pages // 2500))
 
     pages = pages_path(n_pages, seed=42)  # cached: generation cost excluded
     # warm the page cache with one untimed read so we measure compute+shuffle
@@ -102,7 +105,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     triangle_count(
         ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
         work_dir=f"{work}/tri",
-        B=P,
+        B=num_cpus,  # shuffle buckets scale with compute, unlike BSP P
     )
     q["triangles"] = time.perf_counter() - t0
 

@@ -103,7 +103,39 @@ def run_bsp(
     the latest complete manifest: values + active mask + in-flight messages
     are reloaded per partition and the loop continues at the next superstep,
     bit-identical to an uninterrupted run (tested).
+
+    Fault tolerance: an actor death mid-superstep (node loss analog) is
+    caught, all actors are recreated, and the run continues from the latest
+    complete checkpoint (or superstep 0 if none — set ``ckpt_every`` to
+    bound re-work), up to ``actor_restarts`` times. The reference hangs or
+    dies in this case (SURVEY.md §4 retries row).
     """
+    actor_restarts = 2
+    attempt = 0
+    while True:
+        try:
+            return _run_bsp_attempt(
+                program,
+                graph_dir,
+                ckpt_dir,
+                max_supersteps=max_supersteps,
+                ckpt_every=ckpt_every,
+                resume=resume or attempt > 0,
+            )
+        except ray.exceptions.RayActorError:
+            attempt += 1
+            if attempt > actor_restarts:
+                raise
+
+
+def _run_bsp_attempt(
+    program: VertexProgram,
+    graph_dir: str,
+    ckpt_dir: str,
+    max_supersteps: int,
+    ckpt_every: int,
+    resume: bool,
+) -> BSPResult:
     meta = load_graph_meta(graph_dir)
     P = int(meta["P"])
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -135,6 +167,23 @@ def run_bsp(
     ]
     ray.get([w.ready.remote() for w in workers])  # surface load errors early
 
+    try:
+        return _superstep_loop(
+            program, workers, meta, specs, aggr_global, start_ss, use_restored,
+            restore_from, max_supersteps, ckpt_every, ckpt_dir, graph_dir, result,
+        )
+    finally:
+        # free actor CPU reservations (state is checkpointed); also runs on
+        # actor-death so a retry starts with a clean slate
+        for w in workers:
+            ray.kill(w, no_restart=True)
+
+
+def _superstep_loop(
+    program, workers, meta, specs, aggr_global, start_ss, use_restored,
+    restore_from, max_supersteps, ckpt_every, ckpt_dir, graph_dir, result,
+) -> BSPResult:
+    P = len(workers)
     if restore_from is not None:
         ray.get([w.restore.remote(restore_from["superstep"], ckpt_dir) for w in workers])
         aggr_global = restore_from["aggr_global"]
@@ -203,11 +252,6 @@ def run_bsp(
 
         if halted:
             break
-
-    # free actor CPU reservations immediately (state is checkpointed);
-    # otherwise the next pipeline stage contends with zombie reservations
-    for w in workers:
-        ray.kill(w, no_restart=True)
 
     result.final_superstep = ss
     result.halted = halted
