@@ -295,6 +295,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_windows": lambda sf: _round_cols(R.q_hourly_windows(sf), {"sum_value": 4}),
         "sessions": lambda sf: R.q_sessions(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
+        "customers_without_orders": lambda sf: R.q_customers_without_orders(sf),
+        "orders_by_priority": lambda sf: _round_cols(
+            R.q_orders_by_priority(sf), {"total_price": 2, "avg_price": 6}
+        ),
+        "join_revenue_by_segment": lambda sf: _round_cols(
+            R.q_native_join_revenue(sf), {"revenue": 2}
+        ),
         # training-data operators over documents/embeddings
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_tokens,
@@ -361,6 +368,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_name AS name, 'customer' AS side FROM customer "
             "UNION ALL SELECT s_name AS name, 'supplier' AS side FROM supplier"
             ") GROUP BY side ORDER BY side"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') "
+            "ORDER BY c_custkey"
+        ),
+        "orders_by_priority": (
+            "SELECT o_orderpriority, ROUND(sum(o_totalprice), 2) AS total_price, "
+            "ROUND(avg(o_totalprice), 6) AS avg_price, count(*) AS n_orders "
+            "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "join_revenue_by_segment": (
+            "SELECT c_mktsegment, ROUND(sum(o_totalprice), 2) AS revenue, "
+            "count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"

@@ -226,6 +226,93 @@ def q_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     )
 
 
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join via broadcast key set (semi/anti-join operator family):
+    customers with no finalized ('F') order — the key set is broadcast once
+    and each batch filters against it, no shuffle."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    keys = set(
+        orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))).select(
+                ["o_custkey"]
+            ),
+            batch_format="pyarrow",
+        ).unique("o_custkey")
+    )
+    ref = ray.put(keys)
+
+    class _Anti:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch["c_custkey"].isin(self.keys)]
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(_Anti, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    if "c_custkey" not in out.columns:  # empty result loses the schema
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"), "c_name": pd.Series([], dtype="str")}
+        )
+    return out.sort_values("c_custkey", ignore_index=True)
+
+
+def q_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Native Ray Data groupby().aggregate() path (Sum/Mean/Count)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = (
+        ds.groupby("o_orderpriority")
+        .aggregate(
+            Sum("o_totalprice", alias_name="total_price"),
+            Mean("o_totalprice", alias_name="avg_price"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("o_orderpriority", ignore_index=True)
+
+
+def q_native_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Ray Data's native hash join (Dataset.join), when this version ships
+    it — falls back to the broadcast join otherwise."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    if hasattr(orders, "join"):
+        try:
+            joined = orders.join(
+                cust, join_type="inner", num_partitions=8,
+                on=("o_custkey",), right_on=("c_custkey",),
+            )
+            df = joined.to_pandas()
+        except Exception:
+            df = None
+    else:
+        df = None
+    if df is None:
+        dim = cust.to_pandas()
+        ref = ray.put(dim)
+
+        class _J:
+            def __init__(self):
+                self.dim = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                return b.merge(self.dim, left_on="o_custkey", right_on="c_custkey")
+
+        df = orders.map_batches(_J, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = (
+        df.groupby("c_mktsegment", as_index=False)
+        .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment", ignore_index=True)
+
+
 def q_union_counts(sf_dir: str) -> pd.DataFrame:
     """Union of two sources + group count."""
     c = _read(sf_dir, "customer", ["c_name"]).map_batches(
