@@ -208,6 +208,19 @@ def _q_doc_minhash(sf_dir: str):
     return cl
 
 
+def _q_doc_ngram_jaccard(sf_dir: str):
+    import ray.data
+
+    from graphlite_ray.stages.dedup import ngram_jaccard_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    res = ngram_jaccard_dedup(docs, threshold=0.5)
+    out = res.pairs[["a", "b"]].sort_values(["a", "b"], ignore_index=True)
+    if not len(out):
+        out = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    return out
+
+
 def _q_doc_simhash(sf_dir: str):
     import ray.data
 
@@ -293,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": lambda sf: R.q_topk_orders(sf),
         "distinct_users": lambda sf: R.q_distinct_users(sf),
         "hourly_windows": lambda sf: _round_cols(R.q_hourly_windows(sf), {"sum_value": 4}),
+        "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
         "sessions": lambda sf: R.q_sessions(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
         "customers_without_orders": lambda sf: R.q_customers_without_orders(sf),
@@ -309,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_minhash_dedup": _q_doc_minhash,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_simhash_pairs": _q_doc_simhash,
         "emb_knn": _q_emb_knn,
         "emb_near_dup": _q_emb_near_dup,
@@ -355,6 +370,14 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, ROUND(sum(value), 4) AS sum_value "
             "FROM events GROUP BY event_type, date_trunc('hour', ts) "
             "ORDER BY event_type, window_start"
+        ),
+        "sliding_windows": (
+            "SELECT event_type, window_start, count(*) AS n_events, "
+            "ROUND(sum(value), 4) AS sum_value FROM ("
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, value FROM events "
+            "UNION ALL "
+            "SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events"
+            ") GROUP BY event_type, window_start ORDER BY event_type, window_start"
         ),
         "sessions": (
             "WITH gaps AS (SELECT user_id, ts, "

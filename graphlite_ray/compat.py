@@ -63,6 +63,14 @@ class VertexView:
     def getOutEdgeCount(self) -> int:
         return int(self._shard.out_deg[self._i])
 
+    def out_edge_values(self) -> np.ndarray | None:
+        """OutEdgeIterator.getValue() analog: this vertex's per-edge
+        weights (None on unweighted graphs)."""
+        if self._shard.edge_weights is None:
+            return None
+        s, e = self._shard.indptr[self._i], self._shard.indptr[self._i + 1]
+        return self._shard.edge_weights[s:e]
+
     def sendMessageTo(self, dst: int, value) -> None:
         self._prog._out_dst.append(dst)
         self._prog._out_val.append(value)

@@ -162,18 +162,22 @@ def run_on_edges(
     max_supersteps: int = 200,
     ckpt_every: int = 0,
     resume: bool = False,
+    weights: np.ndarray | None = None,
     **program_kwargs,
 ) -> BSPResult:
     """Run a program directly on an integer edge list (the reference's own
-    input boundary — used by fixtures, oracle tests and benchmarks)."""
+    input boundary — used by fixtures, oracle tests and benchmarks).
+    Optional per-edge `weights` carry into the CSR shards (reference edge
+    values)."""
     program = (
         BUILTIN_PROGRAMS[algo](**program_kwargs) if isinstance(algo, str) else algo
     )
     graph_dir = os.path.join(work_dir, "graph_sym" if program.symmetrize else "graph")
     if not _done(graph_dir):
-        edges = ray.data.from_arrow(
-            pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
-        )
+        cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        if weights is not None:
+            cols["weight"] = pa.array(np.asarray(weights, np.float64))
+        edges = ray.data.from_arrow(pa.table(cols))
         build_graph_shards(edges, P, graph_dir, symmetrize=program.symmetrize)
         _mark_done(graph_dir)
     ckpt_dir = os.path.join(work_dir, f"ckpt_{program.name}")

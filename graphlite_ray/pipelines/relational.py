@@ -198,6 +198,41 @@ def q_hourly_windows(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Sliding event-time window (2h size, 1h slide): each event belongs to
+    two windows — emitted as two rows per event (flat expansion), then the
+    usual partial+final aggregate."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _expand(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        h = df["ts"].dt.floor("h")
+        a = df.assign(window_start=h)
+        b = df.assign(window_start=h - pd.Timedelta(hours=1))
+        both = pd.concat([a, b], ignore_index=True)
+        return both.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n_events": [int(g["n_events"].sum())],
+                "sum_value": [g["sum_value"].sum()],
+            }
+        )
+
+    return (
+        ds.map_batches(_expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+
+
 def q_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization: per-user event stream split on >gap inactivity.
     Shuffle by user, per-group sort by ts + vectorized gap scan — the

@@ -183,6 +183,46 @@ class PageRank(VertexProgram):
         return out
 
 
+class WeightedPageRank(PageRank):
+    """PageRank over weighted edges — exercises the reference's per-edge
+    value payload (`Edge.weight`, `include/Node.h:46-54`; read via
+    `OutEdgeIterator.getValue()`, `include/Vertex.h:208-218`). Each sender
+    distributes `val * w_e / W_i` along edge e, where W_i is its total
+    outgoing weight; unweighted graphs (all w=1) reduce to PageRank."""
+
+    name = "weighted_pagerank"
+
+    def compute(self, ctx, shard, values, active, inbox):
+        if shard.edge_weights is None:
+            return super().compute(ctx, shard, values, active, inbox)
+        mask = active
+        out = ComputeOut(aggr={"delta": 0.0})
+        if ctx.superstep == 0:
+            values[mask] = 1.0
+        else:
+            if ctx.superstep >= 2 and ctx.aggr_global["delta"] < self.eps:
+                out.halted = mask.copy()
+                return out
+            sums = np.zeros(shard.n, np.float64)
+            if not inbox.empty:
+                sums[inbox.idx] = inbox.val
+            new = 0.15 + 0.85 * sums
+            out.aggr["delta"] = float(np.abs(values[mask] - new[mask]).sum())
+            values[mask] = new[mask]
+        w_total = np.zeros(shard.n, np.float64)
+        np.add.at(w_total, shard.edge_src_local, shard.edge_weights)
+        per_vertex = np.divide(
+            values, w_total, out=np.zeros(shard.n), where=w_total > 0
+        )
+        emask = mask[shard.edge_src_local]
+        out.out_dst = shard.indices[emask]
+        out.out_val = (
+            per_vertex[shard.edge_src_local] * shard.edge_weights
+        )[emask]
+        out.sent = len(out.out_dst)
+        return out
+
+
 class ConnectedComponents(VertexProgram):
     """Weakly-connected components by min-label flood (our documented spec —
     the reference ships no CC program; SURVEY.md §7.1 step 7). Exact:
@@ -271,6 +311,7 @@ class LabelPropagation(VertexProgram):
 
 BUILTIN_PROGRAMS = {
     "pagerank": PageRank,
+    "weighted_pagerank": WeightedPageRank,
     "connected_components": ConnectedComponents,
     "label_propagation": LabelPropagation,
 }

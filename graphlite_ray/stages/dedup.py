@@ -265,6 +265,23 @@ def minhash_dedup(
     return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=len(pairs_df))
 
 
+def ngram_jaccard_dedup(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DedupResult:
+    """n-gram (word k-shingle) Jaccard near-dedup: MinHash banding is the
+    candidate generator (recall knob: num_perm/bands), the decision is the
+    EXACT n-gram Jaccard score — `pairs.score` is true Jaccard, so any
+    threshold is exact over the candidate set. Higher-resolution banding
+    than `minhash_dedup` to keep recall at lower thresholds."""
+    return minhash_dedup(
+        docs, threshold=threshold, num_perm=num_perm, bands=bands, k=k
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 

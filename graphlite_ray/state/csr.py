@@ -68,23 +68,33 @@ def build_graph_shards(
     """
     os.makedirs(graph_dir, exist_ok=True)
 
+    has_weight = "weight" in (edges.schema().names or [])
+
     def _combined_rows(t: pa.Table) -> pa.Table:
         """Tag edge rows (kind=0, keyed src % P) and per-batch-deduped
         vertex rows (kind=1, keyed vid % P) so ONE shuffle co-locates a
         partition's edges and its vertex universe."""
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = (
+            t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if has_weight
+            else None
+        )
         if symmetrize:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            if w is not None:
+                w = np.concatenate([w, w])
         vids = np.unique(np.concatenate([src, dst]))
         a = np.concatenate([src, vids])
         b = np.concatenate([dst, np.zeros(len(vids), np.int64)])
         kind = np.concatenate(
             [np.zeros(len(src), np.int8), np.ones(len(vids), np.int8)]
         )
-        return pa.table(
-            {"part": a % np.int64(P), "kind": kind, "a": a, "b": b}
-        )
+        cols = {"part": a % np.int64(P), "kind": kind, "a": a, "b": b}
+        if w is not None:
+            cols["w"] = np.concatenate([w, np.zeros(len(vids))])
+        return pa.table(cols)
 
     def _write_shard(g: pa.Table) -> pa.Table:
         p = int(g["part"][0].as_py())
@@ -94,9 +104,11 @@ def build_graph_shards(
         emask = kind == 0
         src, dst = a[emask], b[emask]
         order = np.argsort(src, kind="stable")
+        ecols = {"src": src[order], "dst": dst[order]}
+        if has_weight:
+            ecols["weight"] = g["w"].to_numpy(zero_copy_only=False)[emask][order]
         _atomic_write_table(
-            pa.table({"src": src[order], "dst": dst[order]}),
-            os.path.join(graph_dir, f"edges_p{p}.parquet"),
+            pa.table(ecols), os.path.join(graph_dir, f"edges_p{p}.parquet")
         )
         vids = np.unique(a[~emask])
         _atomic_write_table(
@@ -140,6 +152,9 @@ class CSRShard:
     indices: np.ndarray    # int64, global dst ids, grouped by src
     out_deg: np.ndarray    # int64, len n
     edge_src_local: np.ndarray  # int32/int64, len nnz: local row of each edge
+    # optional per-edge value, aligned with `indices` — the analog of the
+    # reference's `Edge.weight` flexible payload (`include/Node.h:46-54`)
+    edge_weights: np.ndarray | None = None
 
     @property
     def n(self) -> int:
@@ -161,10 +176,13 @@ class CSRShard:
             vids = pq.read_table(vpath)["vid"].to_numpy(zero_copy_only=False)
         else:  # empty partition
             vids = np.empty(0, np.int64)
+        weights = None
         if os.path.exists(epath):
             et = pq.read_table(epath)
             e_src = et["src"].to_numpy(zero_copy_only=False)
             indices = et["dst"].to_numpy(zero_copy_only=False)
+            if "weight" in et.column_names:
+                weights = et["weight"].to_numpy(zero_copy_only=False)
         else:
             e_src = np.empty(0, np.int64)
             indices = np.empty(0, np.int64)
@@ -182,4 +200,5 @@ class CSRShard:
             indices=indices,
             out_deg=counts.astype(np.int64),
             edge_src_local=edge_src_local,
+            edge_weights=weights,
         )
