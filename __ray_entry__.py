@@ -21,12 +21,18 @@ counts are bit-exact and left unrounded.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+# the driver may import this module from any cwd; the package lives beside it
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 # the synthetic page-table scale used for graph pipelines per sf dir
 _PAGES_FOR_SF = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 20000}

@@ -172,7 +172,16 @@ def run_on_edges(
     program = (
         BUILTIN_PROGRAMS[algo](**program_kwargs) if isinstance(algo, str) else algo
     )
-    graph_dir = os.path.join(work_dir, "graph_sym" if program.symmetrize else "graph")
+    # weighted graphs get their own shard dir keyed by a weights fingerprint,
+    # so a cached unweighted/differently-weighted build is never silently
+    # reused (the _done() marker would otherwise skip the rebuild)
+    suffix = "graph_sym" if program.symmetrize else "graph"
+    if weights is not None:
+        import hashlib
+
+        w64 = np.asarray(weights, np.float64)
+        suffix += "_w" + hashlib.blake2b(w64.tobytes(), digest_size=6).hexdigest()
+    graph_dir = os.path.join(work_dir, suffix)
     if not _done(graph_dir):
         cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
         if weights is not None:

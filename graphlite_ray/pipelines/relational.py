@@ -206,13 +206,17 @@ def q_sliding_windows(sf_dir: str) -> pd.DataFrame:
 
     def _expand(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        h = df["ts"].dt.floor("h")
-        a = df.assign(window_start=h)
-        b = df.assign(window_start=h - pd.Timedelta(hours=1))
-        both = pd.concat([a, b], ignore_index=True)
-        return both.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+        # aggregate per hour bucket FIRST, then emit each partial row under
+        # both covering windows — no duplication of raw event rows
+        hourly = (
+            df.assign(hour=df["ts"].dt.floor("h"))
+            .groupby(["event_type", "hour"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
         )
+        a = hourly.rename(columns={"hour": "window_start"})
+        b = a.copy()
+        b["window_start"] = b["window_start"] - pd.Timedelta(hours=1)
+        return pd.concat([a, b], ignore_index=True)
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

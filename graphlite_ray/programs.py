@@ -175,12 +175,18 @@ class PageRank(VertexProgram):
             new = 0.15 + 0.85 * sums
             out.aggr["delta"] = float(np.abs(values[mask] - new[mask]).sum())
             values[mask] = new[mask]
+        self._send(out, shard, values, mask)
+        return out
+
+    def _send(self, out, shard, values, mask):
+        """Send stage hook: distribute each sender's value over its
+        out-edges (overridden by the weighted variant — the rank-update /
+        halt / delta logic above stays in one place)."""
         send_val = np.divide(
             values, shard.out_deg, out=np.zeros(shard.n), where=shard.out_deg > 0
         )
         out.out_dst, out.out_val = _scatter_to_neighbors(shard, send_val, mask)
         out.sent = len(out.out_dst)
-        return out
 
 
 class WeightedPageRank(PageRank):
@@ -192,35 +198,24 @@ class WeightedPageRank(PageRank):
 
     name = "weighted_pagerank"
 
-    def compute(self, ctx, shard, values, active, inbox):
+    def __init__(self, eps: float = PAGERANK_EPS):
+        super().__init__(eps)
+        self._w_total: np.ndarray | None = None  # per-shard static, cached
+
+    def _send(self, out, shard, values, mask):
         if shard.edge_weights is None:
-            return super().compute(ctx, shard, values, active, inbox)
-        mask = active
-        out = ComputeOut(aggr={"delta": 0.0})
-        if ctx.superstep == 0:
-            values[mask] = 1.0
-        else:
-            if ctx.superstep >= 2 and ctx.aggr_global["delta"] < self.eps:
-                out.halted = mask.copy()
-                return out
-            sums = np.zeros(shard.n, np.float64)
-            if not inbox.empty:
-                sums[inbox.idx] = inbox.val
-            new = 0.15 + 0.85 * sums
-            out.aggr["delta"] = float(np.abs(values[mask] - new[mask]).sum())
-            values[mask] = new[mask]
-        w_total = np.zeros(shard.n, np.float64)
-        np.add.at(w_total, shard.edge_src_local, shard.edge_weights)
+            return super()._send(out, shard, values, mask)
+        if self._w_total is None:
+            self._w_total = np.bincount(
+                shard.edge_src_local, weights=shard.edge_weights, minlength=shard.n
+            )
         per_vertex = np.divide(
-            values, w_total, out=np.zeros(shard.n), where=w_total > 0
+            values, self._w_total, out=np.zeros(shard.n), where=self._w_total > 0
         )
         emask = mask[shard.edge_src_local]
         out.out_dst = shard.indices[emask]
-        out.out_val = (
-            per_vertex[shard.edge_src_local] * shard.edge_weights
-        )[emask]
+        out.out_val = (per_vertex[shard.edge_src_local] * shard.edge_weights)[emask]
         out.sent = len(out.out_dst)
-        return out
 
 
 class ConnectedComponents(VertexProgram):

@@ -230,7 +230,10 @@ def minhash_dedup(
         lambda g: _pairs_from_bucket_frame(g, ["band", "band_hash"], "doc_id"),
         B=32,
     )
-    pairs_df = cand.to_pandas().drop_duplicates(ignore_index=True)
+    pairs_df = cand.to_pandas()
+    if not {"a", "b"} <= set(pairs_df.columns):  # all-empty blocks lose schema
+        pairs_df = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    pairs_df = pairs_df.drop_duplicates(ignore_index=True)
     cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
     if len(cand_ids) > max_candidate_docs:
         raise RuntimeError(

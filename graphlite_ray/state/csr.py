@@ -68,7 +68,8 @@ def build_graph_shards(
     """
     os.makedirs(graph_dir, exist_ok=True)
 
-    has_weight = "weight" in (edges.schema().names or [])
+    schema = edges.schema()
+    has_weight = schema is not None and "weight" in schema.names
 
     def _combined_rows(t: pa.Table) -> pa.Table:
         """Tag edge rows (kind=0, keyed src % P) and per-batch-deduped

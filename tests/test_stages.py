@@ -99,6 +99,25 @@ def test_minhash_dedup_planted():
     assert jaccard(base, base) == 1.0
 
 
+def test_ngram_jaccard_dedup_wrapper():
+    """The explicit n-gram-Jaccard operator (higher-resolution banding,
+    threshold on EXACT Jaccard) finds a moderate near-dup the default
+    minhash banding is tuned away from."""
+    from graphlite_ray.stages.dedup import ngram_jaccard_dedup
+
+    base = " ".join(f"word{i}" for i in range(40))
+    edited = " ".join(f"word{i}" if i % 8 else f"edit{i}" for i in range(40))
+    rows = [{"doc_id": i, "text": " ".join(f"x{i}_{j}" for j in range(30))} for i in range(15)]
+    rows += [{"doc_id": 500, "text": base}, {"doc_id": 501, "text": edited}]
+    res = ngram_jaccard_dedup(_docs(rows), threshold=0.3)
+    pairs = {tuple(sorted((int(a), int(b)))) for a, b in zip(res.pairs["a"], res.pairs["b"])}
+    assert (500, 501) in pairs
+    score = float(res.pairs.loc[(res.pairs[["a", "b"]].min(axis=1) == 500), "score"].iloc[0])
+    from graphlite_ray.stages.dedup import jaccard
+
+    assert score == pytest.approx(jaccard(base, edited), abs=1e-12)  # exact
+
+
 def test_simhash_dedup_planted():
     words = [f"tok{i}" for i in range(60)]
     base = " ".join(words)
