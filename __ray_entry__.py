@@ -91,6 +91,29 @@ def _q_lpa(sf_dir: str):
     return res.values().select_columns(["vertex_id", "value"])
 
 
+def _q_weighted_pagerank(sf_dir: str):
+    """Weighted PageRank over the page graph with deterministic per-edge
+    weights derived from the endpoint ids (rows-only: iterative, non-SQL)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges, run_on_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    files = sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
+    t = pa.concat_tables([pq.read_table(f, columns=["src", "dst"]) for f in files])
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    w = ((src ^ dst) % 5 + 1).astype(np.float64)
+    res = run_on_edges(
+        "weighted_pagerank", src, dst, os.path.join(work, "wpr"), P=8,
+        weights=w, resume=True,
+    )
+    return res.values().select_columns(["vertex_id", "value"])
+
+
 def _q_triangles(sf_dir: str):
     import ray.data
 
@@ -297,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # link-graph engine (pytest-oracled; rows-only here)
         "pagerank": _q_pagerank,
+        "weighted_pagerank": _q_weighted_pagerank,
         "connected_components": _q_cc,
         "label_propagation": _q_lpa,
         "triangle_count": _q_triangles,
