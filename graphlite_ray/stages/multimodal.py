@@ -160,6 +160,28 @@ def sample_audio_frames(
     )
 
 
+class VideoFrameSampler(AudioFrameSampler):
+    """Every-Nth-frame sampling for video payloads — identical plumbing to
+    the audio sampler (binary payload -> per-frame rows); a real codec
+    replaces `_content_rng`-derived frames with decoded ones."""
+
+
+def sample_video_frames(
+    media: "ray.data.Dataset",
+    every_n: int = 8,
+    deterministic_fake: bool = False,
+    batch_size: int = 16,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": every_n, "deterministic_fake": deterministic_fake},
+        batch_format="pandas",
+        batch_size=batch_size,  # video rows are the largest payloads: small batches
+        concurrency=concurrency,
+    )
+
+
 def synthetic_media_table(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic fake media rows for plumbing tests."""
     rng = np.random.RandomState(seed)

@@ -117,6 +117,73 @@ def build_ivf(
     )
 
 
+def build_ivf_index(
+    emb: "ray.data.Dataset",
+    index_dir: str,
+    n_clusters: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist an IVF index: one parquet file per cluster + centroids.
+
+    This is the true scale path: `knn_ivf_indexed` then READS ONLY the
+    probed clusters' files (sublinear in corpus size), instead of scanning
+    and filtering every row. Cluster files are independent -> the build is
+    resumable and the index shards across storage like everything else."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    assigned, C = build_ivf(emb, n_clusters=n_clusters, sample_size=sample_size, seed=seed)
+
+    def _write(g: pd.DataFrame) -> pd.DataFrame:
+        c = int(g["cluster"].iloc[0])
+        t = pa.table(
+            {
+                "vec_id": g["vec_id"].to_numpy(),
+                "embedding": list(np.stack(g["embedding"].to_numpy())),
+            }
+        )
+        tmp = os.path.join(index_dir, f"cluster_{c}.parquet")
+        pq.write_table(t, tmp + ".tmp")
+        os.replace(tmp + ".tmp", tmp)
+        return pd.DataFrame({"cluster": [c], "n": [len(g)]})
+
+    assigned.groupby("cluster").map_groups(_write, batch_format="pandas").count()
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    return C
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k from a disk IVF index: reads ONLY the files of the
+    union of the queries' probed clusters, then exact search within."""
+    import os
+
+    import ray.data
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    Q = _normalize(queries.astype(np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for row in probe for c in row})
+    files = [
+        os.path.join(index_dir, f"cluster_{c}.parquet")
+        for c in needed
+        if os.path.exists(os.path.join(index_dir, f"cluster_{c}.parquet"))
+    ]
+    if not files:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": [], "rank": []})
+    subset = ray.data.read_parquet(files)
+    out = knn_bruteforce(subset, queries, k=k)
+    return out
+
+
 def knn_ivf(
     assigned: "ray.data.Dataset",
     centroids: np.ndarray,

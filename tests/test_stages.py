@@ -180,6 +180,27 @@ def test_knn_ivf_recall():
     assert hits / total >= 0.6  # approximate path: recall, not exactness
 
 
+def test_knn_ivf_disk_index(tmp_path):
+    from graphlite_ray.stages.similarity import build_ivf_index, knn_ivf_indexed
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    build_ivf_index(emb, str(tmp_path), n_clusters=8, seed=1)
+    import os
+
+    files = [f for f in os.listdir(tmp_path) if f.startswith("cluster_")]
+    assert 1 < len(files) <= 8  # index actually sharded by cluster
+    Q = V[:4]
+    got = knn_ivf_indexed(str(tmp_path), Q, k=5, nprobe=4)
+    oracle = _knn_oracle(V, ids, Q, 5)
+    hits = sum(
+        len(set(got[got["query_id"] == q]["vec_id"]) & set(oracle[q])) for q in range(4)
+    )
+    assert hits / 20 >= 0.6
+
+
 def test_multimodal_plumbing():
     from graphlite_ray.stages.multimodal import (
         decode_images,
