@@ -114,6 +114,27 @@ def _q_weighted_pagerank(sf_dir: str):
     return res.values().select_columns(["vertex_id", "value"])
 
 
+def _q_sssp(sf_dir: str):
+    """Shortest paths from page 0's vertex over the page graph (rows-only:
+    iterative)."""
+    from graphlite_ray.functions.hashing import ids_from_urls
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+    from graphlite_ray.sources.pages import url_of
+
+    pages, work = _graph_work(sf_dir)
+    n = _pages_n(sf_dir)
+    source = int(ids_from_urls([url_of(0, n)])[0])
+    res = run_algorithm("sssp", pages, work, P=8, resume=True, source=source)
+    ds = res.values().select_columns(["vertex_id", "value"])
+
+    def _finite(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_finite(t["value"]))
+
+    return ds.map_batches(_finite, batch_format="pyarrow")
+
+
 def _q_triangles(sf_dir: str):
     import ray.data
 
@@ -323,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": _q_weighted_pagerank,
         "connected_components": _q_cc,
         "label_propagation": _q_lpa,
+        "sssp": _q_sssp,
         "triangle_count": _q_triangles,
         "extract_edges": _q_extract_edges,
         "out_degrees": _q_degrees,

@@ -254,6 +254,51 @@ class ConnectedComponents(VertexProgram):
         return out
 
 
+class SSSP(VertexProgram):
+    """Single-source shortest paths — the canonical Pregel min-combiner
+    program (our spec; the reference ships only PageRank). Edge length =
+    the per-edge weight when present, else 1. Vertices start at +inf
+    (source at 0), halt every superstep, and reactivate on an improving
+    message — termination is the global rule C4. Exact on non-negative
+    weights (Bellman-Ford-style relaxation; oracle-tested)."""
+
+    name = "sssp"
+    combiner = "min"
+
+    def __init__(self, source: int):
+        self.source = int(source)
+
+    def init_values(self, shard):
+        v = np.full(shard.n, np.inf)
+        v[shard.vids == self.source] = 0.0
+        return v
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        mask = active
+        if ctx.superstep == 0:
+            senders = mask & (values == 0.0)  # only the source has a distance
+        else:
+            senders = np.zeros(shard.n, bool)
+            if not inbox.empty:
+                better = inbox.val < values[inbox.idx]
+                rows = inbox.idx[better]
+                values[rows] = inbox.val[better]
+                senders[rows] = True
+        if shard.nnz:
+            emask = senders[shard.edge_src_local]
+            lengths = (
+                shard.edge_weights
+                if shard.edge_weights is not None
+                else np.ones(shard.nnz)
+            )
+            out.out_dst = shard.indices[emask]
+            out.out_val = (values[shard.edge_src_local] + lengths)[emask]
+            out.sent = len(out.out_dst)
+        out.halted = mask.copy()
+        return out
+
+
 class LabelPropagation(VertexProgram):
     """Synchronous LPA, our documented spec (no reference program exists):
     init label = own id; each superstep every vertex adopts the most
@@ -309,4 +354,5 @@ BUILTIN_PROGRAMS = {
     "weighted_pagerank": WeightedPageRank,
     "connected_components": ConnectedComponents,
     "label_propagation": LabelPropagation,
+    "sssp": SSSP,
 }

@@ -70,8 +70,9 @@ def test_rows_only_queries_return_rows():
     cheap_sf = "/root/testdata/sf0.001"
     for name in rows_only:
         sf = cheap_sf if name in {
-            "pagerank", "connected_components", "label_propagation",
-            "triangle_count", "extract_edges", "out_degrees",
+            "pagerank", "weighted_pagerank", "connected_components",
+            "label_propagation", "sssp", "triangle_count", "extract_edges",
+            "out_degrees",
         } else SF
         df = _to_pandas(qs[name](sf))
         assert df is not None
