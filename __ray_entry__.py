@@ -418,18 +418,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "hourly_windows": (
-            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "SELECT event_type, "
+            "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
             "count(*) AS n_events, ROUND(sum(value), 4) AS sum_value "
             "FROM events GROUP BY event_type, date_trunc('hour', ts) "
             "ORDER BY event_type, window_start"
         ),
         "sliding_windows": (
-            "SELECT event_type, window_start, count(*) AS n_events, "
-            "ROUND(sum(value), 4) AS sum_value FROM ("
+            "SELECT event_type, strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, "
+            "count(*) AS n_events, ROUND(sum(value), 4) AS sum_value FROM ("
             "SELECT event_type, date_trunc('hour', ts) AS window_start, value FROM events "
             "UNION ALL "
             "SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events"
-            ") GROUP BY event_type, window_start ORDER BY event_type, window_start"
+            ") GROUP BY event_type, window_start ORDER BY event_type, 2"
         ),
         "sessions": (
             "WITH gaps AS (SELECT user_id, ts, "

@@ -174,7 +174,9 @@ def q_hourly_windows(sf_dir: str) -> pd.DataFrame:
 
     def _partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        df["window_start"] = df["ts"].dt.floor("h")
+        # window_start as a STRING so the driver's value-hash is unit-proof
+        # (pandas ns vs DuckDB us timestamps hash differently as raw ints)
+        df["window_start"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
         return df.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
@@ -216,7 +218,10 @@ def q_sliding_windows(sf_dir: str) -> pd.DataFrame:
         a = hourly.rename(columns={"hour": "window_start"})
         b = a.copy()
         b["window_start"] = b["window_start"] - pd.Timedelta(hours=1)
-        return pd.concat([a, b], ignore_index=True)
+        out = pd.concat([a, b], ignore_index=True)
+        # string windows: unit-proof for the driver's value-hash
+        out["window_start"] = out["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
