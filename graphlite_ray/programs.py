@@ -349,10 +349,56 @@ class LabelPropagation(VertexProgram):
         return superstep + 1 >= self.max_supersteps
 
 
+class KCore(VertexProgram):
+    """k-core membership by synchronous peeling (our spec; oracle-tested):
+    on the symmetrized graph, every vertex starts with its degree; a vertex
+    whose remaining degree drops below k removes itself ONCE, sending a
+    decrement to each neighbor (sum-combined). Fixpoint = the k-core.
+    Final value: remaining degree for members, -1 for peeled vertices.
+    Exercises the peeling/decrement family of vertex programs (removal
+    cascades), distinct from flood (CC) and iteration (PageRank)."""
+
+    name = "kcore"
+    value_dtype = np.dtype(np.int64)
+    combiner = "sum"
+    symmetrize = True
+
+    def __init__(self, k: int):
+        self.k = int(k)
+
+    def init_values(self, shard):
+        return shard.out_deg.astype(np.int64).copy()  # symmetrized degree
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        if ctx.superstep == 0:
+            doomed = values < self.k
+        else:
+            # only vertices whose degree changed this superstep can newly fall
+            # below k; already-peeled vertices (value -1) ignore messages
+            doomed = np.zeros(shard.n, bool)
+            if not inbox.empty:
+                rows = inbox.idx
+                dec = inbox.val.astype(np.int64)
+                still = values[rows] >= 0
+                r2 = rows[still]
+                values[r2] -= dec[still]
+                doomed[r2[values[r2] < self.k]] = True
+        if doomed.any():
+            out.out_dst, out.out_val = _scatter_to_neighbors(
+                shard, np.ones(shard.n, np.float64), doomed
+            )
+            out.sent = len(out.out_dst)
+            values[doomed] = -1
+        out.halted = active.copy()
+        return out
+
+
 BUILTIN_PROGRAMS = {
     "pagerank": PageRank,
     "weighted_pagerank": WeightedPageRank,
     "connected_components": ConnectedComponents,
     "label_propagation": LabelPropagation,
     "sssp": SSSP,
+    "kcore": KCore,
 }
