@@ -44,12 +44,15 @@ def _pages_n(sf_dir: str) -> int:
 
 
 def _graph_work(sf_dir: str) -> tuple[str, str]:
-    """(pages_dir, work_dir) for this sf scale; work dir is resumable."""
+    """(pages_dir, work_dir) for this sf scale; work dir is resumable.
+    The hash version is part of the path so staged edges/shards built with
+    an older id-hash are never silently reused."""
+    from graphlite_ray.functions.hashing import HASH_VERSION
     from graphlite_ray.sources.pages import pages_path
 
     n = _pages_n(sf_dir)
     pages = pages_path(n, seed=_SEED)
-    work = f"/tmp/glr_entry/n{n}_s{_SEED}"
+    work = f"/tmp/glr_entry/h{HASH_VERSION}_n{n}_s{_SEED}"
     os.makedirs(work, exist_ok=True)
     return pages, work
 
@@ -93,23 +96,28 @@ def _q_lpa(sf_dir: str):
 
 def _q_weighted_pagerank(sf_dir: str):
     """Weighted PageRank over the page graph with deterministic per-edge
-    weights derived from the endpoint ids (rows-only: iterative, non-SQL)."""
-    import glob
+    weights derived from the endpoint ids (rows-only: iterative, non-SQL).
+    Weight assignment is a map_batches stage — the edge table streams into
+    the CSR build without ever touching the driver."""
+    import ray.data
 
-    import pyarrow.parquet as pq
-
-    from graphlite_ray.pipelines.linkgraph import prepare_edges, run_on_edges
+    from graphlite_ray.pipelines.linkgraph import prepare_edges, run_on_edge_dataset
 
     pages, work = _graph_work(sf_dir)
     edges_dir = prepare_edges(pages, work, P=8)
-    files = sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
-    t = pa.concat_tables([pq.read_table(f, columns=["src", "dst"]) for f in files])
-    src = t["src"].to_numpy(zero_copy_only=False)
-    dst = t["dst"].to_numpy(zero_copy_only=False)
-    w = ((src ^ dst) % 5 + 1).astype(np.float64)
-    res = run_on_edges(
-        "weighted_pagerank", src, dst, os.path.join(work, "wpr"), P=8,
-        weights=w, resume=True,
+
+    def _with_weights(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = ((src ^ dst) % 5 + 1).astype(np.float64)
+        return pa.table({"src": src, "dst": dst, "weight": w})
+
+    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+        _with_weights, batch_format="pyarrow"
+    )
+    res = run_on_edge_dataset(
+        "weighted_pagerank", edges, os.path.join(work, "wpr"), P=8,
+        tag="xor5", resume=True,
     )
     return res.values().select_columns(["vertex_id", "value"])
 

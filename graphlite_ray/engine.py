@@ -60,8 +60,12 @@ class BSPResult:
         checkpoint — the analog of the reference OutputFormatter walk
         (`engine/OutputFormatter.cc:34-61`), but a streaming source."""
         d = os.path.join(self.ckpt_dir, f"ss_{self.final_superstep}")
+        # endswith filter: a worker killed mid-checkpoint leaves atomic-write
+        # temps ('values_pN.parquet.tmp.<pid>') that must never be read back
         files = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.startswith("values_p")
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith("values_p") and f.endswith(".parquet")
         )
         return ray.data.read_parquet(files)
 
@@ -74,8 +78,37 @@ def _manifest_path(ckpt_dir: str, ss: int) -> str:
     return os.path.join(ckpt_dir, f"manifest_ss{ss}.json")
 
 
-def latest_checkpoint(ckpt_dir: str) -> dict | None:
-    """Newest COMPLETE superstep manifest, or None (FIXTURES.md F6)."""
+def config_hash(program: VertexProgram, graph_dir: str, graph_meta: dict) -> str:
+    """Identity of a run: program name + params + graph. A manifest whose
+    hash mismatches the current run (e.g. same ckpt_dir, different SSSP
+    source or edge weights) is never resumed from — it would silently
+    return the previous run's results."""
+    import hashlib
+
+    params = {
+        k: v
+        for k, v in sorted(vars(program).items())
+        if isinstance(v, (int, float, str, bool, type(None)))
+    }
+    blob = json.dumps(
+        {
+            "engine_version": ENGINE_VERSION,
+            "program": program.name,
+            "combiner": program.combiner,
+            "symmetrize": bool(program.symmetrize),
+            "params": params,
+            "graph_dir": graph_dir,
+            "graph_meta": graph_meta,
+        },
+        sort_keys=True,
+    )
+    return hashlib.blake2b(blob.encode(), digest_size=8).hexdigest()
+
+
+def latest_checkpoint(ckpt_dir: str, expect_hash: str | None = None) -> dict | None:
+    """Newest COMPLETE superstep manifest, or None (FIXTURES.md F6).
+    With `expect_hash`, manifests from a different run configuration are
+    ignored (pre-hash manifests never match and are likewise skipped)."""
     if not os.path.isdir(ckpt_dir):
         return None
     best = None
@@ -83,7 +116,11 @@ def latest_checkpoint(ckpt_dir: str) -> dict | None:
         if f.startswith("manifest_ss") and f.endswith(".json"):
             with open(os.path.join(ckpt_dir, f)) as fh:
                 m = json.load(fh)
-            if m.get("complete") and (best is None or m["superstep"] > best["superstep"]):
+            if not m.get("complete"):
+                continue
+            if expect_hash is not None and m.get("config_hash") != expect_hash:
+                continue
+            if best is None or m["superstep"] > best["superstep"]:
                 best = m
     return best
 
@@ -149,9 +186,10 @@ def _run_bsp_attempt(
     use_restored = False
     result = BSPResult(final_superstep=-1, supersteps_run=0, halted=False, ckpt_dir=ckpt_dir)
 
+    cfg_hash = config_hash(program, graph_dir, meta)
     restore_from = None
     if resume:
-        m = latest_checkpoint(ckpt_dir)
+        m = latest_checkpoint(ckpt_dir, expect_hash=cfg_hash)
         if m is not None:
             if m.get("halted"):  # already complete: no actors needed
                 result.final_superstep = m["superstep"]
@@ -171,6 +209,7 @@ def _run_bsp_attempt(
         return _superstep_loop(
             program, workers, meta, specs, aggr_global, start_ss, use_restored,
             restore_from, max_supersteps, ckpt_every, ckpt_dir, graph_dir, result,
+            cfg_hash,
         )
     finally:
         # free actor CPU reservations (state is checkpointed); also runs on
@@ -182,6 +221,7 @@ def _run_bsp_attempt(
 def _superstep_loop(
     program, workers, meta, specs, aggr_global, start_ss, use_restored,
     restore_from, max_supersteps, ckpt_every, ckpt_dir, graph_dir, result,
+    cfg_hash,
 ) -> BSPResult:
     P = len(workers)
     if restore_from is not None:
@@ -234,6 +274,7 @@ def _superstep_loop(
             part_stats = ray.get([w.checkpoint.remote(ss, ckpt_dir) for w in workers])
             manifest = {
                 "engine_version": ENGINE_VERSION,
+                "config_hash": cfg_hash,
                 "program": program.name,
                 "graph_dir": graph_dir,
                 "graph_meta": meta,

@@ -6,10 +6,15 @@ The reference assumes pre-assigned dense int64 vertex ids
 per-shard sorted-vid lookup arrays replace the reference's `vid / W` dense
 slot arithmetic (`engine/Worker.cc:303-311`).
 
-Primary path is polars' vectorized hash (scale path — no Python loop);
-fallback is blake2b per string. Both are deterministic in-process and
-across processes for a fixed library install; ids are persisted with CSR
-shards and checkpoints, so resume never recomputes them.
+The hash is a SELF-CONTAINED vectorized FNV-1a-64 over the UTF-8 bytes
+(seed mixed in as an 8-byte prefix). It depends on nothing but numpy +
+pyarrow buffer layout, so persisted CSR shards, urlmaps and checkpoints
+keep matching resumed runs across library upgrades — a library-provided
+hash (polars/pandas) is NOT versioned and silently breaks resume.
+
+Vectorization: strings are hashed byte-position-by-byte-position over a
+shrinking index set (total work O(total_bytes), ~tens of numpy gathers for
+url-length strings — no Python loop over rows).
 
 At 10^12 urls a 63-bit space yields ~5e4 expected birthday collisions:
 `collision_check` detects them (groupby id -> n_distinct url) and callers
@@ -19,35 +24,56 @@ collisions at test scale, asserted in tests).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-
-try:
-    import polars as pl
-
-    _HAVE_POLARS = True
-except Exception:  # pragma: no cover
-    _HAVE_POLARS = False
+import pyarrow as pa
 
 _HASH_SEED = 42
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+HASH_VERSION = 2  # bumped when the hash function changes (invalidates state)
+
+
+def _as_large_utf8(values) -> pa.Array:
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        return values.cast(pa.large_utf8())
+    if isinstance(values, np.ndarray) and values.dtype.kind in ("U", "O"):
+        return pa.array(values.tolist(), type=pa.large_utf8())
+    return pa.array(list(values), type=pa.large_utf8())
 
 
 def hash_strings(values, salt: int = 0) -> np.ndarray:
-    """Vectorized stable hash: sequence[str] -> np.uint64 array."""
-    if _HAVE_POLARS:
-        s = pl.Series(values=list(values), dtype=pl.Utf8)
-        return s.hash(seed=_HASH_SEED + salt).to_numpy().astype(np.uint64)
-    return np.array(
-        [_blake64(v, salt) for v in values], dtype=np.uint64
-    )  # pragma: no cover
-
-
-def _blake64(s: str, salt: int) -> int:  # pragma: no cover
-    h = hashlib.blake2b(
-        s.encode("utf-8"), digest_size=8, key=str(_HASH_SEED + salt).encode()
+    """Vectorized stable hash: sequence[str] -> np.uint64 array (FNV-1a-64
+    with the seed+salt mixed in as an 8-byte prefix)."""
+    arr = _as_large_utf8(values)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
     )
-    return int.from_bytes(h.digest(), "little")
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
+
+    with np.errstate(over="ignore"):
+        h = np.full(n, _FNV_OFFSET, np.uint64)
+        seed = np.uint64((_HASH_SEED + salt) & 0xFFFFFFFFFFFFFFFF)
+        for shift in range(0, 64, 8):
+            h = (h ^ ((seed >> np.uint64(shift)) & np.uint64(0xFF))) * _FNV_PRIME
+        idx = np.flatnonzero(lengths > 0)
+        pos = 0
+        while len(idx):
+            b = data[starts[idx] + pos].astype(np.uint64)
+            h[idx] = (h[idx] ^ b) * _FNV_PRIME
+            pos += 1
+            idx = idx[lengths[idx] > pos]
+    return h
 
 
 def ids_from_urls(urls, salt: int = 0) -> np.ndarray:

@@ -121,5 +121,49 @@ def attach_from_bucketed(
     )
 
 
+def anti_join_bucketed(
+    left: "ray.data.Dataset",
+    left_key: str,
+    right: "ray.data.Dataset",
+    right_key: str,
+    work_dir: str,
+    B: int = 32,
+) -> "ray.data.Dataset":
+    """Anti-join for a fact-sized right key set: the right side's distinct
+    keys are written bucketed by key % B (one shuffle, one file per
+    bucket), the left side shuffles by the same function, and each group
+    drops rows whose key appears in its single co-partitioned bucket file.
+    No driver-side key set — both sides stream (the scale path the
+    broadcast anti-join gates into)."""
+    keys_dir = os.path.join(work_dir, "anti_keys")
+
+    def _keys(t: pa.Table) -> pa.Table:
+        k = np.unique(t[right_key].to_numpy(zero_copy_only=False))
+        return pa.table({right_key: k})
+
+    write_bucketed(
+        right.map_batches(_keys, batch_format="pyarrow"), right_key, B, keys_dir
+    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        k = t[left_key].to_numpy(zero_copy_only=False)
+        return t.append_column("__bucket", pa.array(bucket_of(k, B)))
+
+    def _drop_matched(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__bucket"].iloc[0])
+        g = g.drop(columns="__bucket")
+        path = os.path.join(keys_dir, f"bucket_{b}.parquet")
+        if not os.path.exists(path):
+            return g
+        keys = pq.read_table(path)[right_key].to_numpy(zero_copy_only=False)
+        return g[~g[left_key].isin(keys)]
+
+    return (
+        left.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_drop_matched, batch_format="pandas")
+    )
+
+
 def native_join_available() -> bool:
     return hasattr(ray.data.Dataset, "join")

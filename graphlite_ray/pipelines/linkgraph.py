@@ -54,6 +54,13 @@ def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
     edges_dir = os.path.join(work_dir, "edges")
     if _done(edges_dir):
         return edges_dir
+    if os.path.isdir(edges_dir):
+        # a previous run crashed mid-write (no _SUCCESS): Ray's UUID-named
+        # output files would otherwise accumulate and a resumed build would
+        # read duplicated edge rows — clear the partial stage first
+        import shutil
+
+        shutil.rmtree(edges_dir)
     os.makedirs(edges_dir, exist_ok=True)
     # ONE extraction pass writes the staging table (src, dst, src_url,
     # dst_url); every consumer re-reads it with column pruning (edges need
@@ -187,6 +194,40 @@ def run_on_edges(
         if weights is not None:
             cols["weight"] = pa.array(np.asarray(weights, np.float64))
         edges = ray.data.from_arrow(pa.table(cols))
+        build_graph_shards(edges, P, graph_dir, symmetrize=program.symmetrize)
+        _mark_done(graph_dir)
+    ckpt_dir = os.path.join(work_dir, f"ckpt_{program.name}")
+    return run_bsp(
+        program,
+        graph_dir,
+        ckpt_dir,
+        max_supersteps=max_supersteps,
+        ckpt_every=ckpt_every,
+        resume=resume,
+    )
+
+
+def run_on_edge_dataset(
+    algo: str | VertexProgram,
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    P: int = 8,
+    tag: str = "",
+    max_supersteps: int = 200,
+    ckpt_every: int = 0,
+    resume: bool = False,
+    **program_kwargs,
+) -> BSPResult:
+    """Run a program on a STREAMING edge Dataset (src:int64, dst:int64
+    [, weight:float64]) — the edge table never touches the driver; the CSR
+    build is the pipeline's first shuffle. `tag` distinguishes graph
+    variants (e.g. weighting schemes) sharing one work dir."""
+    program = (
+        BUILTIN_PROGRAMS[algo](**program_kwargs) if isinstance(algo, str) else algo
+    )
+    suffix = ("graph_sym" if program.symmetrize else "graph") + (f"_{tag}" if tag else "")
+    graph_dir = os.path.join(work_dir, suffix)
+    if not _done(graph_dir):
         build_graph_shards(edges, P, graph_dir, symmetrize=program.symmetrize)
         _mark_done(graph_dir)
     ckpt_dir = os.path.join(work_dir, f"ckpt_{program.name}")

@@ -62,17 +62,32 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def _partial(t: pa.Table) -> pd.DataFrame:
-        df = t.to_pandas()
-        df = df[df["l_shipdate"] < pd.Timestamp("1998-09-02")]
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
+    def _partial(t: pa.Table) -> pa.Table:
+        # Arrow-native partial: filter + computed column + per-batch group
+        # aggregate, all pyarrow.compute — no pandas conversion in the hot path
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        t = t.append_column(
+            "disc_price",
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
         )
-        return g
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "count_order",
+            ]
+        )
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
 
@@ -148,8 +163,9 @@ def q_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Distinct + count per group over the events stream."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def _pre(t: pa.Table) -> pd.DataFrame:
-        return t.to_pandas().drop_duplicates()  # per-batch pre-dedup
+    def _pre(t: pa.Table) -> pa.Table:
+        # per-batch pre-dedup, Arrow-native (group-by with no aggregates)
+        return pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate([])
 
     def _per_type(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -270,33 +286,44 @@ def q_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     )
 
 
-def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti-join via broadcast key set (semi/anti-join operator family):
-    customers with no finalized ('F') order — the key set is broadcast once
-    and each batch filters against it, no shuffle."""
+def q_customers_without_orders(
+    sf_dir: str, max_broadcast_keys: int = 5_000_000
+) -> pd.DataFrame:
+    """Anti-join (semi/anti-join operator family): customers with no
+    finalized ('F') order. Strategy is size-gated: when the right side is
+    small enough its distinct keys are broadcast once and each batch
+    filters locally (no shuffle); a fact-sized key set routes through the
+    bucketed anti-join (`joins.anti_join_bucketed`) so the driver never
+    materializes it."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-    keys = set(
-        orders.map_batches(
-            lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))).select(
-                ["o_custkey"]
-            ),
-            batch_format="pyarrow",
-        ).unique("o_custkey")
+    final = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
     )
-    ref = ray.put(keys)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    if orders.count() <= max_broadcast_keys:  # row count bounds distinct keys
+        keys = set(final.unique("o_custkey"))
+        ref = ray.put(keys)
 
-    class _Anti:
-        def __init__(self):
-            self.keys = ray.get(ref)
+        class _Anti:
+            def __init__(self):
+                self.keys = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[~batch["c_custkey"].isin(self.keys)]
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return batch[~batch["c_custkey"].isin(self.keys)]
 
-    out = (
-        _read(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(_Anti, batch_format="pandas", concurrency=(1, 4))
-        .to_pandas()
-    )
+        out = cust.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    else:
+        import tempfile
+
+        from graphlite_ray.pipelines.joins import anti_join_bucketed
+
+        out = anti_join_bucketed(
+            cust, "c_custkey", final, "o_custkey",
+            tempfile.mkdtemp(prefix="glr_anti_"), B=32,
+        ).to_pandas()
     if "c_custkey" not in out.columns:  # empty result loses the schema
         out = pd.DataFrame(
             {"c_custkey": pd.Series([], dtype="int64"), "c_name": pd.Series([], dtype="str")}
@@ -321,23 +348,43 @@ def q_orders_by_priority(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority", ignore_index=True)
 
 
-def q_native_join_revenue(sf_dir: str) -> pd.DataFrame:
+# which path the last q_native_join_revenue call took ("native" |
+# "broadcast"), and why a fallback happened — observable from bench/tests
+LAST_JOIN_STRATEGY: dict = {"strategy": None, "fallback_reason": None}
+
+
+def q_native_join_revenue(sf_dir: str, strategy: str = "auto") -> pd.DataFrame:
     """Ray Data's native hash join (Dataset.join), when this version ships
-    it — falls back to the broadcast join otherwise."""
+    it — falls back to the broadcast join otherwise. `strategy` forces a
+    path: "native" raises instead of silently downgrading, "broadcast"
+    skips the native attempt; "auto" records the chosen path + fallback
+    reason in `LAST_JOIN_STRATEGY` so a bench run is attributable."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    if hasattr(orders, "join"):
+    LAST_JOIN_STRATEGY.update({"strategy": None, "fallback_reason": None})
+    df = None
+    if strategy in ("auto", "native") and hasattr(orders, "join"):
         try:
             joined = orders.join(
                 cust, join_type="inner", num_partitions=8,
                 on=("o_custkey",), right_on=("c_custkey",),
             )
             df = joined.to_pandas()
-        except Exception:
+            LAST_JOIN_STRATEGY["strategy"] = "native"
+        except Exception as e:
+            if strategy == "native":
+                raise
+            LAST_JOIN_STRATEGY["fallback_reason"] = f"{type(e).__name__}: {e}"
+            import warnings
+
+            warnings.warn(
+                f"native Dataset.join failed, falling back to broadcast: {e!r}"
+            )
             df = None
-    else:
-        df = None
+    elif strategy == "native":
+        raise RuntimeError("Dataset.join not available in this Ray version")
     if df is None:
+        LAST_JOIN_STRATEGY["strategy"] = "broadcast"
         dim = cust.to_pandas()
         ref = ray.put(dim)
 

@@ -21,6 +21,7 @@ north rule asks for.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -214,9 +215,10 @@ def minhash_dedup(
     """MinHash + banded LSH near-dedup with exact-Jaccard verification.
 
     Pipeline: signature+band stage (actor pool) -> groupby(band, band_hash)
-    -> candidate pairs -> fetch candidate texts (broadcast-filtered scan)
-    -> exact Jaccard -> union-find clusters (driver; candidate graph is
-    small by LSH design, enforced by `max_candidate_docs`)."""
+    -> candidate pairs -> bucketed text join + DISTRIBUTED exact-Jaccard
+    verify (texts never reach the driver) -> union-find clusters (driver;
+    only the verified PAIR list is driver-side — small by LSH design,
+    enforced by `max_candidate_docs`)."""
     band_rows = docs.map_batches(
         MinHashBander,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
@@ -246,6 +248,19 @@ def minhash_dedup(
             clusters=pd.DataFrame({"doc_id": [], "cluster_rep": []}),
             n_candidates=0,
         )
+
+    # --- DISTRIBUTED verify: candidate texts are never materialized on the
+    # driver. Candidate docs' (doc_id, text) rows are written bucketed by
+    # doc_id (one shuffle), the pair table joins text_a / text_b against
+    # those bucket files (two partitioned hash joins), and exact Jaccard is
+    # scored inside map_batches via batch-level shingle hashing (one
+    # vectorized hash call per batch + numpy set intersections per pair).
+    import tempfile
+
+    from graphlite_ray.pipelines.joins import attach_from_bucketed, write_bucketed
+
+    verify_dir = tempfile.mkdtemp(prefix="glr_minhash_")
+    TB = 32
     ref = ray.put(cand_ids)
 
     class _Pick:
@@ -255,17 +270,65 @@ def minhash_dedup(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch[batch["doc_id"].isin(self.want)][["doc_id", "text"]]
 
-    texts = {
-        int(r["doc_id"]): r["text"]
-        for r in docs.map_batches(_Pick, batch_format="pandas", concurrency=(1, 4)).take_all()
-    }
-    scores = [
-        jaccard(texts[int(a)], texts[int(b)], k)
-        for a, b in zip(pairs_df["a"], pairs_df["b"])
-    ]
-    pairs_df["score"] = scores
-    dups = pairs_df[pairs_df["score"] >= threshold].reset_index(drop=True)
+    texts_dir = write_bucketed(
+        docs.map_batches(_Pick, batch_format="pandas", concurrency=(1, 4)),
+        "doc_id",
+        TB,
+        os.path.join(verify_dir, "texts"),
+    )
+    pairs_ds = ray.data.from_pandas(pairs_df)
+    with_a = attach_from_bucketed(pairs_ds, "a", texts_dir, TB, "doc_id").map_batches(
+        lambda df: df.rename(columns={"text": "text_a"}).drop(columns=["doc_id"]),
+        batch_format="pandas",
+    )
+    with_ab = attach_from_bucketed(with_a, "b", texts_dir, TB, "doc_id").map_batches(
+        lambda df: df.rename(columns={"text": "text_b"}).drop(columns=["doc_id"]),
+        batch_format="pandas",
+    )
+    scored = with_ab.map_batches(
+        _JaccardVerify,
+        fn_constructor_kwargs={"k": k},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(1, 8),
+    ).to_pandas()  # (a, b, score): one small row per candidate pair
+    if not {"a", "b", "score"} <= set(scored.columns):
+        scored = pd.DataFrame({"a": [], "b": [], "score": []})
+    dups = (
+        scored[scored["score"] >= threshold]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64"})
+    )
     return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=len(pairs_df))
+
+
+class _JaccardVerify:
+    """Pair batch (a, b, text_a, text_b) -> (a, b, score): exact shingle-set
+    Jaccard, computed over 64-bit shingle hashes (both batch sides hashed in
+    ONE vectorized call; per-pair work is numpy unique+intersect)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ta = batch["text_a"].tolist()
+        tb = batch["text_b"].tolist()
+        ha, sa, ca = _batch_shingle_hashes(ta, self.k)
+        hb, sb, cb = _batch_shingle_hashes(tb, self.k)
+        n = len(batch)
+        scores = np.zeros(n, np.float64)
+        for i in range(n):
+            A = np.unique(ha[sa[i] : sa[i] + ca[i]])
+            B = np.unique(hb[sb[i] : sb[i] + cb[i]])
+            if not A.size and not B.size:
+                scores[i] = 1.0
+            elif A.size and B.size:
+                inter = np.intersect1d(A, B, assume_unique=True).size
+                scores[i] = inter / (A.size + B.size - inter)
+        return pd.DataFrame(
+            {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "score": scores}
+        )
 
 
 def ngram_jaccard_dedup(
@@ -290,24 +353,37 @@ def ngram_jaccard_dedup(
 
 class SimHasher:
     """(doc_id, text) -> (doc_id, simhash:int64): 64-bit weighted token
-    signature (bit-majority over token hashes weighted by count)."""
+    signature (bit-majority over token hashes, each instance one vote).
+
+    Batch-vectorized: all documents' tokens are exploded once, hashed in a
+    SINGLE `hash_strings` call, and the per-document bit votes are 64
+    segmented sums (`np.add.reduceat`) — no per-document Python loop over
+    hashing/unpacking (a token instance contributes one ±1 vote per bit,
+    identical to the count-weighted unique-token formulation)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.zeros(len(batch), np.uint64)
-        for i, text in enumerate(batch["text"]):
-            toks = text.lower().split()
-            if not toks:
-                continue
-            u, c = np.unique(np.array(toks, object), return_counts=True)
-            h = hash_strings(u.tolist())
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = ((bits * 2 - 1) * c[:, None]).sum(axis=0)
+        texts = batch["text"].tolist()
+        n = len(texts)
+        toks_all: list[str] = []
+        counts = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            tk = t.lower().split()
+            counts[i] = len(tk)
+            toks_all.extend(tk)
+        out = np.zeros(n, np.uint64)
+        if toks_all:
+            h = hash_strings(toks_all)  # ONE vectorized hash call per batch
+            starts = np.zeros(n, np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            ne = counts > 0
+            starts_ne = starts[ne]
+            sig = np.zeros(int(ne.sum()), np.uint64)
             with np.errstate(over="ignore"):
-                out[i] = np.bitwise_or.reduce(
-                    (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-                )
+                for j in range(64):
+                    bits = (((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64) * 2) - 1
+                    votes = np.add.reduceat(bits, starts_ne)
+                    sig |= (votes > 0).astype(np.uint64) << np.uint64(j)
+            out[ne] = sig
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],

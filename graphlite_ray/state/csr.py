@@ -166,8 +166,26 @@ class CSRShard:
         return len(self.indices)
 
     def local_index(self, global_ids: np.ndarray) -> np.ndarray:
-        """Global vertex ids (owned by this partition) -> local row index."""
-        return np.searchsorted(self.vids, global_ids)
+        """Global vertex ids (owned by this partition) -> local row index.
+
+        Raises on ids this partition does not own (e.g. a compat-shim
+        ``sendMessageTo`` to a nonexistent vertex): a bare searchsorted
+        would silently deliver to an unrelated vertex instead."""
+        pos = np.searchsorted(self.vids, global_ids)
+        pos_c = np.clip(pos, 0, max(self.n - 1, 0))
+        if len(np.atleast_1d(global_ids)) and (
+            self.n == 0 or not np.array_equal(self.vids[pos_c], global_ids)
+        ):
+            bad = (
+                global_ids[self.vids[pos_c] != global_ids][:5]
+                if self.n
+                else global_ids[:5]
+            )
+            raise KeyError(
+                f"partition {self.part_id} received messages for unknown "
+                f"vertex ids (first few: {bad.tolist()})"
+            )
+        return pos
 
     @staticmethod
     def load(graph_dir: str, part_id: int, P: int) -> "CSRShard":
