@@ -51,13 +51,28 @@ def grouped_map_bucketed(
     key_cols: list[str],
     fn,
     B: int = 64,
+    fmt: str = "pandas",
 ) -> "ray.data.Dataset":
     """`fn(df: pd.DataFrame) -> pd.DataFrame` receives ~1/B of the KEY
     space with every key's rows complete — it must process all keys in the
-    frame vectorized (pandas groupby / numpy segmented ops)."""
+    frame vectorized (pandas groupby / numpy segmented ops).
+
+    `fmt="pyarrow"` passes `fn` a pa.Table instead (required when rows
+    carry tensor/list columns: pandas blocks with those defeat Ray's
+    schema dedup and copy the payload)."""
 
     def _tag(t: pa.Table) -> pa.Table:
         return t.append_column("__bucket", pa.array(bucket_ids(t, key_cols, B)))
+
+    if fmt == "pyarrow":
+        def _apply_arrow(g: pa.Table) -> pa.Table:
+            return fn(g.drop_columns(["__bucket"]))
+
+        return (
+            ds.map_batches(_tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_apply_arrow, batch_format="pyarrow")
+        )
 
     def _apply(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns="__bucket"))

@@ -25,7 +25,9 @@ import ray.data
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from graphlite_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def q_filter_project(sf_dir: str) -> "ray.data.Dataset":

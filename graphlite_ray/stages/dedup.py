@@ -474,24 +474,89 @@ def simhash_dedup(docs: "ray.data.Dataset", max_hamming: int = 3) -> DedupResult
 # ------------------------------------------------- embedding cosine near-dup
 
 
+def embedding_near_dup_exact(
+    emb: "ray.data.Dataset",
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DedupResult:
+    """EXACT cosine near-duplicate pairs: the normalized corpus matrix is
+    broadcast once (`ray.put`), every block computes one block×corpus
+    matmul and emits only its above-threshold pairs (id_a < id_b). This is
+    the exhaustive baseline the LSH variant (`embedding_near_dup`) trades
+    recall against; corpus-matrix broadcast bounds it to corpora whose
+    embeddings fit in the object store (~10^8 x 64 floats) — beyond that,
+    use the LSH/IVF paths."""
+    n_rows = emb.count()
+    if n_rows > 2_000_000:
+        raise RuntimeError(
+            f"embedding_near_dup_exact is the broadcast-exact baseline "
+            f"(corpus matrix must fit in the object store); {n_rows} rows "
+            f"exceeds the 2M guard — use embedding_near_dup (LSH) instead"
+        )
+    mat_rows = emb.select_columns([id_col, emb_col]).take_all()
+    ids_all = np.array([r[id_col] for r in mat_rows], np.int64)
+    M = np.stack([r[emb_col] for r in mat_rows]).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, M))
+
+    class _Block:
+        def __init__(self):
+            self.ids_all, self.M = ray.get(ref)  # zero-copy plasma view
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from graphlite_ray.stages.similarity import list_col_to_matrix
+
+            V = list_col_to_matrix(t[emb_col]).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            S = V @ self.M.T  # (block, corpus)
+            i, j = np.nonzero((S >= tau) & (ids[:, None] < self.ids_all[None, :]))
+            return pa.table(
+                {
+                    "a": ids[i].astype(np.int64),
+                    "b": self.ids_all[j].astype(np.int64),
+                    "score": S[i, j],
+                }
+            )
+
+    dups = emb.map_batches(
+        _Block, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
+    ).to_pandas()
+    if not {"a", "b"} <= set(dups.columns) or not len(dups):
+        dups = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    dups = dups.sort_values(["a", "b"], ignore_index=True)
+    return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=len(dups))
+
+
 class HyperplaneBucketer:
-    """embedding -> LSH bucket id from `nbits` random hyperplane signs."""
+    """embedding -> LSH bucket id from `nbits` random hyperplane signs.
+    Arrow in/out: pandas blocks with tensor columns defeat Ray's schema
+    dedup (schema-hash warning spam) and copy the vectors."""
 
     def __init__(self, dim: int, nbits: int = 16, seed: int = 42):
         rng = np.random.RandomState(seed)
         self.planes = rng.standard_normal((dim, nbits))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(batch["embedding"].to_numpy())
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from graphlite_ray.stages.similarity import list_col_to_matrix
+
+        vecs = list_col_to_matrix(t["embedding"])
         signs = (vecs @ self.planes) > 0
-        bucket = np.zeros(len(batch), np.int64)
+        bucket = np.zeros(t.num_rows, np.int64)
         for b in range(self.planes.shape[1]):
             bucket |= signs[:, b].astype(np.int64) << b
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_id": batch["vec_id"],
+                "vec_id": t["vec_id"],
                 "bucket": bucket,
-                "embedding": batch["embedding"],
+                "embedding": t["embedding"],
             }
         )
 
@@ -512,39 +577,57 @@ def embedding_near_dup(
     bucketed = emb.map_batches(
         HyperplaneBucketer,
         fn_constructor_kwargs={"dim": dim, "nbits": nbits},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=2048,
         concurrency=(1, 8),
     )
 
-    def _pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, grp in g.groupby("bucket", sort=False):
-            if len(grp) < 2:
+    def _pairs_table(g: pa.Table) -> pa.Table:
+        from graphlite_ray.stages.similarity import list_col_to_matrix
+
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        ids_all = g["vec_id"].to_numpy(zero_copy_only=False)
+        V_all = list_col_to_matrix(g["embedding"]).astype(np.float64)
+        order = np.argsort(buckets, kind="stable")
+        b_s = buckets[order]
+        starts = np.flatnonzero(np.concatenate(([True], b_s[1:] != b_s[:-1])))
+        ends = np.concatenate((starts[1:], [len(b_s)]))
+        outs_a, outs_b, outs_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            ids = grp["vec_id"].to_numpy()
-            V = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            rows = order[s:e]
+            ids = ids_all[rows]
+            id_order = np.argsort(ids)  # canonical a < b within the bucket
+            rows, ids = rows[id_order], ids[id_order]
+            V = V_all[rows]
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             S = V @ V.T
             i, j = np.triu_indices(len(ids), k=1)
             keep = S[i, j] >= tau
             if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {"a": ids[i][keep], "b": ids[j][keep], "score": S[i, j][keep]}
-                    )
-                )
-        if not outs:
-            return pd.DataFrame(
+                outs_a.append(ids[i][keep])
+                outs_b.append(ids[j][keep])
+                outs_s.append(S[i, j][keep])
+        if not outs_a:
+            return pa.table(
                 {
-                    "a": np.empty(0, np.int64),
-                    "b": np.empty(0, np.int64),
-                    "score": np.empty(0, np.float64),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
                 }
             )
-        return pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                "a": np.concatenate(outs_a).astype(np.int64),
+                "b": np.concatenate(outs_b).astype(np.int64),
+                "score": np.concatenate(outs_s),
+            }
+        )
 
-    dups = grouped_map_bucketed(bucketed, ["bucket"], _pairs_frame, B=16).to_pandas()
+    dups = grouped_map_bucketed(
+        bucketed, ["bucket"], _pairs_table, B=16, fmt="pyarrow"
+    ).to_pandas()
     if not {"a", "b"} <= set(dups.columns) or not len(dups):
         dups = pd.DataFrame(
             {

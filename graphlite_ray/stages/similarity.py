@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -23,26 +24,76 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def list_col_to_matrix(col) -> np.ndarray:
+    """Arrow list<float> / tensor-extension column -> (n, d) numpy matrix,
+    near-zero-copy (flattens the child values buffer; assumes non-null
+    fixed-length lists, the embedding-table contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if isinstance(col.type, pa.ExtensionType):  # Ray ArrowTensorArray
+        m = np.asarray(col.to_numpy(zero_copy_only=False))
+        if m.dtype == object:
+            m = np.stack(m) if n else m.reshape(0, 0)
+        return m
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def read_embeddings(path, **read_kwargs) -> "ray.data.Dataset":
+    """read_parquet for embedding tables, normalizing the embedding column
+    to a plain fixed-size-list<float> Arrow type. Ray's reader auto-casts
+    uniform list columns to its tensor EXTENSION type, whose schema is
+    unhashable — every downstream stage then spams 'Failed to hash the
+    schemas' warnings and loses block-schema dedup."""
+
+    def _plain(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            if isinstance(col.type, pa.ExtensionType):
+                m = list_col_to_matrix(col)
+                d = m.shape[1] if m.ndim == 2 else 0
+                cols[name] = pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1)), d
+                )
+            else:
+                cols[name] = col
+        return pa.table(cols)
+
+    # batch_size=None: one block per batch — combining extension-typed
+    # blocks is exactly what triggers the unhashable-schema path
+    from graphlite_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(path, **read_kwargs).map_batches(
+        _plain, batch_format="pyarrow", batch_size=None
+    )
+
+
 class _BatchTopK:
+    """Arrow in / Arrow out (pandas blocks carrying tensor columns defeat
+    Ray's schema dedup and spam 'Failed to hash the schemas' warnings)."""
+
     def __init__(self, q_ref, k: int):
         self.Q = ray.get(q_ref)  # (nq, d) normalized, fetched once per actor
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        ids = batch["vec_id"].to_numpy()
+    def __call__(self, t: pa.Table) -> pa.Table:
+        V = _normalize(list_col_to_matrix(t["embedding"]).astype(np.float64))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
         S = V @ self.Q.T  # (nb, nq)
         k = min(self.k, len(ids))
         top = np.argpartition(-S, k - 1, axis=0)[:k]  # (k, nq)
-        out = []
-        for q in range(self.Q.shape[0]):
-            rows = top[:, q]
-            out.append(
-                pd.DataFrame(
-                    {"query_id": q, "vec_id": ids[rows], "sim": S[rows, q]}
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        nq = self.Q.shape[0]
+        qcol = np.repeat(np.arange(nq, dtype=np.int64), k)
+        rows = top.T.reshape(-1)  # per-query candidate rows
+        return pa.table(
+            {
+                "query_id": qcol,
+                "vec_id": ids[rows],
+                "sim": S[rows, np.repeat(np.arange(nq), k)],
+            }
+        )
 
 
 def knn_bruteforce(
@@ -54,7 +105,7 @@ def knn_bruteforce(
     cands = emb.map_batches(
         _BatchTopK,
         fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
     )
@@ -105,14 +156,14 @@ def build_ivf(
         def __init__(self):
             self.C = ray.get(c_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-            batch = batch.copy()
-            batch["cluster"] = np.argmax(V @ self.C.T, axis=1).astype(np.int64)
-            return batch
+        def __call__(self, t: pa.Table) -> pa.Table:
+            V = _normalize(list_col_to_matrix(t["embedding"]).astype(np.float64))
+            return t.append_column(
+                "cluster", pa.array(np.argmax(V @ self.C.T, axis=1).astype(np.int64))
+            )
 
     return (
-        emb.map_batches(_Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 4)),
+        emb.map_batches(_Assign, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)),
         C,
     )
 
@@ -138,20 +189,15 @@ def build_ivf_index(
     os.makedirs(index_dir, exist_ok=True)
     assigned, C = build_ivf(emb, n_clusters=n_clusters, sample_size=sample_size, seed=seed)
 
-    def _write(g: pd.DataFrame) -> pd.DataFrame:
-        c = int(g["cluster"].iloc[0])
-        t = pa.table(
-            {
-                "vec_id": g["vec_id"].to_numpy(),
-                "embedding": list(np.stack(g["embedding"].to_numpy())),
-            }
-        )
+    def _write(g: pa.Table) -> pa.Table:
+        c = int(g["cluster"][0].as_py())
+        t = g.select(["vec_id", "embedding"])
         tmp = os.path.join(index_dir, f"cluster_{c}.parquet")
         pq.write_table(t, tmp + ".tmp")
         os.replace(tmp + ".tmp", tmp)
-        return pd.DataFrame({"cluster": [c], "n": [len(g)]})
+        return pa.table({"cluster": [c], "n": [t.num_rows]})
 
-    assigned.groupby("cluster").map_groups(_write, batch_format="pandas").count()
+    assigned.groupby("cluster").map_groups(_write, batch_format="pyarrow").count()
     np.save(os.path.join(index_dir, "centroids.npy"), C)
     return C
 
@@ -205,11 +251,11 @@ def knn_ivf(
             self.probe = ray.get(p_ref)
             self.k = k
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-            ids = batch["vec_id"].to_numpy()
-            clusters = batch["cluster"].to_numpy()
-            out = []
+        def __call__(self, t: pa.Table) -> pa.Table:
+            V = _normalize(list_col_to_matrix(t["embedding"]).astype(np.float64))
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            clusters = t["cluster"].to_numpy(zero_copy_only=False)
+            qs, vids, sims = [], [], []
             S = V @ self.Q.T
             for q in range(self.Q.shape[0]):
                 mask = np.isin(clusters, list(self.probe[q]))
@@ -217,17 +263,27 @@ def knn_ivf(
                     continue
                 s = S[mask, q]
                 sel = np.argsort(-s)[: self.k]
-                out.append(
-                    pd.DataFrame(
-                        {"query_id": q, "vec_id": ids[mask][sel], "sim": s[sel]}
-                    )
+                qs.append(np.full(len(sel), q, np.int64))
+                vids.append(ids[mask][sel])
+                sims.append(s[sel])
+            if not qs:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
                 )
-            if not out:
-                return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
-            return pd.concat(out, ignore_index=True)
+            return pa.table(
+                {
+                    "query_id": np.concatenate(qs),
+                    "vec_id": np.concatenate(vids),
+                    "sim": np.concatenate(sims),
+                }
+            )
 
     cands = assigned.map_batches(
-        _Probe, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        _Probe, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
