@@ -23,6 +23,24 @@ from graphlite_ray.programs import AggregatorSpec, ComputeOut, Ctx, Inbox, Verte
 from graphlite_ray.state.csr import CSRShard
 
 
+class Message:
+    """One raw delivered message (combiner="none"): the analog of the
+    reference's message node exposing the sender
+    (`include/GenericLinkIterator.h:43-50`, `include/Vertex.h:68-79`)."""
+
+    __slots__ = ("value", "src")
+
+    def __init__(self, value, src: int):
+        self.value = value
+        self.src = src
+
+    def getValue(self):
+        return self.value
+
+    def getSrc(self) -> int:
+        return self.src
+
+
 class VertexView:
     """The per-vertex handle passed to `compute` — mirrors the reference
     `Vertex` helpers (`include/Vertex.h:163-255`)."""
@@ -51,7 +69,10 @@ class VertexView:
         self._values[self._i] = v
 
     def messages(self):
-        """MessageIterator analog: iterate this superstep's message values."""
+        """MessageIterator analog: iterate this superstep's messages.
+        With combiner="none" each item is a `Message` (`.getValue()`,
+        `.getSrc()` — one item PER SENT MESSAGE, parallel edges included);
+        with a combiner it is the combined plain value."""
         return iter(self._msgs)
 
     def out_edges(self) -> np.ndarray:
@@ -74,6 +95,7 @@ class VertexView:
     def sendMessageTo(self, dst: int, value) -> None:
         self._prog._out_dst.append(dst)
         self._prog._out_val.append(value)
+        self._prog._out_src.append(self.getVertexId())
 
     def sendMessageToAllNeighbors(self, value) -> None:
         for d in self.out_edges():
@@ -94,7 +116,9 @@ class VertexView:
 class PerVertexProgram(VertexProgram):
     """Subclass and implement `compute(self, v: VertexView)`."""
 
-    combiner = "sum"  # delivery still combines unless set to "none"-like min
+    # "sum" combines on delivery (fast path); set combiner = "none" for the
+    # reference's raw one-item-per-message delivery with `Message.getSrc()`
+    combiner = "sum"
 
     def compute_vertex(self, v: VertexView) -> None:
         raise NotImplementedError
@@ -110,11 +134,19 @@ class PerVertexProgram(VertexProgram):
     def compute(self, ctx: Ctx, shard, values, active, inbox: Inbox):
         self._out_dst: list[int] = []
         self._out_val: list = []
+        self._out_src: list[int] = []
         self._aggr_local: dict = {}
         per_vertex_msgs: dict[int, list] = {}
         if not inbox.empty:
-            for i, val in zip(inbox.idx.tolist(), inbox.val.tolist()):
-                per_vertex_msgs.setdefault(i, []).append(val)
+            if self.combiner == "none" and inbox.src is not None:
+                # raw delivery: Message objects carrying the sender id
+                for i, s, val in zip(
+                    inbox.idx.tolist(), inbox.src.tolist(), inbox.val.tolist()
+                ):
+                    per_vertex_msgs.setdefault(i, []).append(Message(val, s))
+            else:
+                for i, val in zip(inbox.idx.tolist(), inbox.val.tolist()):
+                    per_vertex_msgs.setdefault(i, []).append(val)
         halted = np.zeros(shard.n, bool)
         for i in np.flatnonzero(active):
             v = VertexView(self, shard, values, int(i), ctx, per_vertex_msgs.get(int(i), []))
@@ -128,6 +160,8 @@ class PerVertexProgram(VertexProgram):
         if self._out_dst:
             out.out_dst = np.array(self._out_dst, np.int64)
             out.out_val = np.array(self._out_val)
+            if self.combiner == "none":
+                out.out_src = np.array(self._out_src, np.int64)
         return out
 
 

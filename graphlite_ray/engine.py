@@ -39,6 +39,7 @@ import ray
 import ray.data
 
 from graphlite_ray.programs import VertexProgram
+from graphlite_ray.state import storage
 from graphlite_ray.state.csr import load_graph_meta
 from graphlite_ray.worker import PartitionWorker
 
@@ -59,15 +60,17 @@ class BSPResult:
         (vertex_id:int64, value, active:bool) read from the final
         checkpoint — the analog of the reference OutputFormatter walk
         (`engine/OutputFormatter.cc:34-61`), but a streaming source."""
-        d = os.path.join(self.ckpt_dir, f"ss_{self.final_superstep}")
+        d = storage.join(self.ckpt_dir, f"ss_{self.final_superstep}")
         # endswith filter: a worker killed mid-checkpoint leaves atomic-write
         # temps ('values_pN.parquet.tmp.<pid>') that must never be read back
-        files = sorted(
-            os.path.join(d, f)
-            for f in os.listdir(d)
+        names = [
+            f
+            for f in storage.listdir(d)
             if f.startswith("values_p") and f.endswith(".parquet")
-        )
-        return ray.data.read_parquet(files)
+        ]
+        fs, dpath = storage.resolve(d)
+        files = sorted(f"{dpath.rstrip('/')}/{n}" for n in names)
+        return ray.data.read_parquet(files, filesystem=fs)
 
     @property
     def total_messages(self) -> int:
@@ -75,7 +78,7 @@ class BSPResult:
 
 
 def _manifest_path(ckpt_dir: str, ss: int) -> str:
-    return os.path.join(ckpt_dir, f"manifest_ss{ss}.json")
+    return storage.join(ckpt_dir, f"manifest_ss{ss}.json")
 
 
 def config_hash(program: VertexProgram, graph_dir: str, graph_meta: dict) -> str:
@@ -109,13 +112,12 @@ def latest_checkpoint(ckpt_dir: str, expect_hash: str | None = None) -> dict | N
     """Newest COMPLETE superstep manifest, or None (FIXTURES.md F6).
     With `expect_hash`, manifests from a different run configuration are
     ignored (pre-hash manifests never match and are likewise skipped)."""
-    if not os.path.isdir(ckpt_dir):
+    if not storage.isdir(ckpt_dir):
         return None
     best = None
-    for f in os.listdir(ckpt_dir):
+    for f in storage.listdir(ckpt_dir):
         if f.startswith("manifest_ss") and f.endswith(".json"):
-            with open(os.path.join(ckpt_dir, f)) as fh:
-                m = json.load(fh)
+            m = storage.read_json(storage.join(ckpt_dir, f))
             if not m.get("complete"):
                 continue
             if expect_hash is not None and m.get("config_hash") != expect_hash:
@@ -147,11 +149,12 @@ def run_bsp(
     bound re-work), up to ``actor_restarts`` times. The reference hangs or
     dies in this case (SURVEY.md §4 retries row).
     """
+    program.master_init(load_graph_meta(graph_dir))  # Graph::init analog
     actor_restarts = 2
     attempt = 0
     while True:
         try:
-            return _run_bsp_attempt(
+            result = _run_bsp_attempt(
                 program,
                 graph_dir,
                 ckpt_dir,
@@ -159,6 +162,8 @@ def run_bsp(
                 ckpt_every=ckpt_every,
                 resume=resume or attempt > 0,
             )
+            program.master_term(result)  # Graph::term analog
+            return result
         except ray.exceptions.RayActorError:
             attempt += 1
             if attempt > actor_restarts:
@@ -175,7 +180,7 @@ def _run_bsp_attempt(
 ) -> BSPResult:
     meta = load_graph_meta(graph_dir)
     P = int(meta["P"])
-    os.makedirs(ckpt_dir, exist_ok=True)
+    storage.makedirs(ckpt_dir)
 
     if program.max_supersteps is not None:
         max_supersteps = min(max_supersteps, program.max_supersteps)
@@ -226,7 +231,10 @@ def _superstep_loop(
     P = len(workers)
     if restore_from is not None:
         ray.get([w.restore.remote(restore_from["superstep"], ckpt_dir) for w in workers])
-        aggr_global = restore_from["aggr_global"]
+        aggr_global = {
+            k: (specs[k].from_json(v) if k in specs else v)
+            for k, v in restore_from["aggr_global"].items()
+        }
         start_ss = restore_from["superstep"] + 1
         use_restored = True
 
@@ -280,16 +288,16 @@ def _superstep_loop(
                 "graph_meta": meta,
                 "superstep": ss,
                 "halted": halted,
-                "aggr_global": aggr_global,
+                "aggr_global": {
+                    k: (specs[k].to_json(v) if k in specs else v)
+                    for k, v in aggr_global.items()
+                },
                 "totals": totals,
                 "per_partition": part_stats,
                 "parent_superstep": start_ss - 1 if ss == start_ss else ss - 1,
                 "complete": True,
             }
-            tmp = _manifest_path(ckpt_dir, ss) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, _manifest_path(ckpt_dir, ss))
+            storage.write_json_atomic(manifest, _manifest_path(ckpt_dir, ss))
 
         if halted:
             break

@@ -29,6 +29,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from graphlite_ray.state import storage
+
 _FNV = np.uint64(1099511628211)
 
 
@@ -65,7 +67,7 @@ def write_bucketed(
     ds: "ray.data.Dataset", key_col: str, B: int, out_dir: str, columns: list[str] | None = None
 ) -> str:
     """Partition `ds` by key % B into one parquet file per bucket."""
-    os.makedirs(out_dir, exist_ok=True)
+    storage.makedirs(out_dir)
 
     def _tag(t: pa.Table) -> pa.Table:
         k = t[key_col].to_numpy(zero_copy_only=False)
@@ -76,9 +78,7 @@ def write_bucketed(
         g = g.drop_columns(["__bucket"])
         if columns:
             g = g.select(columns)
-        tmp = os.path.join(out_dir, f"bucket_{b}.parquet")
-        pq.write_table(g, tmp + ".tmp")
-        os.replace(tmp + ".tmp", tmp)
+        storage.write_table_atomic(g, storage.join(out_dir, f"bucket_{b}.parquet"))
         return pa.table({"bucket": [b], "rows": [g.num_rows]})
 
     (
@@ -108,10 +108,10 @@ def attach_from_bucketed(
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["__bucket"].iloc[0])
         g = g.drop(columns="__bucket")
-        path = os.path.join(bucketed_dir, f"bucket_{b}.parquet")
-        if not os.path.exists(path):
+        path = storage.join(bucketed_dir, f"bucket_{b}.parquet")
+        if not storage.exists(path):
             return g.iloc[0:0] if how == "inner" else g
-        right = pq.read_table(path).to_pandas()
+        right = storage.read_table(path).to_pandas()
         return g.merge(right, left_on=key_col, right_on=right_key, how=how)
 
     return (
@@ -135,7 +135,7 @@ def anti_join_bucketed(
     drops rows whose key appears in its single co-partitioned bucket file.
     No driver-side key set — both sides stream (the scale path the
     broadcast anti-join gates into)."""
-    keys_dir = os.path.join(work_dir, "anti_keys")
+    keys_dir = storage.join(work_dir, "anti_keys")
 
     def _keys(t: pa.Table) -> pa.Table:
         k = np.unique(t[right_key].to_numpy(zero_copy_only=False))
@@ -152,10 +152,10 @@ def anti_join_bucketed(
     def _drop_matched(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["__bucket"].iloc[0])
         g = g.drop(columns="__bucket")
-        path = os.path.join(keys_dir, f"bucket_{b}.parquet")
-        if not os.path.exists(path):
+        path = storage.join(keys_dir, f"bucket_{b}.parquet")
+        if not storage.exists(path):
             return g
-        keys = pq.read_table(path)[right_key].to_numpy(zero_copy_only=False)
+        keys = storage.read_table(path)[right_key].to_numpy(zero_copy_only=False)
         return g[~g[left_key].isin(keys)]
 
     return (

@@ -32,16 +32,16 @@ from graphlite_ray.stages.extract import (
     assign_ids_batch,
     extract_links_batch,
 )
+from graphlite_ray.state import storage
 from graphlite_ray.state.csr import build_graph_shards, load_graph_meta
 
 
 def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return storage.exists(storage.join(path, "_SUCCESS"))
 
 
 def _mark_done(path: str) -> None:
-    with open(os.path.join(path, "_SUCCESS"), "w") as f:
-        f.write("ok")
+    storage.write_text(storage.join(path, "_SUCCESS"), "ok")
 
 
 def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
@@ -51,17 +51,15 @@ def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
     extract anchors, hash urls to ids. The edge table is persisted before
     the CSR build so downstream stages re-read Parquet instead of
     re-running extraction (lineage + resume)."""
-    edges_dir = os.path.join(work_dir, "edges")
+    edges_dir = storage.join(work_dir, "edges")
     if _done(edges_dir):
         return edges_dir
-    if os.path.isdir(edges_dir):
+    if storage.isdir(edges_dir):
         # a previous run crashed mid-write (no _SUCCESS): Ray's UUID-named
         # output files would otherwise accumulate and a resumed build would
         # read duplicated edge rows — clear the partial stage first
-        import shutil
-
-        shutil.rmtree(edges_dir)
-    os.makedirs(edges_dir, exist_ok=True)
+        storage.rmtree(edges_dir)
+    storage.makedirs(edges_dir)
     # ONE extraction pass writes the staging table (src, dst, src_url,
     # dst_url); every consumer re-reads it with column pruning (edges need
     # 2 of 4 columns), so extraction cost is paid exactly once.
@@ -107,9 +105,7 @@ def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
                 ),
             }
         )
-        tmp = os.path.join(work_dir, f"urlmap_p{p}.parquet")
-        pq.write_table(t, tmp + ".tmp")
-        os.replace(tmp + ".tmp", tmp)
+        storage.write_table_atomic(t, storage.join(work_dir, f"urlmap_p{p}.parquet"))
         return pa.table({"part": [p], "n": [t.num_rows]})
 
     (
@@ -125,7 +121,7 @@ def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
 def prepare_graph(pages_dir: str, work_dir: str, P: int, symmetrize: bool = False) -> str:
     """Stage 2: edge table -> CSR shards (hash-partitioned by src % P)."""
     edges_dir = prepare_edges(pages_dir, work_dir, P)
-    graph_dir = os.path.join(work_dir, "graph_sym" if symmetrize else "graph")
+    graph_dir = storage.join(work_dir, "graph_sym" if symmetrize else "graph")
     if _done(graph_dir):
         return graph_dir
     edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"])
@@ -149,7 +145,7 @@ def run_algorithm(
         BUILTIN_PROGRAMS[algo](**program_kwargs) if isinstance(algo, str) else algo
     )
     graph_dir = prepare_graph(pages_dir, work_dir, P, symmetrize=program.symmetrize)
-    ckpt_dir = os.path.join(work_dir, f"ckpt_{program.name}")
+    ckpt_dir = storage.join(work_dir, f"ckpt_{program.name}")
     return run_bsp(
         program,
         graph_dir,
@@ -188,7 +184,7 @@ def run_on_edges(
 
         w64 = np.asarray(weights, np.float64)
         suffix += "_w" + hashlib.blake2b(w64.tobytes(), digest_size=6).hexdigest()
-    graph_dir = os.path.join(work_dir, suffix)
+    graph_dir = storage.join(work_dir, suffix)
     if not _done(graph_dir):
         cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
         if weights is not None:
@@ -196,7 +192,7 @@ def run_on_edges(
         edges = ray.data.from_arrow(pa.table(cols))
         build_graph_shards(edges, P, graph_dir, symmetrize=program.symmetrize)
         _mark_done(graph_dir)
-    ckpt_dir = os.path.join(work_dir, f"ckpt_{program.name}")
+    ckpt_dir = storage.join(work_dir, f"ckpt_{program.name}")
     return run_bsp(
         program,
         graph_dir,
@@ -226,11 +222,11 @@ def run_on_edge_dataset(
         BUILTIN_PROGRAMS[algo](**program_kwargs) if isinstance(algo, str) else algo
     )
     suffix = ("graph_sym" if program.symmetrize else "graph") + (f"_{tag}" if tag else "")
-    graph_dir = os.path.join(work_dir, suffix)
+    graph_dir = storage.join(work_dir, suffix)
     if not _done(graph_dir):
         build_graph_shards(edges, P, graph_dir, symmetrize=program.symmetrize)
         _mark_done(graph_dir)
-    ckpt_dir = os.path.join(work_dir, f"ckpt_{program.name}")
+    ckpt_dir = storage.join(work_dir, f"ckpt_{program.name}")
     return run_bsp(
         program,
         graph_dir,
@@ -248,20 +244,20 @@ class _JoinUrls:
 
     def __init__(self, work_dir: str, ckpt_dir: str, final_ss: int):
         self.work_dir = work_dir
-        self.values_dir = os.path.join(ckpt_dir, f"ss_{final_ss}")
+        self.values_dir = storage.join(ckpt_dir, f"ss_{final_ss}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = []
         for p in batch["part"].to_pylist():
-            vpath = os.path.join(self.values_dir, f"values_p{p}.parquet")
-            upath = os.path.join(self.work_dir, f"urlmap_p{p}.parquet")
-            if not os.path.exists(vpath):
+            vpath = storage.join(self.values_dir, f"values_p{p}.parquet")
+            upath = storage.join(self.work_dir, f"urlmap_p{p}.parquet")
+            if not storage.exists(vpath):
                 continue
-            vt = pq.read_table(vpath)
+            vt = storage.read_table(vpath)
             vids = vt["vertex_id"].to_numpy(zero_copy_only=False)
             matched = np.full(len(vids), None, object)
-            if os.path.exists(upath):
-                ut = pq.read_table(upath)
+            if storage.exists(upath):
+                ut = storage.read_table(upath)
                 uvids = ut["vertex_id"].to_numpy(zero_copy_only=False)
                 if len(uvids):
                     urls_np = ut["url"].to_numpy(zero_copy_only=False)
@@ -292,9 +288,9 @@ def result_with_urls(result: BSPResult, work_dir: str) -> "ray.data.Dataset":
     """BSP result -> Dataset (vertex_id, url, value), distributed per-part."""
     meta = None
     for g in ("graph", "graph_sym"):
-        p = os.path.join(work_dir, g, "meta.json")
-        if os.path.exists(p):
-            meta = load_graph_meta(os.path.join(work_dir, g))
+        p = storage.join(work_dir, g, "meta.json")
+        if storage.exists(p):
+            meta = load_graph_meta(storage.join(work_dir, g))
             break
     P = meta["P"] if meta else 8
     parts = ray.data.from_items([{"part": p} for p in range(P)])

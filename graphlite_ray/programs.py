@@ -26,6 +26,12 @@ required for skew at web scale — SURVEY.md §4) declared per program:
   "sum"         messages (dst, float val)        -> sum per dst
   "min"         messages (dst, int val)          -> min per dst
   "sum_by_key"  messages (dst, int key, int cnt) -> sum cnt per (dst, key)
+  "none"        messages (dst, src, val) delivered RAW, one row per sent
+                message with the sender id — the reference's exact delivery
+                model (`include/GenericLinkIterator.h:43-50` exposes the
+                sender via the message list; `include/Vertex.h:68-79`).
+                Required for non-commutative per-vertex programs and for
+                `MessageIterator.getSrc()` in the compat shim.
 Reactivation still works because a combined row proves >=1 message.
 """
 
@@ -43,20 +49,37 @@ PAGERANK_EPS = 1e-6
 
 @dataclass
 class AggregatorSpec:
-    """Analog of the reference `Aggregator<T>` (`include/Aggregator.h:45-61`):
-    per-superstep partial ("local") values merged to a global that becomes
-    visible to compute() in the NEXT superstep (the ss k -> k+1 off-by-one,
-    `example/PageRankVertex.cc:152-157` — tested explicitly)."""
+    """Analog of the reference `Aggregator<T>` (`include/Aggregator.h:45-61`,
+    opaque user value types with a user `merge` — `include/AggregatorBase.h:
+    44-84`): per-superstep partial ("local") values merged to a global that
+    becomes visible to compute() in the NEXT superstep (the ss k -> k+1
+    off-by-one, `example/PageRankVertex.cc:152-157` — tested explicitly).
 
-    init: float
-    op: str = "sum"  # sum | min | max
+    Scalars use `op`; ARBITRARY value types pass a commutative/associative
+    `merge_fn` (e.g. dict-of-counts union, (min, argmin) tuples). Globals
+    are checkpointed into the JSON manifest: non-JSON types must provide
+    `encode`/`decode` (init/merged values -> JSON value and back)."""
+
+    init: object
+    op: str = "sum"  # sum | min | max (ignored when merge_fn is set)
+    merge_fn: object = None      # Callable[[T, T], T] | None
+    encode: object = None        # Callable[[T], json] | None
+    decode: object = None        # Callable[[json], T] | None
 
     def merge(self, a, b):
+        if self.merge_fn is not None:
+            return self.merge_fn(a, b)
         if self.op == "sum":
             return a + b
         if self.op == "min":
             return min(a, b)
         return max(a, b)
+
+    def to_json(self, v):
+        return self.encode(v) if self.encode is not None else v
+
+    def from_json(self, v):
+        return self.decode(v) if self.decode is not None else v
 
 
 @dataclass
@@ -72,9 +95,10 @@ class Ctx:
 class Inbox:
     """Post-delivery, partition-locally combined incoming messages."""
 
-    idx: np.ndarray                      # local vertex rows that received >=1 msg (unique for sum/min)
+    idx: np.ndarray                      # local vertex rows that received >=1 msg (unique for sum/min; one row PER MESSAGE for "none")
     val: np.ndarray                      # combined payload (sum/min) — or counts for sum_by_key
     key: Optional[np.ndarray] = None     # sum_by_key only: one row per (idx, key)
+    src: Optional[np.ndarray] = None     # "none" only: global sender id per message
 
     @property
     def empty(self) -> bool:
@@ -90,6 +114,7 @@ class ComputeOut:
     out_dst: Optional[np.ndarray] = None       # global dst ids of sent messages
     out_val: Optional[np.ndarray] = None       # payload
     out_key: Optional[np.ndarray] = None       # sum_by_key payload
+    out_src: Optional[np.ndarray] = None       # "none" combiner: global sender id per message
     aggr: dict = field(default_factory=dict)   # aggregator partials
     sent: int = 0                              # logical message count (pre-combine)
 
@@ -125,6 +150,18 @@ class VertexProgram:
         `include/Graph.h:147-149`)."""
         return False
 
+    def master_init(self, graph_meta: dict) -> None:
+        """Job-start lifecycle hook (analog of `Graph::init`,
+        `include/Graph.h:133-143`): runs ONCE on the driver before workers
+        are created — state set here ships to every partition actor with
+        the program object."""
+
+    def master_term(self, result) -> None:
+        """Job-end lifecycle hook (analog of `Graph::term`,
+        `include/Graph.h:145-152`): runs ONCE on the driver with the
+        `BSPResult` after termination (including a resume that finds the
+        run already complete)."""
+
 
 def _scatter_to_neighbors(shard: CSRShard, per_vertex_val: np.ndarray, sender_mask: np.ndarray):
     """sendMessageToAllNeighbors, vectorized (`engine/Node.cc:139-145`):
@@ -133,6 +170,19 @@ def _scatter_to_neighbors(shard: CSRShard, per_vertex_val: np.ndarray, sender_ma
         return np.empty(0, np.int64), np.empty(0, per_vertex_val.dtype)
     emask = sender_mask[shard.edge_src_local]
     return shard.indices[emask], per_vertex_val[shard.edge_src_local[emask]]
+
+
+def scatter_to_neighbors_with_src(
+    shard: CSRShard, per_vertex_val: np.ndarray, sender_mask: np.ndarray
+):
+    """Vectorized sendMessageToAllNeighbors for combiner="none" programs:
+    -> (dst_global, src_global, val) one row per edge message."""
+    if shard.nnz == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), np.empty(0, per_vertex_val.dtype)
+    emask = sender_mask[shard.edge_src_local]
+    src_local = shard.edge_src_local[emask]
+    return shard.indices[emask], shard.vids[src_local], per_vertex_val[src_local]
 
 
 class PageRank(VertexProgram):

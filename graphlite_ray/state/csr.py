@@ -35,16 +35,15 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from graphlite_ray.state import storage
+
 
 def part_of(ids: np.ndarray, P: int) -> np.ndarray:
     """Partition function: id % P (ids are non-negative int64)."""
     return ids % np.int64(P)
 
 
-def _atomic_write_table(table: pa.Table, path: str) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+_atomic_write_table = storage.write_table_atomic
 
 
 def build_graph_shards(
@@ -66,7 +65,7 @@ def build_graph_shards(
     semantics for CC/LPA — documented deviation; the reference computes
     nothing but PageRank).
     """
-    os.makedirs(graph_dir, exist_ok=True)
+    storage.makedirs(graph_dir)
 
     schema = edges.schema()
     has_weight = schema is not None and "weight" in schema.names
@@ -109,11 +108,11 @@ def build_graph_shards(
         if has_weight:
             ecols["weight"] = g["w"].to_numpy(zero_copy_only=False)[emask][order]
         _atomic_write_table(
-            pa.table(ecols), os.path.join(graph_dir, f"edges_p{p}.parquet")
+            pa.table(ecols), storage.join(graph_dir, f"edges_p{p}.parquet")
         )
         vids = np.unique(a[~emask])
         _atomic_write_table(
-            pa.table({"vid": vids}), os.path.join(graph_dir, f"verts_p{p}.parquet")
+            pa.table({"vid": vids}), storage.join(graph_dir, f"verts_p{p}.parquet")
         )
         return pa.table({"part": [p], "n_edges": [len(src)], "n_vertices": [len(vids)]})
 
@@ -130,16 +129,12 @@ def build_graph_shards(
         "n_edges": int(sum(r["n_edges"] for r in stats)),
         "n_vertices": int(sum(r["n_vertices"] for r in stats)),
     }
-    tmp = os.path.join(graph_dir, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(graph_dir, "meta.json"))
+    storage.write_json_atomic(meta, storage.join(graph_dir, "meta.json"))
     return meta
 
 
 def load_graph_meta(graph_dir: str) -> dict:
-    with open(os.path.join(graph_dir, "meta.json")) as f:
-        return json.load(f)
+    return storage.read_json(storage.join(graph_dir, "meta.json"))
 
 
 @dataclass
@@ -189,15 +184,15 @@ class CSRShard:
 
     @staticmethod
     def load(graph_dir: str, part_id: int, P: int) -> "CSRShard":
-        vpath = os.path.join(graph_dir, f"verts_p{part_id}.parquet")
-        epath = os.path.join(graph_dir, f"edges_p{part_id}.parquet")
-        if os.path.exists(vpath):
-            vids = pq.read_table(vpath)["vid"].to_numpy(zero_copy_only=False)
+        vpath = storage.join(graph_dir, f"verts_p{part_id}.parquet")
+        epath = storage.join(graph_dir, f"edges_p{part_id}.parquet")
+        if storage.exists(vpath):
+            vids = storage.read_table(vpath)["vid"].to_numpy(zero_copy_only=False)
         else:  # empty partition
             vids = np.empty(0, np.int64)
         weights = None
-        if os.path.exists(epath):
-            et = pq.read_table(epath)
+        if storage.exists(epath):
+            et = storage.read_table(epath)
             e_src = et["src"].to_numpy(zero_copy_only=False)
             indices = et["dst"].to_numpy(zero_copy_only=False)
             if "weight" in et.column_names:

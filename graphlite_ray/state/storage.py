@@ -1,0 +1,113 @@
+"""Storage abstraction for all engine state (CSR shards, checkpoints,
+manifests, url maps, bucketed join files).
+
+The reference reads HDFS through libhdfs (`engine/InputFormatter.cc:34-80`);
+our multi-node analog is pyarrow's FileSystem: every state path may be a
+plain local path OR a filesystem URI (`file:///...`, `s3://...`, ...).
+All writers/readers in the engine go through these helpers, so pointing a
+work/graph/checkpoint dir at shared storage is a path-string change, not a
+code change — the multi-node requirement (every actor must see every
+shard/checkpoint) stops being an implicit shared-/tmp assumption.
+
+Atomicity: local filesystems get write-temp-then-rename; object stores get
+a direct single PUT (atomic by the store's semantics — no rename exists).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyarrow import fs as pafs
+
+
+def resolve(path: str) -> tuple["pafs.FileSystem", str]:
+    """Path or URI -> (filesystem, fs-local path)."""
+    p = str(path)
+    if "://" in p:
+        return pafs.FileSystem.from_uri(p)
+    return pafs.LocalFileSystem(), p
+
+
+def is_uri(path: str) -> bool:
+    return "://" in str(path)
+
+
+def join(path: str, *parts: str) -> str:
+    """URI-safe path join (posix separators inside URIs)."""
+    if is_uri(path):
+        return posixpath.join(path, *parts)
+    return os.path.join(path, *parts)
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def isdir(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type == pafs.FileType.Directory
+
+
+def makedirs(path: str) -> None:
+    fs, p = resolve(path)
+    fs.create_dir(p, recursive=True)
+
+
+def rmtree(path: str) -> None:
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type != pafs.FileType.NotFound:
+        fs.delete_dir(p)
+
+
+def listdir(path: str) -> list[str]:
+    """Base names of the directory's entries ([] when absent)."""
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        return []
+    sel = pafs.FileSelector(p, recursive=False)
+    return sorted(os.path.basename(fi.path.rstrip("/")) for fi in fs.get_file_info(sel))
+
+
+def write_table_atomic(table: pa.Table, path: str) -> None:
+    fs, p = resolve(path)
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = f"{p}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, p)
+    else:  # object stores: a completed PUT is atomic; no rename primitive
+        pq.write_table(table, p, filesystem=fs)
+
+
+def read_table(path: str, columns=None) -> pa.Table:
+    fs, p = resolve(path)
+    return pq.read_table(p, filesystem=fs, columns=columns)
+
+
+def write_json_atomic(obj, path: str) -> None:
+    fs, p = resolve(path)
+    data = json.dumps(obj).encode()
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, p)
+    else:
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+
+
+def read_json(path: str):
+    fs, p = resolve(path)
+    with fs.open_input_stream(p) as f:
+        return json.loads(f.read().decode())
+
+
+def write_text(path: str, text: str) -> None:
+    fs, p = resolve(path)
+    with fs.open_output_stream(p) as f:
+        f.write(text.encode())

@@ -18,6 +18,8 @@ build, output) remain Ray Data pipelines (SURVEY.md §7.4 point 1).
 Message blocks between partitions are numpy-array tuples:
     combiner "sum"/"min":   (dst_global:int64, val)
     combiner "sum_by_key":  (dst_global:int64, key:int64, cnt:int64)
+    combiner "none":        (dst_global:int64, src_global:int64, val) — RAW,
+                            one row per message, sender id preserved
 
 Routing: each producer returns ONE grouped message object per superstep — a
 dict {dest_partition: block} — and the driver hands every destination the
@@ -34,7 +36,7 @@ and combine semantics are identical.
 
 from __future__ import annotations
 
-import glob
+import fnmatch
 import os
 import time
 
@@ -43,6 +45,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from graphlite_ray.programs import Ctx, Inbox, VertexProgram
+from graphlite_ray.state import storage
 from graphlite_ray.state.csr import CSRShard
 
 
@@ -133,7 +136,13 @@ class PartitionWorker:
             dst = np.concatenate([b[0] for b in blocks])
             recv = int(len(dst))
             idx = self.shard.local_index(dst)
-            if combiner == "sum_by_key":
+            if combiner == "none":
+                # raw delivery: one inbox row per message, sender preserved
+                src = np.concatenate([b[1] for b in blocks])
+                val = np.concatenate([b[2] for b in blocks])
+                inbox = Inbox(idx=idx, val=val, src=src)
+                self.active[np.unique(idx)] = True
+            elif combiner == "sum_by_key":
                 key = np.concatenate([b[1] for b in blocks])
                 cnt = np.concatenate([b[2] for b in blocks])
                 i2, k2, c2 = combine_sum_by_key(idx, key, cnt)
@@ -172,7 +181,9 @@ class PartitionWorker:
         #    addition, legal per SURVEY.md §2.12, vital for hub skew §4)
         blocks_out: dict[int, tuple] = {}
         if out.out_dst is not None and len(out.out_dst):
-            if combiner == "sum_by_key":
+            if combiner == "none":
+                payload = (out.out_dst, out.out_src, out.out_val)  # uncombined
+            elif combiner == "sum_by_key":
                 d, k, c = combine_sum_by_key(out.out_dst, out.out_key, out.out_val)
                 payload = (d, k, c)
             else:
@@ -203,8 +214,8 @@ class PartitionWorker:
     # -- checkpoint / restore (north rule; reference has none — SURVEY.md §4)
 
     def checkpoint(self, superstep: int, ckpt_dir: str) -> dict:
-        d = os.path.join(ckpt_dir, f"ss_{superstep}")
-        os.makedirs(d, exist_ok=True)
+        d = storage.join(ckpt_dir, f"ss_{superstep}")
+        storage.makedirs(d)
         vt = pa.table(
             {
                 "vertex_id": self.shard.vids,
@@ -212,15 +223,17 @@ class PartitionWorker:
                 "active": self.active,
             }
         )
-        _atomic(vt, os.path.join(d, f"values_p{self.part_id}.parquet"))
+        _atomic(vt, storage.join(d, f"values_p{self.part_id}.parquet"))
         n_msg_rows = 0
         for j, b in self.last_out.items():
-            path = os.path.join(d, f"msgs_s{self.part_id}_d{j}.parquet")
+            path = storage.join(d, f"msgs_s{self.part_id}_d{j}.parquet")
             if b is None:
                 continue
             cols = {"dst": b[0]}
             if self.program.combiner == "sum_by_key":
                 cols["key"], cols["cnt"] = b[1], b[2]
+            elif self.program.combiner == "none":
+                cols["src"], cols["val"] = b[1], b[2]
             else:
                 cols["val"] = b[1]
             _atomic(pa.table(cols), path)
@@ -228,22 +241,31 @@ class PartitionWorker:
         return {"part": self.part_id, "n_vertices": self.shard.n, "msg_rows": n_msg_rows}
 
     def restore(self, superstep: int, ckpt_dir: str) -> int:
-        d = os.path.join(ckpt_dir, f"ss_{superstep}")
-        vt = pq.read_table(os.path.join(d, f"values_p{self.part_id}.parquet"))
+        d = storage.join(ckpt_dir, f"ss_{superstep}")
+        vt = storage.read_table(storage.join(d, f"values_p{self.part_id}.parquet"))
         vids = vt["vertex_id"].to_numpy(zero_copy_only=False)
         rows = self.shard.local_index(vids)
         self.values[rows] = vt["value"].to_numpy(zero_copy_only=False)
         self.active[:] = False
         self.active[rows] = vt["active"].to_numpy(zero_copy_only=False)
         blocks = []
-        for path in sorted(glob.glob(os.path.join(d, f"msgs_s*_d{self.part_id}.parquet"))):
-            t = pq.read_table(path)
+        names = fnmatch.filter(storage.listdir(d), f"msgs_s*_d{self.part_id}.parquet")
+        for name in sorted(names):
+            t = storage.read_table(storage.join(d, name))
             if self.program.combiner == "sum_by_key":
                 blocks.append(
                     (
                         t["dst"].to_numpy(zero_copy_only=False),
                         t["key"].to_numpy(zero_copy_only=False),
                         t["cnt"].to_numpy(zero_copy_only=False),
+                    )
+                )
+            elif self.program.combiner == "none":
+                blocks.append(
+                    (
+                        t["dst"].to_numpy(zero_copy_only=False),
+                        t["src"].to_numpy(zero_copy_only=False),
+                        t["val"].to_numpy(zero_copy_only=False),
                     )
                 )
             else:
@@ -257,7 +279,4 @@ class PartitionWorker:
         return sum(len(b[0]) for b in blocks)
 
 
-def _atomic(table: pa.Table, path: str) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+_atomic = storage.write_table_atomic

@@ -108,6 +108,204 @@ def test_embedding_near_dup_exact_planted():
     assert got == want and (20, 21) in got
 
 
+class SenderSum(__import__("graphlite_ray.compat", fromlist=["PerVertexProgram"]).PerVertexProgram):
+    """Raw-delivery test program: at ss0 every vertex messages all its
+    out-neighbors; at ss1 each receiver sums the SENDER IDS of every
+    delivered message (parallel edges must deliver duplicates — the
+    reference's uncombined semantics, `include/Vertex.h:68-79`)."""
+
+    name = "sender_sum"
+    combiner = "none"
+
+    def init_value(self, vid):
+        return 0.0
+
+    def compute_vertex(self, v):
+        if v.getSuperstep() == 0:
+            v.sendMessageToAllNeighbors(1.0)
+        else:
+            s = 0.0
+            for m in v.messages():
+                s += float(m.getSrc()) * m.getValue()
+            v.setValue(s)
+        v.voteToHalt()
+
+
+def test_raw_delivery_exposes_sender_ids(work_dir):
+    # ids 1..4; parallel edge 1->2 twice; self-contained hand oracle
+    src = np.array([1, 1, 2, 3, 4], np.int64)
+    dst = np.array([2, 2, 3, 1, 1], np.int64)
+    res = run_on_edges(SenderSum(), src, dst, work_dir, P=3)
+    assert res.halted
+    vals = {r["vertex_id"]: r["value"] for r in res.values().take_all()}
+    # per-dst sum of sender ids, one term PER EDGE (duplicates preserved)
+    want = {1: 3.0 + 4.0, 2: 1.0 + 1.0, 3: 2.0, 4: 0.0}
+    assert vals == want
+
+
+def test_raw_pagerank_matches_combined(work_dir):
+    """PageRank computed with uncombined Message delivery must equal the
+    vectorized sum-combined engine (combining is semantically neutral)."""
+    from graphlite_ray.compat import Message, PageRankPerVertex
+
+    class RawPageRank(PageRankPerVertex):
+        name = "pagerank_raw"
+        combiner = "none"
+
+        def compute_vertex(self, v):
+            if v.getSuperstep() == 0:
+                val = 1.0
+            else:
+                if v.getSuperstep() >= 2 and v.getAggrGlobal("delta") < 1e-6:
+                    v.voteToHalt()
+                    return
+                s = 0.0
+                for m in v.messages():
+                    assert isinstance(m, Message)
+                    s += m.getValue()
+                val = 0.15 + 0.85 * s
+                v.accumulateAggr("delta", abs(v.getValue() - val))
+            v.setValue(val)
+            n = v.getOutEdgeCount()
+            if n > 0:
+                v.sendMessageToAllNeighbors(val / n)
+
+    from graphlite_ray.sources.edgelist import TINYGRAPH, TINYGRAPH_PAGERANK, read_edgelist
+
+    n, src, dst = read_edgelist(TINYGRAPH)
+    res = run_on_edges(RawPageRank(), src, dst, work_dir, P=3)
+    assert res.halted
+    vals = {r["vertex_id"]: r["value"] for r in res.values().take_all()}
+    for vid, golden in TINYGRAPH_PAGERANK.items():
+        assert vals[vid] == pytest.approx(golden, abs=1e-6)
+
+
+def test_storage_uri_root_end_to_end(work_dir):
+    """The whole engine (CSR build, checkpoints, manifests, resume) runs
+    against a pyarrow-filesystem URI root, not just plain local paths —
+    the reference's HDFS story (`engine/InputFormatter.cc:34-80`) mapped
+    onto pyarrow fs: pointing at shared storage is a path-string change."""
+    uri_root = "file://" + work_dir + "/uri_work"
+    src = np.array([0, 1, 2, 3], np.int64)
+    dst = np.array([1, 2, 3, 0], np.int64)
+    r1 = run_on_edges("sssp", src, dst, uri_root, P=2, resume=True, source=0)
+    assert r1.halted
+    v1 = r1.values().to_pandas().set_index("vertex_id")["value"]
+    assert v1[3] == 3.0
+    # resume through the URI root finds the completed manifest
+    r2 = run_on_edges("sssp", src, dst, uri_root, P=2, resume=True, source=0)
+    assert r2.supersteps_run == 0 and r2.final_superstep == r1.final_superstep
+    # state physically landed under the plain path the URI names
+    assert os.path.exists(os.path.join(work_dir, "uri_work", "graph", "meta.json"))
+
+
+def test_storage_bucketed_join_uri_root(work_dir):
+    from graphlite_ray.pipelines.joins import attach_from_bucketed, write_bucketed
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "x": pa.array([10, 20, 30, 40], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k2": pa.array([2, 4], pa.int64()), "y": pa.array([200, 400], pa.int64())})
+    )
+    uri_dir = "file://" + work_dir + "/buckets"
+    write_bucketed(right, "k2", 4, uri_dir)
+    out = attach_from_bucketed(left, "k", uri_dir, 4, "k2").to_pandas()
+    assert sorted(zip(out["k"], out["y"])) == [(2, 200), (4, 400)]
+
+
+def _merge_pairmin(a, b):
+    return min(tuple(a), tuple(b))
+
+
+def _merge_hist(a, b):
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return out
+
+
+class DegStats(__import__("graphlite_ray.programs", fromlist=["VertexProgram"]).VertexProgram):
+    """Arbitrary-TYPED aggregators (reference `AggregatorBase` opaque user
+    values, include/AggregatorBase.h:44-84): a (deg, vid) argmin tuple and
+    a degree histogram dict, merged by user merge fns. At ss1 the compute
+    asserts the ss0 globals arrived merged (k -> k+1 visibility) and with
+    the right TYPES (tuple survives the JSON manifest via encode/decode)."""
+
+    name = "degstats"
+    combiner = "sum"
+
+    def aggregators(self):
+        from graphlite_ray.programs import AggregatorSpec
+
+        return {
+            "argmin_deg": AggregatorSpec(
+                init=(float("inf"), -1),
+                merge_fn=_merge_pairmin,
+                encode=list,
+                decode=lambda v: tuple(v),
+            ),
+            "deg_hist": AggregatorSpec(init={}, merge_fn=_merge_hist),
+        }
+
+    def init_values(self, shard):
+        return np.zeros(shard.n, np.float64)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        from graphlite_ray.programs import ComputeOut
+
+        out = ComputeOut()
+        if ctx.superstep == 0:
+            pairs = [(int(d), int(v)) for d, v in zip(shard.out_deg, shard.vids)]
+            out.aggr["argmin_deg"] = min(pairs) if pairs else (float("inf"), -1)
+            hist = {}
+            for d in shard.out_deg:
+                hist[str(int(d))] = hist.get(str(int(d)), 0) + 1
+            out.aggr["deg_hist"] = hist
+        else:
+            am = ctx.aggr_global["argmin_deg"]
+            assert isinstance(am, tuple), f"tuple lost through manifest: {am!r}"
+            values[:] = float(am[0])
+            out.halted = active.copy()
+        return out
+
+
+def test_typed_aggregators_merge_and_survive_restore(work_dir):
+    src = np.array([0, 0, 0, 1, 2], np.int64)
+    dst = np.array([1, 2, 3, 2, 3], np.int64)
+    # stop after ss0 so the manifest (with encoded aggregators) is the only
+    # carrier of the globals, then resume: decode path must restore types
+    r1 = run_on_edges(DegStats(), src, dst, work_dir, P=2, max_supersteps=1)
+    assert r1.aggr_history[0]["argmin_deg"] == (0, 3)
+    assert r1.aggr_history[0]["deg_hist"] == {"3": 1, "1": 2, "0": 1}
+    r2 = run_on_edges(DegStats(), src, dst, work_dir, P=2, resume=True, max_supersteps=5)
+    vals = {r["vertex_id"]: r["value"] for r in r2.values().take_all()}
+    assert all(v == 0.0 for v in vals.values())  # argmin deg broadcast back
+    assert r2.halted
+
+
+class HookedPR(__import__("graphlite_ray.compat", fromlist=["PageRankPerVertex"]).PageRankPerVertex):
+    name = "hooked_pr"
+
+    def __init__(self):
+        self.calls = []
+
+    def master_init(self, graph_meta):
+        self.calls.append(("init", graph_meta["n_vertices"]))
+
+    def master_term(self, result):
+        self.calls.append(("term", result.halted))
+
+
+def test_master_init_term_hooks(work_dir):
+    src = np.array([0, 1, 2], np.int64)
+    dst = np.array([1, 2, 0], np.int64)
+    prog = HookedPR()
+    res = run_on_edges(prog, src, dst, work_dir, P=2)
+    assert prog.calls == [("init", 3), ("term", True)]
+    assert res.halted
+
+
 def test_run_on_edge_dataset_weighted_matches_arrays(work_dir):
     src = np.array([0, 0, 1, 2, 3], np.int64)
     dst = np.array([1, 2, 3, 3, 0], np.int64)
