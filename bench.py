@@ -35,6 +35,17 @@ HEADLINE_METRIC = (
 _PAGES_FOR_SF = {"sf0.001": 1000, "sf0.01": 5000, "sf0.1": 20000}
 
 
+def _quiet() -> None:
+    """Drop Ray Data's benign per-bundle schema-drift warnings (groupby
+    emits empty-schema bundles for empty partitions) so real warnings stay
+    visible in the bench tail."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
+
 def _bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -49,14 +60,18 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _quiet()
 
+    import numpy as np
     import ray.data
 
     from graphlite_ray.pipelines.linkgraph import prepare_edges, prepare_graph, run_algorithm
     from graphlite_ray.pipelines.triangles import triangle_count
     from graphlite_ray.pipelines import relational as R
+    from graphlite_ray.sources.io import read_parquet_clean
     from graphlite_ray.sources.pages import pages_path
-    from graphlite_ray.stages.dedup import minhash_dedup
+    from graphlite_ray.stages.dedup import minhash_dedup, simhash_dedup
+    from graphlite_ray.stages.similarity import knn_bruteforce, read_embeddings
     from graphlite_ray.stages.textstats import QualityScorer
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
@@ -114,7 +129,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     q["pricing_summary"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     docs.map_batches(
         QualityScorer, batch_format="pandas", batch_size=2048, concurrency=(1, max(2, num_cpus // 4))
     ).count()
@@ -123,6 +138,21 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     minhash_dedup(docs, threshold=0.8)
     q["minhash_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    simhash_dedup(docs, max_hamming=3)
+    q["simhash_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    R.q_native_join_revenue(sf_dir)
+    q["join_revenue"] = time.perf_counter() - t0
+    join_strategy = dict(R.LAST_JOIN_STRATEGY)
+
+    t0 = time.perf_counter()
+    emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
+    Q3 = np.stack([r["embedding"] for r in emb.take(3)]).astype(np.float64)
+    knn_bruteforce(emb, Q3, k=10)
+    q["emb_knn"] = time.perf_counter() - t0
 
     out = {
         "metric": HEADLINE_METRIC,
@@ -133,6 +163,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "n_pages": n_pages,
         "num_cpus": num_cpus,
         "pagerank": pr,
+        "join_strategy": join_strategy,
     }
     shutil.rmtree(work, ignore_errors=True)
     ray.shutdown()
@@ -157,6 +188,7 @@ def _engine_bench(num_cpus: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet()
     import ray.data
 
     from graphlite_ray.engine import run_bsp

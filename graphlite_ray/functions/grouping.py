@@ -62,6 +62,10 @@ def grouped_map_bucketed(
     schema dedup and copy the payload)."""
 
     def _tag(t: pa.Table) -> pa.Table:
+        # strip schema metadata: pandas-origin blocks carry the pandas
+        # metadata dict, which makes shuffle-side schema dedup impossible
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
         return t.append_column("__bucket", pa.array(bucket_ids(t, key_cols, B)))
 
     if fmt == "pyarrow":

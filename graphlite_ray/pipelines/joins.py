@@ -70,6 +70,8 @@ def write_bucketed(
     storage.makedirs(out_dir)
 
     def _tag(t: pa.Table) -> pa.Table:
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
         k = t[key_col].to_numpy(zero_copy_only=False)
         return t.append_column("__bucket", pa.array(bucket_of(k, B)))
 
@@ -102,6 +104,8 @@ def attach_from_bucketed(
     its single co-partitioned right bucket file."""
 
     def _tag(t: pa.Table) -> pa.Table:
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
         k = t[key_col].to_numpy(zero_copy_only=False)
         return t.append_column("__bucket", pa.array(bucket_of(k, B)))
 
@@ -146,6 +150,8 @@ def anti_join_bucketed(
     )
 
     def _tag(t: pa.Table) -> pa.Table:
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
         k = t[left_key].to_numpy(zero_copy_only=False)
         return t.append_column("__bucket", pa.array(bucket_of(k, B)))
 

@@ -276,7 +276,12 @@ def minhash_dedup(
         TB,
         os.path.join(verify_dir, "texts"),
     )
-    pairs_ds = ray.data.from_pandas(pairs_df)
+    # from_arrow with stripped metadata: ray.data.from_pandas blocks carry
+    # the pandas schema-metadata dict, which makes every downstream schema
+    # unhashable (see sources/io.py)
+    pairs_ds = ray.data.from_arrow(
+        pa.Table.from_pandas(pairs_df, preserve_index=False).replace_schema_metadata(None)
+    )
     with_a = attach_from_bucketed(pairs_ds, "a", texts_dir, TB, "doc_id").map_batches(
         lambda df: df.rename(columns={"text": "text_a"}).drop(columns=["doc_id"]),
         batch_format="pandas",
