@@ -465,6 +465,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
         "sessions": lambda sf: R.q_sessions(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
+        "asof_join": lambda sf: R.q_asof_join(sf),
+        "range_join_pairs": lambda sf: R.q_range_join_pairs(sf),
+        "event_value_percentiles": lambda sf: _round_cols(
+            R.q_event_value_percentiles(sf), {"p50": 6, "p95": 6}
+        ),
+        "top_orders_per_priority": lambda sf: R.q_top_orders_per_priority(sf),
         "customers_without_orders": lambda sf: R.q_customers_without_orders(sf),
         "orders_by_priority": lambda sf: _round_cols(
             R.q_orders_by_priority(sf), {"total_price": 2, "avg_price": 6}
@@ -618,6 +624,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_name AS name, 'customer' AS side FROM customer "
             "UNION ALL SELECT s_name AS name, 'supplier' AS side FROM supplier"
             ") GROUP BY side ORDER BY side"
+        ),
+        "asof_join": (
+            "SELECT e.event_id, "
+            "strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_date "
+            "FROM events e ASOF JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
+            "ORDER BY e.event_id"
+        ),
+        "range_join_pairs": (
+            "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a "
+            "JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts "
+            "AND b.ts <= a.ts + INTERVAL 5 MINUTE ORDER BY a_id, b_id"
+        ),
+        "event_value_percentiles": (
+            "SELECT event_type, "
+            "ROUND(quantile_cont(value, 0.5), 6) AS p50, "
+            "ROUND(quantile_cont(value, 0.95), 6) AS p95, "
+            "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "top_orders_per_priority": (
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM ("
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders) "
+            "WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"
         ),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer "

@@ -406,6 +406,174 @@ def q_native_join_revenue(sf_dir: str, strategy: str = "auto") -> pd.DataFrame:
     return out.sort_values("c_mktsegment", ignore_index=True)
 
 
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN (operator Ray Data lacks — brief's canonical example):
+    for every event, the user's most recent order date at-or-before the
+    event time. Both sides shuffle ONCE by the same `key % B` bucket
+    function; each bucket holds every key's complete rows on both sides,
+    so one vectorized `pd.merge_asof` per bucket resolves all keys —
+    the co-partition + per-key-sorted-merge shape that scales (no
+    cross-bucket data motion, no driver state). Output value is the asof
+    KEY itself (max matching date), so ties among equal-date orders
+    cannot make the result nondeterministic."""
+    import pyarrow as pa
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_custkey"],
+                "ts": t["o_orderdate"],
+                "event_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    both = events.map_batches(_tag_left, batch_format="pyarrow").union(
+        orders.map_batches(_tag_right, batch_format="pyarrow")
+    )
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _asof_frame(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0].sort_values("ts", kind="mergesort")
+        right = g[g["side"] == 1].sort_values("ts", kind="mergesort")
+        if not len(left):
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "last_order_date": pd.Series([], dtype="str")}
+            )
+        m = pd.merge_asof(
+            left[["event_id", "ts", "k"]],
+            right[["ts", "k"]].rename(columns={"ts": "order_ts"}),
+            left_on="ts",
+            right_on="order_ts",
+            left_by="k",
+            right_by="k",
+            direction="backward",
+        )
+        m = m.dropna(subset=["order_ts"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "last_order_date": m["order_ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    return (
+        grouped_map_bucketed(both, ["k"], _asof_frame, B=16)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+def q_range_join_pairs(sf_dir: str, window_minutes: int = 5) -> pd.DataFrame:
+    """RANGE JOIN (interval predicate, the other canonical missing-operator
+    example): pairs of events of the same user where the second falls
+    strictly within `window_minutes` after the first. Co-partition by user
+    (one shuffle), per-bucket sort + vectorized searchsorted window sweep
+    — never an all-pairs product."""
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    gap_ns = np.int64(window_minutes * 60 * 1_000_000_000)
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ids = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").view(np.int64)
+        users = g["user_id"].to_numpy()
+        bounds = np.flatnonzero(np.concatenate(([True], users[1:] != users[:-1])))
+        ends = np.concatenate((bounds[1:], [len(users)]))
+        outs_a, outs_b = [], []
+        for s, e in zip(bounds, ends):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg, side="right")          # first ts > ts_i
+            hi = np.searchsorted(seg, seg + gap_ns, side="right")  # last ts <= ts_i+gap
+            counts = np.maximum(hi - lo, 0)
+            if not counts.sum():
+                continue
+            a_rep = np.repeat(np.arange(len(seg)), counts)
+            starts = np.cumsum(counts) - counts
+            b_idx = np.arange(counts.sum()) - np.repeat(starts, counts) + np.repeat(lo, counts)
+            outs_a.append(ids[s:e][a_rep])
+            outs_b.append(ids[s:e][b_idx])
+        if not outs_a:
+            return pd.DataFrame(
+                {"a_id": pd.Series([], dtype="int64"), "b_id": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a_id": np.concatenate(outs_a), "b_id": np.concatenate(outs_b)}
+        )
+
+    out = grouped_map_bucketed(events, ["user_id"], _pairs_frame, B=16).to_pandas()
+    if "a_id" not in out.columns:
+        out = pd.DataFrame({"a_id": pd.Series([], dtype="int64"), "b_id": pd.Series([], dtype="int64")})
+    return out.sort_values(["a_id", "b_id"], ignore_index=True)
+
+
+def q_event_value_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact quantiles (median / p95): groups are co-located by
+    the grouped shuffle and each group's quantile is one vectorized
+    np.quantile. Exactness assumes a group's values fit one worker — at
+    100 TB with few huge groups, swap in a mergeable sketch (t-digest)
+    partial+final under the same API."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _q_frame(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type")["value"].agg(
+            p50=lambda v: np.quantile(v, 0.5),
+            p95=lambda v: np.quantile(v, 0.95),
+            n="size",
+        )
+        return out.reset_index().astype({"n": "int64"})
+
+    return (
+        grouped_map_bucketed(ds, ["event_type"], _q_frame, B=8)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+
+
+def q_top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k per group (the ROW_NUMBER window shape): co-locate each group
+    by the bucketed shuffle, one vectorized sort + head(k) per bucket."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _topk_frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("o_orderpriority", sort=False).head(k).copy()
+        out["rnk"] = out.groupby("o_orderpriority", sort=False).cumcount() + 1
+        return out
+
+    return (
+        grouped_map_bucketed(ds, ["o_orderpriority"], _topk_frame, B=8)
+        .to_pandas()
+        .sort_values(["o_orderpriority", "rnk"], ignore_index=True)
+        .astype({"rnk": "int64"})
+    )
+
+
 def q_union_counts(sf_dir: str) -> pd.DataFrame:
     """Union of two sources + group count."""
     c = _read(sf_dir, "customer", ["c_name"]).map_batches(
