@@ -431,6 +431,78 @@ def _q_emb_label_counts(sf_dir: str):
     )
 
 
+# -- multimodal media (synthetic deterministic table; BMP/WAV/GLRV real codecs)
+
+_MEDIA_FOR_SF = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200}
+
+
+def _media_path(sf_dir: str) -> str:
+    """Stage the deterministic media table (real BMP/WAV/GLRV payloads) as
+    parquet once per scale; queries stream it like any other input."""
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.stages.multimodal import synthetic_media_table
+
+    n = _MEDIA_FOR_SF.get(os.path.basename(os.path.normpath(sf_dir)), 60)
+    path = f"/tmp/glr_media/media_n{n}_s42.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pa.Table.from_pandas(
+            synthetic_media_table(n), preserve_index=False
+        ).replace_schema_metadata(None)
+        pq.write_table(t, path + f".tmp.{os.getpid()}")
+        os.replace(path + f".tmp.{os.getpid()}", path)
+    return path
+
+
+def _media_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(_media_path(sf_dir))
+
+
+def _q_media_image_dims(sf_dir: str):
+    """REAL BMP decode: (media_id, height, width) parsed from the payload
+    bytes — oracled against the encoder's meta JSON sidecar."""
+    from graphlite_ray.stages.multimodal import decode_images
+
+    media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "image")
+    out = decode_images(media).to_pandas()
+    return out[["media_id", "height", "width"]].sort_values(
+        "media_id", ignore_index=True
+    )
+
+
+def _q_media_image_stats(sf_dir: str):
+    """Full image decode stats incl. pixel sums (rows-only: pixel data is
+    only reachable by actually decoding the BMP payload)."""
+    from graphlite_ray.stages.multimodal import decode_images
+
+    media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "image")
+    return decode_images(media).to_pandas().sort_values("media_id", ignore_index=True)
+
+
+def _q_media_audio_energy(sf_dir: str):
+    """REAL PCM-WAV decode -> per-frame energies (rows-only)."""
+    from graphlite_ray.stages.multimodal import sample_audio_frames
+
+    media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "audio")
+    out = sample_audio_frames(media, every_n=4).to_pandas()
+    out["energy"] = out["energy"].round(4)
+    return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
+
+
+def _q_media_video_frames(sf_dir: str):
+    """REAL GLRV raw-container decode -> sampled frame summaries
+    (rows-only)."""
+    from graphlite_ray.stages.multimodal import sample_video_frames
+
+    media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "video")
+    out = sample_video_frames(media, every_n=2).to_pandas()
+    out["mean_intensity"] = out["mean_intensity"].round(4)
+    return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
+
+
 def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     df = df.copy()
     for c, nd in cols.items():
@@ -492,6 +564,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "emb_label_counts": _q_emb_label_counts,
+        # multimodal (real dependency-free codecs: BMP / PCM-WAV / GLRV)
+        "media_image_dims": _q_media_image_dims,
+        "media_image_stats": _q_media_image_stats,
+        "media_audio_energy": _q_media_audio_energy,
+        "media_video_frames": _q_media_video_frames,
     }
 
 
@@ -558,6 +635,13 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC"
             ") AS rank FROM embeddings e CROSS JOIN q) "
             "WHERE rank <= 10 ORDER BY query_id, rank"
+        ),
+        "media_image_dims": (
+            f"SELECT media_id, "
+            f"CAST(json_extract(meta, '$.h') AS BIGINT) AS height, "
+            f"CAST(json_extract(meta, '$.w') AS BIGINT) AS width "
+            f"FROM read_parquet('{_media_path(_ORACLE_SF)}') "
+            f"WHERE media_type = 'image' ORDER BY media_id"
         ),
         "emb_near_dup": (
             "SELECT a.vec_id AS a, b.vec_id AS b "
