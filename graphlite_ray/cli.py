@@ -34,8 +34,26 @@ def main(argv=None) -> int:
         sp.add_argument("--resume", action="store_true")
         sp.add_argument("--out", help="write (vertex_id, url, value) parquet here")
 
-    for algo in ("pagerank", "connected_components", "label_propagation"):
-        add_common(sub.add_parser(algo))
+    for algo in (
+        "pagerank",
+        "weighted_pagerank",
+        "connected_components",
+        "label_propagation",
+        "sssp",
+        "kcore",
+    ):
+        sp = sub.add_parser(algo)
+        add_common(sp)
+        if algo == "sssp":
+            sp.add_argument("--source-url", help="source page url (hashed to the vertex id)")
+            sp.add_argument("--source-id", type=int, help="source vertex id directly")
+        if algo == "kcore":
+            sp.add_argument("-k", type=int, default=3, help="core order")
+        if algo in ("pagerank", "weighted_pagerank"):
+            sp.add_argument(
+                "--reference-output",
+                help="also write the reference's '<vid>: <value>' text lines here",
+            )
     tri = sub.add_parser("triangles")
     tri.add_argument("--pages", required=True)
     tri.add_argument("--work", required=True)
@@ -71,7 +89,24 @@ def main(argv=None) -> int:
         print(json.dumps({"n_triangles": n}))
         return 0
 
-    from graphlite_ray.pipelines.linkgraph import result_with_urls, run_algorithm
+    from graphlite_ray.pipelines.linkgraph import (
+        format_reference_output,
+        result_with_urls,
+        run_algorithm,
+    )
+
+    kwargs = {}
+    if args.cmd == "sssp":
+        if args.source_id is not None:
+            kwargs["source"] = args.source_id
+        elif args.source_url:
+            from graphlite_ray.functions.hashing import ids_from_urls
+
+            kwargs["source"] = int(ids_from_urls([args.source_url])[0])
+        else:
+            p.error("sssp needs --source-url or --source-id")
+    if args.cmd == "kcore":
+        kwargs["k"] = args.k
 
     res = run_algorithm(
         args.cmd,
@@ -81,9 +116,12 @@ def main(argv=None) -> int:
         max_supersteps=args.max_supersteps,
         ckpt_every=args.ckpt_every,
         resume=args.resume,
+        **kwargs,
     )
     if args.out:
         result_with_urls(res, args.work).write_parquet(args.out)
+    if getattr(args, "reference_output", None):
+        format_reference_output(res.values()).write_parquet(args.reference_output)
     print(
         json.dumps(
             {

@@ -66,29 +66,17 @@ PAIR_DTYPE = np.dtype([("lo", "<i8"), ("hi", "<i8")])
 
 def _triangle_count_broadcast(simple: "ray.data.Dataset") -> int:
     """Small/medium graphs: degrees and the edge set fit in the object
-    store, so both joins become broadcast lookups — 3 small jobs instead of
-    8 shuffles. Exact membership via a sorted structured (lo, hi) array
-    (no hash-collision risk)."""
-
-    def _ends(t: pa.Table) -> pa.Table:
-        v = np.concatenate(
-            [t["lo"].to_numpy(zero_copy_only=False), t["hi"].to_numpy(zero_copy_only=False)]
-        )
-        u, c = np.unique(v, return_counts=True)
-        return pa.table({"vid": u, "deg_part": c})
-
-    deg_pd = (
-        simple.map_batches(_ends, batch_format="pyarrow")
-        .groupby("vid")
-        .sum("deg_part", ignore_nulls=True)
-        .to_pandas()
-    )
-    deg_vids = deg_pd["vid"].to_numpy()
-    deg_vals = deg_pd[deg_pd.columns[1]].to_numpy()
-    order = np.argsort(deg_vids)
-    deg_vids, deg_vals = deg_vids[order], deg_vals[order]
-
+    store, so both joins become broadcast lookups — 2 small jobs instead of
+    8 shuffles. The edge list is pulled ONCE (<= broadcast_limit rows by
+    contract); degrees come from that same pull (np.unique over both
+    endpoint columns), saving the degree groupby shuffle entirely. Exact
+    membership via a sorted structured (lo, hi) array (no hash-collision
+    risk)."""
     pair_rows = simple.to_pandas()  # <= broadcast_limit rows by contract
+    ends = np.concatenate(
+        [pair_rows["lo"].to_numpy(), pair_rows["hi"].to_numpy()]
+    )
+    deg_vids, deg_vals = np.unique(ends, return_counts=True)  # sorted vids
     epairs = np.empty(len(pair_rows), PAIR_DTYPE)
     epairs["lo"] = pair_rows["lo"].to_numpy()
     epairs["hi"] = pair_rows["hi"].to_numpy()
@@ -96,24 +84,21 @@ def _triangle_count_broadcast(simple: "ray.data.Dataset") -> int:
     e_ref = ray.put(epairs)
     d_ref = ray.put((deg_vids, deg_vals))
 
-    class _Orient:
-        def __init__(self):
-            self.vids, self.deg = ray.get(d_ref)
+    def _orient_batch(t: pa.Table) -> pa.Table:
+        vids, deg = ray.get(d_ref)  # zero-copy plasma view per task
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        dlo = deg[np.searchsorted(vids, lo)]
+        dhi = deg[np.searchsorted(vids, hi)]
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pa.table(
+            {
+                "a": np.where(lo_first, lo, hi),
+                "b": np.where(lo_first, hi, lo),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lo = t["lo"].to_numpy(zero_copy_only=False)
-            hi = t["hi"].to_numpy(zero_copy_only=False)
-            dlo = self.deg[np.searchsorted(self.vids, lo)]
-            dhi = self.deg[np.searchsorted(self.vids, hi)]
-            lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
-            return pa.table(
-                {
-                    "a": np.where(lo_first, lo, hi),
-                    "b": np.where(lo_first, hi, lo),
-                }
-            )
-
-    oriented = simple.map_batches(_Orient, batch_format="pyarrow", concurrency=(1, 8))
+    oriented = simple.map_batches(_orient_batch, batch_format="pyarrow")
 
     def make_closer():
         cache = {}
