@@ -503,6 +503,50 @@ def _q_media_video_frames(sf_dir: str):
     return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
 
 
+def _q_doc_token_df(sf_dir: str):
+    """Per-token document frequency (TF-IDF building block) — DuckDB
+    unnest/regexp_split oracle."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import token_doc_frequency
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = token_doc_frequency(docs).to_pandas()
+    return out.sort_values("token", ignore_index=True)
+
+
+def _q_props_rollup(sf_dir: str):
+    """JSON-field extraction + group aggregate over the events props
+    sidecar — DuckDB json_extract oracle."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import PropsExtractor
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["props", "value"])
+    parsed = ev.map_batches(PropsExtractor, batch_format="pandas", concurrency=(1, 4))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": [g["k"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "sum_value": [g["sum_value"].sum()],
+            }
+        )
+
+    out = (
+        parsed.map_batches(_partial, batch_format="pandas")
+        .groupby("k")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("k", ignore_index=True)
+
+
 def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     df = df.copy()
     for c, nd in cols.items():
@@ -552,6 +596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # training-data operators over documents/embeddings
         "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_df": _q_doc_token_df,
+        "props_rollup": _q_props_rollup,
         "doc_token_count": _q_doc_tokens,
         "doc_quality": _q_doc_quality_sqlable,
         "doc_langid": _q_doc_langid,
@@ -753,6 +799,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "doc_token_df": (
+            "SELECT token, count(DISTINCT doc_id) AS df FROM ("
+            "SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token ORDER BY token"
+        ),
+        "props_rollup": (
+            "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+            "count(*) AS n, ROUND(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY k ORDER BY k"
         ),
         "doc_token_count": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

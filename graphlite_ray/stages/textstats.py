@@ -185,6 +185,63 @@ class Fingerprinter:
         return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fps.astype("int64")})
 
 
+def token_doc_frequency(
+    docs: "ray.data.Dataset", B: int = 32
+) -> "ray.data.Dataset":
+    """Document frequency per token (the TF-IDF building block): explode
+    each doc's DISTINCT lowercase whitespace tokens once per batch, then
+    one bucketed shuffle on token groups a token's (token, doc_id) rows
+    and counts distinct docs vectorized. Vocabulary shards across buckets;
+    nothing driver-side."""
+    import pyarrow as pa
+
+    def _pairs(t: "pa.Table") -> "pa.Table":
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks: list[str] = []
+        out_ids: list[np.ndarray] = []
+        for i, text in enumerate(t["text"].to_pylist()):
+            u = sorted(set(text.lower().split()))
+            toks.extend(u)
+            out_ids.append(np.full(len(u), ids[i], np.int64))
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "doc_id": np.concatenate(out_ids) if out_ids else np.empty(0, np.int64),
+            }
+        )
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _df_frame(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["token", "doc_id"])
+            .groupby("token")
+            .size()
+            .rename("df")
+            .reset_index()
+        )
+        return out.astype({"df": "int64"})
+
+    return grouped_map_bucketed(
+        docs.map_batches(_pairs, batch_format="pyarrow"), ["token"], _df_frame, B=B
+    )
+
+
+class PropsExtractor:
+    """events.props JSON sidecar -> typed column (the JSON-field-extraction
+    operator): one vectorized regex per batch, no per-row json.loads."""
+
+    import re as _re
+
+    K_RE = r'"k":\s*(-?\d+)'
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(self.K_RE, expand=False).astype("int64")
+        out = batch.drop(columns=["props"]).copy()
+        out["k"] = k
+        return out
+
+
 def text_stats_pipeline(
     docs: "ray.data.Dataset", stage: str = "quality", concurrency=(1, 8), batch_size: int = 1024
 ) -> "ray.data.Dataset":
