@@ -67,9 +67,21 @@ def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
     edge_urls = pages.map_batches(extract_links_batch, batch_format="pyarrow")
     with_ids = edge_urls.map_batches(assign_ids_batch, batch_format="pyarrow")
     with_ids.write_parquet(edges_dir)
-    staged = ray.data.read_parquet(edges_dir)
+    _mark_done(edges_dir)
+    return edges_dir
 
-    # url dictionary, co-partitioned with the graph (vertex_id % P)
+
+def prepare_urlmap(work_dir: str, P: int) -> None:
+    """Lazy stage 1b: url dictionary co-partitioned with the graph
+    (vertex_id % P), derived from the staged edge table. Only paths that
+    join urls back onto results (`result_with_urls`) pay for it —
+    extraction-only consumers (triangles, degrees) never do. Resumable via
+    its own marker."""
+    marker = storage.join(work_dir, f"_URLMAP_P{P}_SUCCESS")
+    if storage.exists(marker):
+        return
+    staged = ray.data.read_parquet(storage.join(work_dir, "edges"))
+
     def _pairs(batch: pa.Table) -> pa.Table:
         from graphlite_ray.functions.hashing import ids_from_urls
 
@@ -114,8 +126,7 @@ def prepare_edges(pages_dir: str, work_dir: str, P: int) -> str:
         .map_groups(_write_shard, batch_format="pyarrow")
         .count()
     )
-    _mark_done(edges_dir)
-    return edges_dir
+    storage.write_text(marker, "ok")
 
 
 def prepare_graph(pages_dir: str, work_dir: str, P: int, symmetrize: bool = False) -> str:
@@ -293,6 +304,8 @@ def result_with_urls(result: BSPResult, work_dir: str) -> "ray.data.Dataset":
             meta = load_graph_meta(storage.join(work_dir, g))
             break
     P = meta["P"] if meta else 8
+    if storage.exists(storage.join(work_dir, "edges", "_SUCCESS")):
+        prepare_urlmap(work_dir, P)  # no-op when already built
     parts = ray.data.from_items([{"part": p} for p in range(P)])
     return parts.map_batches(
         _JoinUrls(work_dir, result.ckpt_dir, result.final_superstep),
