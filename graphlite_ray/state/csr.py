@@ -137,6 +137,29 @@ def load_graph_meta(graph_dir: str) -> dict:
     return storage.read_json(storage.join(graph_dir, "meta.json"))
 
 
+def reshard_graph(graph_dir: str, out_dir: str, new_P: int) -> dict:
+    """Repartition an existing CSR shard layout to a different partition
+    count (the resharding/repartition operator): streams the edge shards
+    back through the standard build shuffle — never materializes the graph
+    on the driver. Symmetrization is preserved (the stored shards are
+    already symmetrized when meta says so)."""
+    meta = load_graph_meta(graph_dir)
+    names = [
+        n
+        for n in storage.listdir(graph_dir)
+        if n.startswith("edges_p") and n.endswith(".parquet")
+    ]
+    fs, dpath = storage.resolve(graph_dir)
+    files = [f"{dpath.rstrip('/')}/{n}" for n in sorted(names)]
+    edges = ray.data.read_parquet(files, filesystem=fs)
+    new_meta = build_graph_shards(edges, new_P, out_dir, symmetrize=False)
+    # the stored edges were already symmetrized if the source was: the
+    # flag is a property of the edge set, carried through unchanged
+    new_meta["symmetrized"] = meta.get("symmetrized", False)
+    storage.write_json_atomic(new_meta, storage.join(out_dir, "meta.json"))
+    return new_meta
+
+
 @dataclass
 class CSRShard:
     """One partition's topology, as numpy views over Arrow buffers."""

@@ -180,6 +180,80 @@ def test_raw_pagerank_matches_combined(work_dir):
         assert vals[vid] == pytest.approx(golden, abs=1e-6)
 
 
+def test_oracle_sql_self_stages(monkeypatch):
+    """The driver may evaluate oracle_sql() BEFORE running any query:
+    the staged-artifact oracles (out_degrees/triangle_count/sssp over the
+    edges glob, media dims) must create their inputs themselves."""
+    import glob as globmod
+    import shutil
+
+    import duckdb
+
+    import __ray_entry__ as E
+
+    monkeypatch.setattr(E, "_ORACLE_SF", "/root/testdata/sf0.001")
+    _, work = E._graph_work("/root/testdata/sf0.001")
+    shutil.rmtree(work, ignore_errors=True)  # nothing staged yet
+    sqls = E.oracle_sql()
+    files = globmod.glob(os.path.join(work, "edges", "*.parquet"))
+    assert files, "oracle_sql() must stage the edge table it reads"
+    con = duckdb.connect()
+    n = con.execute(sqls["out_degrees"]).df()
+    assert len(n) > 0 and set(n.columns) == {"src", "out_degree"}
+    m = con.execute(sqls["media_image_dims"]).df()
+    assert len(m) > 0
+
+
+def test_reshard_graph_preserves_results(work_dir):
+    """Repartitioning an existing graph to a different P (the resharding
+    operator) must not change program results."""
+    from graphlite_ray.state.csr import load_graph_meta, reshard_graph
+
+    src = np.array([0, 0, 1, 2, 3, 4], np.int64)
+    dst = np.array([1, 2, 3, 3, 0, 0], np.int64)
+    r1 = run_on_edges("pagerank", src, dst, os.path.join(work_dir, "a"), P=2)
+    g_old = os.path.join(work_dir, "a", "graph")
+    g_new = os.path.join(work_dir, "resharded")
+    reshard_graph(g_old, g_new, new_P=5)
+    assert load_graph_meta(g_new)["P"] == 5
+    from graphlite_ray.engine import run_bsp
+    from graphlite_ray.programs import PageRank
+
+    r2 = run_bsp(PageRank(), g_new, os.path.join(work_dir, "ckpt2"))
+    v1 = r1.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    v2 = r2.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    assert np.allclose(v1["value"], v2["value"])
+    assert (v1["vertex_id"] == v2["vertex_id"]).all()
+
+
+def test_hash_partition_balance_on_skewed_graph(work_dir):
+    """Hub skew: a power-law-ish graph's EDGES concentrate on hubs, but
+    hash partitioning by src id keeps the per-partition vertex counts
+    balanced, and the docstring'd skew mitigations (producer-side combine)
+    bound hub fan-in to P rows per superstep — asserted via the engine's
+    recv counter."""
+    rng = np.random.RandomState(0)
+    # one hub (id 7) with 2000 out-edges + background ring of 500
+    ring_src = np.arange(500, dtype=np.int64)
+    ring_dst = (ring_src + 1) % 500
+    hub_dst = rng.randint(0, 500, 2000).astype(np.int64)
+    src = np.concatenate([ring_src, np.full(2000, 7, np.int64)])
+    dst = np.concatenate([ring_dst, hub_dst])
+    # reverse edges: everyone points AT the hub too (fan-in skew)
+    src2 = np.concatenate([src, hub_dst])
+    dst2 = np.concatenate([dst, np.full(2000, 7, np.int64)])
+    res = run_on_edges("pagerank", src2, dst2, work_dir, P=4, max_supersteps=3)
+    vals = res.values().to_pandas()
+    parts = vals["vertex_id"] % 4
+    counts = parts.value_counts()
+    assert counts.max() / max(counts.min(), 1) < 2.0  # balanced vertices
+    # sum-combined fan-in: hub receives at most P combined rows/superstep,
+    # not one per in-edge — recv counts the COMBINED rows delivered
+    per_ss_recv = [m["recv"] for m in res.metrics]
+    n_vertices = vals["vertex_id"].nunique()
+    assert max(per_ss_recv) <= n_vertices * 4  # bounded by P rows/vertex
+
+
 def test_storage_uri_root_end_to_end(work_dir):
     """The whole engine (CSR build, checkpoints, manifests, resume) runs
     against a pyarrow-filesystem URI root, not just plain local paths —
