@@ -547,6 +547,30 @@ def _q_props_rollup(sf_dir: str):
     return out.sort_values("k", ignore_index=True)
 
 
+def _q_doc_split(sf_dir: str):
+    """Deterministic hash train/val/test split + per-split counts —
+    DuckDB-oracled (the hash is plain modular arithmetic)."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import SplitAssigner
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    assigned = docs.map_batches(SplitAssigner, batch_format="pandas", concurrency=(1, 4))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("split", as_index=False).agg(n=("doc_id", "size"))
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"split": [g["split"].iloc[0]], "n": [int(g["n"].sum())]})
+
+    return (
+        assigned.map_batches(_partial, batch_format="pandas")
+        .groupby("split")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("split", ignore_index=True)
+    )
+
+
 def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     df = df.copy()
     for c, nd in cols.items():
@@ -597,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators over documents/embeddings
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_df": _q_doc_token_df,
+        "doc_split_counts": _q_doc_split,
         "props_rollup": _q_props_rollup,
         "doc_token_count": _q_doc_tokens,
         "doc_quality": _q_doc_quality_sqlable,
@@ -804,6 +829,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
             "SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
             "FROM documents) WHERE token <> '' GROUP BY token ORDER BY token"
+        ),
+        "doc_split_counts": (
+            "SELECT split, count(*) AS n FROM ("
+            "SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 "
+            "THEN 'train' WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 "
+            "THEN 'val' ELSE 'test' END AS split FROM documents) "
+            "GROUP BY split ORDER BY split"
         ),
         "props_rollup": (
             "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "

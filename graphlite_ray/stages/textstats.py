@@ -242,6 +242,30 @@ class PropsExtractor:
         return out
 
 
+_SPLIT_MULT = 2654435761  # Knuth multiplicative hash (SQL-replicable)
+
+
+class SplitAssigner:
+    """Deterministic train/val/test split by id hash — the standard
+    leakage-free corpus split. The hash is (id * 2654435761) mod 2^32
+    mod 100, chosen to be exactly replicable in ANSI SQL (modular
+    arithmetic only) so the split is auditable outside the engine."""
+
+    def __init__(self, id_col: str = "doc_id", train: int = 90, val: int = 5):
+        self.id_col, self.train, self.val = id_col, train, val
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32) % np.uint64(100)
+        split = np.where(
+            h < self.train, "train", np.where(h < self.train + self.val, "val", "test")
+        )
+        out = batch.copy()
+        out["split"] = split
+        return out
+
+
 def text_stats_pipeline(
     docs: "ray.data.Dataset", stage: str = "quality", concurrency=(1, 8), batch_size: int = 1024
 ) -> "ray.data.Dataset":
