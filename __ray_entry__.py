@@ -667,7 +667,20 @@ def _staged_edges_glob() -> str:
 def oracle_sql() -> dict[str, str]:
     edges_glob = _staged_edges_glob()
     sssp_src = _sssp_source(_ORACLE_SF)
+    pages_glob = os.path.join(_graph_work(_ORACLE_SF)[0], "*.parquet")
     return {
+        # --- extraction oracle: DuckDB re-implements the frozen anchor
+        # extractor (regex + http filter + fragment strip) directly over
+        # the raw page html — fully independent of our code path
+        "extract_edges": (
+            "SELECT src_url, CASE WHEN strpos(href, '#') > 0 "
+            "THEN substr(href, 1, strpos(href, '#') - 1) ELSE href END AS dst_url "
+            "FROM (SELECT url AS src_url, "
+            "unnest(regexp_extract_all(decode(html), "
+            "'<a\\b[^>]*?href=\"([^\"]*)\"', 1)) AS href "
+            f"FROM read_parquet('{pages_glob}')) "
+            "WHERE href LIKE 'http://%' OR href LIKE 'https://%'"
+        ),
         # --- link-graph oracles over the staged edge table ---------------
         "out_degrees": (
             f"SELECT src, count(*) AS out_degree "
