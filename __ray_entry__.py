@@ -259,14 +259,16 @@ def _q_doc_quality_sqlable(sf_dir: str):
 
 
 def _q_doc_langid(sf_dir: str):
-    import ray.data
-
+    """Heuristic language ID — DuckDB-oracled: the oracle re-implements the
+    CJK-ratio + stopword-coverage decision rule in pure SQL. The query
+    projects (doc_id, lang_pred); the confidence column stays available on
+    the LangId stage itself."""
+    from graphlite_ray.sources.io import read_parquet_clean
     from graphlite_ray.stages.textstats import LangId
 
-    from graphlite_ray.sources.io import read_parquet_clean
-
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    out = docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang_pred"])
 
 
 def _q_doc_fingerprint(sf_dir: str):
@@ -664,6 +666,48 @@ def _staged_edges_glob() -> str:
     return os.path.join(edges_dir, "*.parquet")
 
 
+def _langid_oracle_sql() -> str:
+    """Pure-SQL re-implementation of the LangId decision rule (CJK char
+    ratio > 0.15 -> zh; else the stopword set with the highest word
+    coverage, first-language-wins ties, > 0.05 threshold, else 'und')."""
+    from graphlite_ray.stages.textstats import STOPWORDS
+
+    def lst(lang: str) -> str:
+        return ", ".join(
+            "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS[lang])
+        )
+
+    word_re = "[A-Za-z\u00c0-\u00ff'']+"  # '' = escaped quote inside SQL string
+    cjk_re = "[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]"
+    return (
+        "WITH words AS ("
+        "SELECT doc_id, lower(w) AS w FROM ("
+        f"SELECT doc_id, unnest(regexp_extract_all(text, '{word_re}')) AS w "
+        "FROM documents)), "
+        "counts AS (SELECT doc_id, count(*) AS nw, "
+        f"sum(CASE WHEN w IN ({lst('en')}) THEN 1 ELSE 0 END) AS en_h, "
+        f"sum(CASE WHEN w IN ({lst('de')}) THEN 1 ELSE 0 END) AS de_h, "
+        f"sum(CASE WHEN w IN ({lst('fr')}) THEN 1 ELSE 0 END) AS fr_h, "
+        f"sum(CASE WHEN w IN ({lst('es')}) THEN 1 ELSE 0 END) AS es_h "
+        "FROM words GROUP BY doc_id), "
+        "cjk AS (SELECT doc_id, length(text) AS nc, "
+        f"length(regexp_replace(text, '{cjk_re}', '', 'g')) AS ncjk "
+        "FROM documents) "
+        "SELECT c.doc_id, CASE "
+        "WHEN c.nc > 0 AND CAST(c.ncjk AS DOUBLE) / c.nc > 0.15 THEN 'zh' "
+        "WHEN w.nw IS NULL OR w.nw = 0 THEN 'und' "
+        "WHEN w.en_h >= w.de_h AND w.en_h >= w.fr_h AND w.en_h >= w.es_h THEN "
+        "(CASE WHEN CAST(w.en_h AS DOUBLE) / w.nw > 0.05 THEN 'en' ELSE 'und' END) "
+        "WHEN w.de_h > w.en_h AND w.de_h >= w.fr_h AND w.de_h >= w.es_h THEN "
+        "(CASE WHEN CAST(w.de_h AS DOUBLE) / w.nw > 0.05 THEN 'de' ELSE 'und' END) "
+        "WHEN w.fr_h > w.en_h AND w.fr_h > w.de_h AND w.fr_h >= w.es_h THEN "
+        "(CASE WHEN CAST(w.fr_h AS DOUBLE) / w.nw > 0.05 THEN 'fr' ELSE 'und' END) "
+        "ELSE (CASE WHEN CAST(w.es_h AS DOUBLE) / w.nw > 0.05 THEN 'es' ELSE 'und' END) "
+        "END AS lang_pred "
+        "FROM cjk c LEFT JOIN counts w USING (doc_id) ORDER BY c.doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     edges_glob = _staged_edges_glob()
     sssp_src = _sssp_source(_ORACLE_SF)
@@ -838,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        "doc_langid": _langid_oracle_sql(),
         "doc_token_df": (
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
             "SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
