@@ -708,6 +708,33 @@ def _langid_oracle_sql() -> str:
     )
 
 
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Exhaustive 3-gram-shingle Jaccard pairs in pure SQL (no LSH).
+    This equals the pipeline's LSH-candidates + exact-verify output on
+    this corpus because (checked, deterministic: fixed data, fixed seed)
+    every qualifying pair's Jaccard is far above the threshold, where the
+    fixed banded candidate set provably contains it — the score
+    distribution is bimodal with nothing near the threshold."""
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+        "FROM documents WHERE trim(text) <> ''), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+        "THEN [array_to_string(t, ' ')] "
+        "ELSE list_transform(generate_series(1, len(t) - 2), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shingles "
+        "FROM toks), "
+        "ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh), "
+        "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
+        "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1), "
+        "jpairs AS (SELECT i.a, i.b FROM inter i "
+        "JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b "
+        f"WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold})"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     edges_glob = _staged_edges_glob()
     sssp_src = _sssp_source(_ORACLE_SF)
@@ -888,6 +915,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
             "FROM documents) WHERE token <> '' GROUP BY token ORDER BY token"
         ),
+        "doc_minhash_dedup": (
+            _jaccard_pairs_sql(0.7).replace("WITH toks", "WITH RECURSIVE toks")
+            + ", edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs), "
+            "verts AS (SELECT DISTINCT a AS v FROM edges), "
+            "reach AS (SELECT v, v AS l FROM verts "
+            "UNION "
+            "SELECT e.b AS v, r.l FROM reach r JOIN edges e ON e.a = r.v) "
+            # min reachable id = the union-find representative
+            "SELECT v AS doc_id, min(l) AS cluster_rep FROM reach "
+            "GROUP BY v ORDER BY doc_id"
+        ),
+        "doc_ngram_jaccard": (
+            _jaccard_pairs_sql(0.5) + " SELECT a, b FROM jpairs ORDER BY a, b"
+        ),
         "doc_split_counts": (
             "SELECT split, count(*) AS n FROM ("
             "SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 "
@@ -922,16 +963,15 @@ def oracle_sql() -> dict[str, str]:
         #     own shipped inputs, tests/test_reference_inputs.py)
         #   connected_components / label_propagation / kcore — iterative
         #     label flood / peeling fixpoints (tests/test_engine_graph.py,
-        #     tests/test_kcore.py vs NetworkX-free hand oracles)
-        #   extract_edges — HTML anchor extraction (frozen-extractor goldens,
-        #     tests/test_extract.py)
-        #   doc_langid / doc_fingerprint — heuristic scoring / rolling-hash
-        #     winnowing, not SQL-expressible (tests/test_stages.py)
-        #   doc_minhash_dedup / doc_ngram_jaccard / doc_simhash_pairs —
-        #     LSH candidate generation is probabilistic-recall by design;
-        #     planted-duplicate oracles in tests/test_stages.py
-        #   emb_near_dup_lsh — recall-traded LSH variant of the oracled
-        #     emb_near_dup; precision-1.0 asserted in pytest
-        #   emb_knn_ivf — approximate by design; recall@10 vs the oracled
-        #     brute-force result asserted in pytest
+        #     tests/test_kcore.py vs dense-simulation hand oracles)
+        #   doc_fingerprint / doc_simhash_pairs — 64-bit rolling/FNV
+        #     hashing, not SQL-expressible (tests/test_stages.py planted
+        #     oracles)
+        #   emb_near_dup_lsh / emb_knn_ivf — approximate-by-design scale
+        #     variants of the ORACLED exact queries (emb_near_dup /
+        #     emb_knn); precision-1.0 / recall asserted in pytest
+        #   media_image_stats / media_audio_energy / media_video_frames —
+        #     require actually decoding the binary payloads (the dims
+        #     slice IS oracled via media_image_dims); round-trip codec
+        #     exactness in tests/test_stages.py::test_multimodal_real_codecs
     }
