@@ -249,54 +249,50 @@ def minhash_dedup(
             n_candidates=0,
         )
 
-    # --- DISTRIBUTED verify: candidate texts are never materialized on the
-    # driver. Candidate docs' (doc_id, text) rows are written bucketed by
-    # doc_id (one shuffle), the pair table joins text_a / text_b against
-    # those bucket files (two partitioned hash joins), and exact Jaccard is
-    # scored inside map_batches via batch-level shingle hashing (one
-    # vectorized hash call per batch + numpy set intersections per pair).
-    import tempfile
+    # --- DISTRIBUTED verify: candidate texts never touch the driver.
+    # The (small, LSH-bounded) pair list maps each candidate doc to its
+    # pair slots; ONE scan of the corpus explodes candidate docs into
+    # (pair_id, role, text) rows, and ONE bucketed shuffle on pair_id
+    # brings both texts of every pair together for a vectorized exact-
+    # Jaccard verify — a single all-to-all instead of a text write plus
+    # two hash joins.
+    slot_map: dict[int, list[tuple[int, int]]] = {}
+    for pid, (a, b) in enumerate(zip(pairs_df["a"], pairs_df["b"])):
+        slot_map.setdefault(int(a), []).append((pid, 0))
+        slot_map.setdefault(int(b), []).append((pid, 1))
+    ref = ray.put(slot_map)
 
-    from graphlite_ray.pipelines.joins import attach_from_bucketed, write_bucketed
-
-    verify_dir = tempfile.mkdtemp(prefix="glr_minhash_")
-    TB = 32
-    ref = ray.put(cand_ids)
-
-    class _Pick:
+    class _Explode:
         def __init__(self):
-            self.want = ray.get(ref)
+            self.slots = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["doc_id"].isin(self.want)][["doc_id", "text"]]
+            pids: list[int] = []
+            roles: list[int] = []
+            texts: list[str] = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                for pid, role in self.slots.get(int(doc_id), ()):
+                    pids.append(pid)
+                    roles.append(role)
+                    texts.append(text)
+            return pd.DataFrame({"pair_id": pids, "role": roles, "text": texts})
 
-    texts_dir = write_bucketed(
-        docs.map_batches(_Pick, batch_format="pandas", concurrency=(1, 4)),
-        "doc_id",
-        TB,
-        os.path.join(verify_dir, "texts"),
-    )
-    # from_arrow with stripped metadata: ray.data.from_pandas blocks carry
-    # the pandas schema-metadata dict, which makes every downstream schema
-    # unhashable (see sources/io.py)
-    pairs_ds = ray.data.from_arrow(
-        pa.Table.from_pandas(pairs_df, preserve_index=False).replace_schema_metadata(None)
-    )
-    with_a = attach_from_bucketed(pairs_ds, "a", texts_dir, TB, "doc_id").map_batches(
-        lambda df: df.rename(columns={"text": "text_a"}).drop(columns=["doc_id"]),
-        batch_format="pandas",
-    )
-    with_ab = attach_from_bucketed(with_a, "b", texts_dir, TB, "doc_id").map_batches(
-        lambda df: df.rename(columns={"text": "text_b"}).drop(columns=["doc_id"]),
-        batch_format="pandas",
-    )
-    scored = with_ab.map_batches(
-        _JaccardVerify,
-        fn_constructor_kwargs={"k": k},
-        batch_format="pandas",
-        batch_size=1024,
-        concurrency=(1, 8),
-    ).to_pandas()  # (a, b, score): one small row per candidate pair
+    exploded = docs.map_batches(_Explode, batch_format="pandas", concurrency=(1, 8))
+    pair_ref = ray.put(pairs_df[["a", "b"]].to_numpy())
+
+    def _verify_frame(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["role"] == 0].set_index("pair_id")["text"]
+        right = g[g["role"] == 1].set_index("pair_id")["text"]
+        pids = left.index.intersection(right.index).to_numpy()
+        ta = left.loc[pids].tolist()
+        tb = right.loc[pids].tolist()
+        scores = _JaccardVerify(k).scores(ta, tb)
+        ab = ray.get(pair_ref)
+        return pd.DataFrame(
+            {"a": ab[pids, 0], "b": ab[pids, 1], "score": scores}
+        )
+
+    scored = grouped_map_bucketed(exploded, ["pair_id"], _verify_frame, B=32).to_pandas()
     if not {"a", "b", "score"} <= set(scored.columns):
         scored = pd.DataFrame({"a": [], "b": [], "score": []})
     dups = (
@@ -309,19 +305,17 @@ def minhash_dedup(
 
 
 class _JaccardVerify:
-    """Pair batch (a, b, text_a, text_b) -> (a, b, score): exact shingle-set
-    Jaccard, computed over 64-bit shingle hashes (both batch sides hashed in
-    ONE vectorized call; per-pair work is numpy unique+intersect)."""
+    """Aligned text lists -> exact shingle-set Jaccard scores, computed
+    over 64-bit shingle hashes (both sides hashed in ONE vectorized call;
+    per-pair work is numpy unique+intersect)."""
 
     def __init__(self, k: int):
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ta = batch["text_a"].tolist()
-        tb = batch["text_b"].tolist()
+    def scores(self, ta: list[str], tb: list[str]) -> np.ndarray:
         ha, sa, ca = _batch_shingle_hashes(ta, self.k)
         hb, sb, cb = _batch_shingle_hashes(tb, self.k)
-        n = len(batch)
+        n = len(ta)
         scores = np.zeros(n, np.float64)
         for i in range(n):
             A = np.unique(ha[sa[i] : sa[i] + ca[i]])
@@ -331,9 +325,7 @@ class _JaccardVerify:
             elif A.size and B.size:
                 inter = np.intersect1d(A, B, assume_unique=True).size
                 scores[i] = inter / (A.size + B.size - inter)
-        return pd.DataFrame(
-            {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "score": scores}
-        )
+        return scores
 
 
 def ngram_jaccard_dedup(
