@@ -5,9 +5,12 @@ CSR -> PageRank -> scores joined with urls) at sf0.001 scale.
 
 ``queries()`` exposes every implemented operator/pipeline from SURVEY.md §2
 plus the training-data operator suite. SQL-expressible ones have a DuckDB
-oracle in ``oracle_sql()`` with matching column names; graph algorithms and
-hash-based operators are rows-only checks (their exactness oracles live in
-pytest — tests/test_engine_graph.py, tests/test_stages.py).
+oracle in ``oracle_sql()`` with matching column names — including ALL six
+graph algorithms (pagerank/weighted_pagerank/CC/LPA/kcore/sssp), whose
+oracles are recursive CTEs replaying the engine's recurrence and halt rule
+over the staged edge table. Hash-based / approximate / binary-decode
+operators are rows-only checks (their exactness oracles live in pytest —
+tests/test_engine_graph.py, tests/test_stages.py).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init``/``ray.shutdown``.
@@ -71,11 +74,17 @@ def entry() -> Any:
 
 
 def _q_pagerank(sf_dir: str):
-    from graphlite_ray.pipelines.linkgraph import result_with_urls, run_algorithm
+    """PageRank to the reference's aggregator-halt fixpoint — DuckDB-oracled
+    by a recursive CTE replaying the exact recurrence + halt rule over the
+    staged edge table (`_pagerank_oracle_sql`). Values rounded to 6 decimals
+    on both sides (float-SUM note above)."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
 
     pages, work = _graph_work(sf_dir)
     res = run_algorithm("pagerank", pages, work, P=8, resume=True)
-    return result_with_urls(res, work)
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    df["value"] = df["value"].round(6)
+    return df
 
 
 def _q_cc(sf_dir: str):
@@ -96,9 +105,10 @@ def _q_lpa(sf_dir: str):
 
 def _q_weighted_pagerank(sf_dir: str):
     """Weighted PageRank over the page graph with deterministic per-edge
-    weights derived from the endpoint ids (rows-only: iterative, non-SQL).
-    Weight assignment is a map_batches stage — the edge table streams into
-    the CSR build without ever touching the driver."""
+    weights derived from the endpoint ids (DuckDB-oracled: the xor5 weight
+    formula is inlined in the recursive-CTE oracle). Weight assignment is a
+    map_batches stage — the edge table streams into the CSR build without
+    ever touching the driver."""
     import ray.data
 
     from graphlite_ray.pipelines.linkgraph import prepare_edges, run_on_edge_dataset
@@ -119,7 +129,9 @@ def _q_weighted_pagerank(sf_dir: str):
         "weighted_pagerank", edges, os.path.join(work, "wpr"), P=8,
         tag="xor5", resume=True,
     )
-    return res.values().select_columns(["vertex_id", "value"])
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    df["value"] = df["value"].round(6)
+    return df
 
 
 def _sssp_source(sf_dir: str) -> int:
@@ -131,7 +143,8 @@ def _sssp_source(sf_dir: str) -> int:
 
 
 def _q_kcore(sf_dir: str, k: int = 4):
-    """k-core decomposition by peeling (rows-only: iterative fixpoint).
+    """k-core decomposition by peeling (DuckDB-oracled: recursive-CTE
+    synchronous peeling over the symmetrized staged edges).
     value = remaining degree for members of the k-core, -1 for peeled."""
     from graphlite_ray.pipelines.linkgraph import run_algorithm
 
@@ -584,7 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from graphlite_ray.pipelines import relational as R
 
     return {
-        # link-graph engine (pytest-oracled; rows-only here)
+        # link-graph engine (recursive-CTE DuckDB oracles + pytest parity)
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
         "connected_components": _q_cc,
@@ -655,14 +668,17 @@ def _staged_edges_glob() -> str:
     triangle closure, shortest paths) independently of our engine — the
     staging table itself is the shared input, as the driver's registered
     views are for the relational queries."""
-    try:
-        from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
 
-        pages, work = _graph_work(_ORACLE_SF)
+    pages, work = _graph_work(_ORACLE_SF)
+    try:
         edges_dir = prepare_edges(pages, work, P=8)
-    except Exception:  # staging unavailable: oracle will fail visibly
-        _, work = _graph_work(_ORACLE_SF)
-        edges_dir = os.path.join(work, "edges")
+    except Exception as e:
+        # surface the STAGING failure itself instead of letting the oracle
+        # die later on a confusing missing-parquet error
+        raise RuntimeError(
+            f"staging the sf0.01 edge table for the graph oracles failed: {e!r}"
+        ) from e
     return os.path.join(edges_dir, "*.parquet")
 
 
@@ -735,6 +751,142 @@ def _jaccard_pairs_sql(threshold: float) -> str:
     )
 
 
+# ---- iterative graph-algorithm oracles (recursive CTEs over the staged
+# edge table). DuckDB permits aggregation + a repeated self-reference in
+# the recursive term (both references see the previous iteration's rows),
+# which is exactly a synchronous BSP superstep — so each oracle replays the
+# engine's recurrence AND its halt rule independently, in pure SQL.
+
+def _sym_edges_cte(edges_glob: str) -> str:
+    """Symmetrized edge multiset (UNION ALL, multiplicity preserved) —
+    byte-matches the engine's CSR symmetrization (state/csr.py:84-87)."""
+    return (
+        f"se AS (SELECT src, dst FROM read_parquet('{edges_glob}') "
+        f"UNION ALL SELECT dst, src FROM read_parquet('{edges_glob}'))"
+    )
+
+
+def _pagerank_oracle_sql(edges_glob: str, weighted: bool) -> str:
+    """Replays the reference recurrence (0.15 + 0.85 * sum of incoming
+    val/outdeg; dangling vertices receive but never send) and the engine's
+    halt rule: stop at the FIRST iteration whose summed |delta| < 1e-6
+    (programs.py:213-239 — values at that iteration are the final values,
+    since the halting superstep makes no further update). The weighted
+    variant inlines the xor5 weight formula: w = xor(src,dst) % 5 + 1,
+    each sender distributing val * w_e / W_total (programs.py:242-268)."""
+    if weighted:
+        denom = (
+            f"(SELECT src AS v, sum(xor(src, dst) % 5 + 1) AS d "
+            f"FROM read_parquet('{edges_glob}') GROUP BY src)"
+        )
+        contrib = "p2.val * (xor(e.src, e.dst) % 5 + 1) / p2.d"
+    else:
+        denom = (
+            f"(SELECT src AS v, count(*) AS d "
+            f"FROM read_parquet('{edges_glob}') GROUP BY src)"
+        )
+        contrib = "p2.val / p2.d"
+    return (
+        "WITH RECURSIVE pr(iter, v, val, delta) AS ("
+        "SELECT 0, v, CAST(1.0 AS DOUBLE), CAST(1e18 AS DOUBLE) "
+        f"FROM (SELECT DISTINCT src AS v FROM read_parquet('{edges_glob}') "
+        f"UNION SELECT DISTINCT dst FROM read_parquet('{edges_glob}')) "
+        "UNION ALL "
+        "SELECT iter + 1, v, newval, sum(abs(newval - val)) OVER () "
+        "FROM ("
+        "SELECT p.iter, p.v, p.val, 0.15 + 0.85 * coalesce(m.s, 0.0) AS newval "
+        "FROM pr p "
+        f"LEFT JOIN (SELECT e.dst AS v, sum({contrib}) AS s "
+        f"FROM (SELECT pr.v, pr.val, od.d FROM pr JOIN {denom} od USING (v)) p2 "
+        f"JOIN read_parquet('{edges_glob}') e ON e.src = p2.v "
+        "GROUP BY e.dst) m ON m.v = p.v "
+        "WHERE p.delta >= 1e-6 AND p.iter < 199)) "
+        "SELECT v AS vertex_id, ROUND(val, 6) AS value FROM pr "
+        "WHERE iter = (SELECT max(iter) FROM pr) ORDER BY vertex_id"
+    )
+
+
+def _cc_oracle_sql(edges_glob: str) -> str:
+    """Min-label flood to fixpoint on the symmetrized graph — the engine's
+    ConnectedComponents semantics (programs.py:271-304): final label = min
+    vertex id in the weakly-connected component."""
+    return (
+        f"WITH RECURSIVE {_sym_edges_cte(edges_glob)}, "
+        "cc(iter, v, val, changes) AS ("
+        "SELECT 0, v, v, 1::BIGINT FROM (SELECT DISTINCT src AS v FROM se) "
+        "UNION ALL "
+        "SELECT iter + 1, v, newval, "
+        "sum(CASE WHEN newval <> val THEN 1 ELSE 0 END) OVER () "
+        "FROM ("
+        "SELECT p.iter, p.v, p.val, least(p.val, coalesce(m.mn, p.val)) AS newval "
+        "FROM cc p "
+        "LEFT JOIN (SELECT e.dst AS v, min(p2.val) AS mn "
+        "FROM cc p2 JOIN se e ON e.src = p2.v GROUP BY e.dst) m ON m.v = p.v "
+        "WHERE p.changes > 0 AND p.iter < 300)) "
+        "SELECT v AS vertex_id, val AS value FROM cc "
+        "WHERE iter = (SELECT max(iter) FROM cc) ORDER BY vertex_id"
+    )
+
+
+def _lpa_oracle_sql(edges_glob: str, max_rounds: int = 19) -> str:
+    """Synchronous LPA with the engine's exact tie-break (most frequent
+    neighbor label, ties -> MIN label; programs.py:352-399) and halt rule
+    (no changes, or the 20-superstep cap = 19 update rounds). The mode is
+    a (v, label) count + row_number window per iteration; multiplicity of
+    parallel symmetrized edges counts, as in the engine's message sums."""
+    return (
+        f"WITH RECURSIVE {_sym_edges_cte(edges_glob)}, "
+        "lp(iter, v, val, changes) AS ("
+        "SELECT 0, v, v, 1::BIGINT FROM (SELECT DISTINCT src AS v FROM se) "
+        "UNION ALL "
+        "SELECT iter + 1, v, newval, "
+        "sum(CASE WHEN newval <> val THEN 1 ELSE 0 END) OVER () "
+        "FROM ("
+        "SELECT p.iter, p.v, p.val, coalesce(w.l, p.val) AS newval "
+        "FROM lp p "
+        "LEFT JOIN (SELECT v, l FROM ("
+        "SELECT v, l, row_number() OVER "
+        "(PARTITION BY v ORDER BY c DESC, l ASC) AS rn "
+        "FROM (SELECT e.dst AS v, p2.val AS l, count(*) AS c "
+        "FROM lp p2 JOIN se e ON e.src = p2.v GROUP BY e.dst, p2.val)"
+        ") WHERE rn = 1) w ON w.v = p.v "
+        f"WHERE p.changes > 0 AND p.iter < {max_rounds})) "
+        "SELECT v AS vertex_id, val AS value FROM lp "
+        "WHERE iter = (SELECT max(iter) FROM lp) ORDER BY vertex_id"
+    )
+
+
+def _kcore_oracle_sql(edges_glob: str, k: int = 4) -> str:
+    """Synchronous k-core peeling to fixpoint (programs.py:402-444):
+    survivors_{t+1} = vertices of survivors_t with degree >= k inside
+    survivors_t (symmetrized, multiplicity counts). Carried (n, prevn)
+    columns detect the fixpoint (no removal last round -> stop). Output:
+    remaining in-core degree for members, -1 for peeled vertices."""
+    return (
+        f"WITH RECURSIVE {_sym_edges_cte(edges_glob)}, "
+        "verts AS (SELECT DISTINCT src AS v FROM se), "
+        "kc(iter, v, deg, n, prevn) AS ("
+        "SELECT 0, d.v, d.deg, (SELECT count(*) FROM verts)::BIGINT, "
+        "(SELECT count(*) FROM verts)::BIGINT + 1 "
+        "FROM (SELECT src AS v, count(*) AS deg FROM se GROUP BY src) d "
+        "UNION ALL "
+        "SELECT iter + 1, v, newdeg, count(*) OVER (), n "
+        "FROM ("
+        "SELECT p.iter, p.v, p.n, coalesce(m.c, 0)::BIGINT AS newdeg "
+        "FROM kc p "
+        "LEFT JOIN (SELECT e.src AS v, count(*) AS c FROM se e "
+        f"JOIN kc a ON a.v = e.src AND a.deg >= {k} "
+        f"JOIN kc b ON b.v = e.dst AND b.deg >= {k} "
+        "GROUP BY e.src) m ON m.v = p.v "
+        f"WHERE p.n < p.prevn AND p.deg >= {k} AND p.iter < 300)) "
+        "SELECT vt.v AS vertex_id, CAST(coalesce(f.deg, -1) AS BIGINT) AS value "
+        "FROM verts vt "
+        "LEFT JOIN (SELECT v, deg FROM kc "
+        f"WHERE iter = (SELECT max(iter) FROM kc) AND deg >= {k}) f "
+        "ON f.v = vt.v ORDER BY vertex_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     edges_glob = _staged_edges_glob()
     sssp_src = _sssp_source(_ORACLE_SF)
@@ -767,6 +919,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
             f"JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
         ),
+        # --- iterative graph algorithms: recursive-CTE replays of the
+        # engine's recurrence + halt rule (see the builder docstrings) -----
+        "pagerank": _pagerank_oracle_sql(edges_glob, weighted=False),
+        "weighted_pagerank": _pagerank_oracle_sql(edges_glob, weighted=True),
+        "connected_components": _cc_oracle_sql(edges_glob),
+        "label_propagation": _lpa_oracle_sql(edges_glob),
+        "kcore": _kcore_oracle_sql(edges_glob, k=4),
         "sssp": (
             # unit-weight directed shortest paths from the page-0 vertex;
             # (vertex, dist) pairs dedup via UNION, bounded by dist<150
@@ -958,12 +1117,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, count(*) AS n FROM embeddings GROUP BY label ORDER BY label"
         ),
         # Rows-only queries, each with its pytest exactness oracle:
-        #   pagerank / weighted_pagerank — iterative BSP to an aggregator-
-        #     driven fixpoint (reference-parity tests incl. the reference's
-        #     own shipped inputs, tests/test_reference_inputs.py)
-        #   connected_components / label_propagation / kcore — iterative
-        #     label flood / peeling fixpoints (tests/test_engine_graph.py,
-        #     tests/test_kcore.py vs dense-simulation hand oracles)
         #   doc_fingerprint / doc_simhash_pairs — 64-bit rolling/FNV
         #     hashing, not SQL-expressible (tests/test_stages.py planted
         #     oracles)
