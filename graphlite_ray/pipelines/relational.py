@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from graphlite_ray.functions.grouping import grouped_map_bucketed
+
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     from graphlite_ray.sources.io import read_parquet_clean
@@ -154,36 +156,56 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q_topk_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Global sort + limit (Ray Data distributed sort)."""
+def q_topk_orders(sf_dir: str, k: int = 10, use_sort: bool = False) -> pd.DataFrame:
+    """Top-k: per-block top-k inside map_batches + one tiny driver merge of
+    <= k rows per block — no all-to-all sort to fetch k rows (the
+    `_BatchTopK` shape from similarity.py). `use_sort=True` keeps the
+    Ray Data distributed global sort as the §2.6 sort-operator exercise
+    (same result, exchange-heavy; covered in tests)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
-    return out.to_pandas()
+    if use_sort:
+        out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+        return out.to_pandas()
+
+    def _block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        )[:k]
+        return t.take(idx)
+
+    parts = ds.map_batches(_block_topk, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
-def q_distinct_users(sf_dir: str) -> pd.DataFrame:
-    """Distinct + count per group over the events stream."""
+def q_distinct_users(sf_dir: str, B: int = 32) -> pd.DataFrame:
+    """Distinct + count per group over the events stream — two-level exact
+    distinct: per-batch Arrow pre-dedup, then a bucketed shuffle on
+    user_id (every user's rows land in ONE bucket, so per-bucket distinct
+    counts sum exactly), then a tiny final sum over B x n_types partials.
+    A hot event type never concentrates in a single group — the skew-safe
+    replacement for groupby(event_type).map_groups."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def _pre(t: pa.Table) -> pa.Table:
         # per-batch pre-dedup, Arrow-native (group-by with no aggregates)
         return pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate([])
 
-    def _per_type(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_users": [int(g["user_id"].nunique())],
-            }
+    def _bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "nunique")
         )
 
-    return (
-        ds.map_batches(_pre, batch_format="pyarrow")
-        .groupby("event_type")
-        .map_groups(_per_type, batch_format="pandas")
-        .to_pandas()
-        .sort_values("event_type", ignore_index=True)
-    )
+    partials = grouped_map_bucketed(
+        ds.map_batches(_pre, batch_format="pyarrow"), ["user_id"], _bucket_counts, B=B
+    ).to_pandas()  # <= B x n_event_types rows
+    out = partials.groupby("event_type", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type", ignore_index=True)
 
 
 def q_hourly_windows(sf_dir: str) -> pd.DataFrame:
@@ -289,14 +311,17 @@ def q_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
 
 def q_customers_without_orders(
-    sf_dir: str, max_broadcast_keys: int = 5_000_000
+    sf_dir: str,
+    max_broadcast_keys: int = 5_000_000,
+    right_rows_hint: int | None = None,
 ) -> pd.DataFrame:
     """Anti-join (semi/anti-join operator family): customers with no
-    finalized ('F') order. Strategy is size-gated: when the right side is
-    small enough its distinct keys are broadcast once and each batch
-    filters locally (no shuffle); a fact-sized key set routes through the
-    bucketed anti-join (`joins.anti_join_bucketed`) so the driver never
-    materializes it."""
+    finalized ('F') order. Strategy is size-gated on the FILTERED right
+    side (its row count bounds its distinct keys): small -> distinct keys
+    broadcast once, each batch filters locally (no shuffle); fact-sized ->
+    the bucketed anti-join (`joins.anti_join_bucketed`) so the driver never
+    materializes it. Pass `right_rows_hint` (e.g. from table stats) to
+    skip the gate's counting pass."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
     final = orders.map_batches(
         lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))).select(
@@ -305,7 +330,8 @@ def q_customers_without_orders(
         batch_format="pyarrow",
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    if orders.count() <= max_broadcast_keys:  # row count bounds distinct keys
+    n_right = right_rows_hint if right_rows_hint is not None else final.count()
+    if n_right <= max_broadcast_keys:
         keys = set(final.unique("o_custkey"))
         ref = ray.put(keys)
 
@@ -360,18 +386,29 @@ def q_native_join_revenue(sf_dir: str, strategy: str = "auto") -> pd.DataFrame:
     it — falls back to the broadcast join otherwise. `strategy` forces a
     path: "native" raises instead of silently downgrading, "broadcast"
     skips the native attempt; "auto" records the chosen path + fallback
-    reason in `LAST_JOIN_STRATEGY` so a bench run is attributable."""
+    reason in `LAST_JOIN_STRATEGY` so a bench run is attributable.
+    Both paths aggregate (segment, sum, count) per batch AFTER the join and
+    final-combine <= n_segments rows — the joined fact rows never
+    materialize on the driver."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     LAST_JOIN_STRATEGY.update({"strategy": None, "fallback_reason": None})
-    df = None
+
+    def _partial_seg(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial aggregate AFTER the join: the driver only ever
+        # sees <= n_segments rows per batch, never the joined fact rows
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    partials = None
     if strategy in ("auto", "native") and hasattr(orders, "join"):
         try:
             joined = orders.join(
                 cust, join_type="inner", num_partitions=8,
                 on=("o_custkey",), right_on=("c_custkey",),
             )
-            df = joined.to_pandas()
+            partials = joined.map_batches(_partial_seg, batch_format="pandas").to_pandas()
             LAST_JOIN_STRATEGY["strategy"] = "native"
         except Exception as e:
             if strategy == "native":
@@ -382,10 +419,10 @@ def q_native_join_revenue(sf_dir: str, strategy: str = "auto") -> pd.DataFrame:
             warnings.warn(
                 f"native Dataset.join failed, falling back to broadcast: {e!r}"
             )
-            df = None
+            partials = None
     elif strategy == "native":
         raise RuntimeError("Dataset.join not available in this Ray version")
-    if df is None:
+    if partials is None:
         LAST_JOIN_STRATEGY["strategy"] = "broadcast"
         dim = cust.to_pandas()
         ref = ray.put(dim)
@@ -395,12 +432,15 @@ def q_native_join_revenue(sf_dir: str, strategy: str = "auto") -> pd.DataFrame:
                 self.dim = ray.get(ref)
 
             def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                return b.merge(self.dim, left_on="o_custkey", right_on="c_custkey")
+                return _partial_seg(
+                    b.merge(self.dim, left_on="o_custkey", right_on="c_custkey")
+                )
 
-        df = orders.map_batches(_J, batch_format="pandas", concurrency=(1, 4)).to_pandas()
-    out = (
-        df.groupby("c_mktsegment", as_index=False)
-        .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        partials = orders.map_batches(
+            _J, batch_format="pandas", concurrency=(1, 4)
+        ).to_pandas()
+    out = partials.groupby("c_mktsegment", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
     )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("c_mktsegment", ignore_index=True)
