@@ -255,32 +255,67 @@ def minhash_dedup(
     # (pair_id, role, text) rows, and ONE bucketed shuffle on pair_id
     # brings both texts of every pair together for a vectorized exact-
     # Jaccard verify — a single all-to-all instead of a text write plus
-    # two hash joins.
-    slot_map: dict[int, list[tuple[int, int]]] = {}
-    for pid, (a, b) in enumerate(zip(pairs_df["a"], pairs_df["b"])):
-        slot_map.setdefault(int(a), []).append((pid, 0))
-        slot_map.setdefault(int(b), []).append((pid, 1))
-    ref = ray.put(slot_map)
+    # two hash joins. The doc -> slots map is built as sorted numpy arrays
+    # (no per-pair Python loop) and broadcast once.
+    npairs = len(pairs_df)
+    docs_arr = np.concatenate(
+        [pairs_df["a"].to_numpy(np.int64), pairs_df["b"].to_numpy(np.int64)]
+    )
+    pid_arr = np.concatenate([np.arange(npairs, dtype=np.int64)] * 2)
+    role_arr = np.repeat(np.array([0, 1], np.int64), npairs)
+    order = np.argsort(docs_arr, kind="stable")
+    docs_s, pid_s, role_s = docs_arr[order], pid_arr[order], role_arr[order]
+    uniq_docs, starts = np.unique(docs_s, return_index=True)
+    counts = np.diff(np.append(starts, len(docs_s))).astype(np.int64)
+    ref = ray.put((uniq_docs, starts.astype(np.int64), counts, pid_s, role_s))
 
     class _Explode:
         def __init__(self):
-            self.slots = ray.get(ref)
+            # zero-copy plasma views of the slot arrays
+            self.uniq, self.starts, self.counts, self.pid, self.role = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            pids: list[int] = []
-            roles: list[int] = []
-            texts: list[str] = []
-            for doc_id, text in zip(batch["doc_id"], batch["text"]):
-                for pid, role in self.slots.get(int(doc_id), ()):
-                    pids.append(pid)
-                    roles.append(role)
-                    texts.append(text)
-            return pd.DataFrame({"pair_id": pids, "role": roles, "text": texts})
+            ids = batch["doc_id"].to_numpy(np.int64)
+            pos = np.searchsorted(self.uniq, ids)
+            pos_c = np.clip(pos, 0, max(len(self.uniq) - 1, 0))
+            hit = np.flatnonzero(
+                (pos < len(self.uniq)) & (self.uniq[pos_c] == ids)
+                if len(self.uniq)
+                else np.zeros(len(ids), bool)
+            )
+            empty = pd.DataFrame(
+                {
+                    "pair_id": pd.Series([], dtype="int64"),
+                    "role": pd.Series([], dtype="int64"),
+                    "text": pd.Series([], dtype="object"),
+                }
+            )
+            if not hit.size:
+                return empty
+            c = self.counts[pos[hit]]
+            total = int(c.sum())
+            if not total:
+                return empty
+            # slot index ranges, flattened: starts[j] .. starts[j]+c[j]
+            sl = np.repeat(self.starts[pos[hit]], c) + (
+                np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+            )
+            texts = batch["text"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "pair_id": self.pid[sl],
+                    "role": self.role[sl],
+                    "text": np.repeat(texts[hit], c),
+                }
+            )
 
     exploded = docs.map_batches(_Explode, batch_format="pandas", concurrency=(1, 8))
     pair_ref = ray.put(pairs_df[["a", "b"]].to_numpy())
 
     def _verify_frame(g: pd.DataFrame) -> pd.DataFrame:
+        # duplicated doc_id rows in a dirty corpus emit the same
+        # (pair_id, role) slot twice — keep one text per slot
+        g = g.drop_duplicates(["pair_id", "role"])
         left = g[g["role"] == 0].set_index("pair_id")["text"]
         right = g[g["role"] == 1].set_index("pair_id")["text"]
         pids = left.index.intersection(right.index).to_numpy()
@@ -476,20 +511,22 @@ def embedding_near_dup_exact(
     tau: float = 0.4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_rows: int = 2_000_000,
 ) -> DedupResult:
     """EXACT cosine near-duplicate pairs: the normalized corpus matrix is
     broadcast once (`ray.put`), every block computes one block×corpus
     matmul and emits only its above-threshold pairs (id_a < id_b). This is
     the exhaustive baseline the LSH variant (`embedding_near_dup`) trades
-    recall against; corpus-matrix broadcast bounds it to corpora whose
-    embeddings fit in the object store (~10^8 x 64 floats) — beyond that,
-    use the LSH/IVF paths."""
-    n_rows = emb.count()
-    if n_rows > 2_000_000:
+    recall against; the corpus matrix must fit in the object store, so the
+    guard raises beyond `max_rows` (default 2M) — use the LSH/IVF paths
+    there. The guard is a streaming limit-probe (executes only until
+    max_rows+1 rows exist), not a full count pass."""
+    n_rows = emb.limit(max_rows + 1).count()
+    if n_rows > max_rows:
         raise RuntimeError(
             f"embedding_near_dup_exact is the broadcast-exact baseline "
-            f"(corpus matrix must fit in the object store); {n_rows} rows "
-            f"exceeds the 2M guard — use embedding_near_dup (LSH) instead"
+            f"(corpus matrix must fit in the object store); > {max_rows} "
+            f"rows — use embedding_near_dup (LSH) instead or raise max_rows"
         )
     mat_rows = emb.select_columns([id_col, emb_col]).take_all()
     ids_all = np.array([r[id_col] for r in mat_rows], np.int64)

@@ -44,6 +44,25 @@ def test_join_revenue_never_materializes_fact_rows(ray_session):
     assert len(a) <= 10  # segments only, never the joined fact table
 
 
+def test_minhash_dedup_survives_duplicate_doc_ids(ray_session):
+    """A dirty corpus with a repeated doc_id must not crash the
+    distributed verify stage (slots dedup on (pair_id, role))."""
+    import ray.data
+
+    from graphlite_ray.stages.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + "extra tail"},
+        {"doc_id": 2, "text": base + "extra tail"},  # duplicated id
+        {"doc_id": 3, "text": "completely different content entirely " * 6},
+    ]
+    res = minhash_dedup(ray.data.from_items(rows), threshold=0.5)
+    pairs = set(map(tuple, res.pairs[["a", "b"]].to_numpy()))
+    assert (1, 2) in pairs
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
