@@ -170,7 +170,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def _engine_bench(num_cpus: int) -> dict:
+def _engine_bench(num_cpus: int, routing: str | None = None) -> dict:
     """Superstep-engine throughput on a LARGE synthetic edge table with a
     FIXED partition count (P is a data-layout property — constant across
     cluster sizes; only the CPU count varies, mirroring N vs 4N nodes over
@@ -213,11 +213,13 @@ def _engine_bench(num_cpus: int) -> dict:
         build_s = 0.0  # shard layout reused across levels, like a real cluster
     meta = load_graph_meta(graph_dir)
 
-    ckpt = f"/tmp/glr_bench/scale_ckpt_{num_cpus}_{os.getpid()}"
-    res = run_bsp(PageRank(), graph_dir, ckpt, max_supersteps=n_ss)
+    routing = routing or os.environ.get("GLR_ROUTING", "auto")
+    ckpt = f"/tmp/glr_bench/scale_ckpt_{num_cpus}_{os.getpid()}_{routing}"
+    res = run_bsp(PageRank(), graph_dir, ckpt, max_supersteps=n_ss, routing=routing)
     superstep_wall = sum(m["wall_s"] for m in res.metrics)
     out = {
         "mode": "engine",
+        "routing": routing,
         "num_cpus": num_cpus,
         "P": P,
         "n_vertices": meta["n_vertices"],
@@ -233,6 +235,25 @@ def _engine_bench(num_cpus: int) -> dict:
     }
     shutil.rmtree(ckpt, ignore_errors=True)
     ray.shutdown()
+    return out
+
+
+def _routing_compare(num_cpus: int) -> dict:
+    """Superstep throughput under BOTH message-routing layouts on the same
+    prebuilt shards: grouped (P objects/superstep, single-node optimum) vs
+    per_dest (P^2 objects, each shipped to exactly one consumer — the
+    multi-node layout, reference Sender.cc analog). Same session, same
+    graph; results are bit-identical (tested), only transport differs."""
+    out: dict = {"mode": "routing", "num_cpus": num_cpus}
+    for r in ("grouped", "per_dest"):
+        res = _engine_bench(num_cpus, routing=r)
+        out[r] = {
+            k: res[k]
+            for k in ("edges_per_s", "superstep_wall_s", "supersteps", "P")
+        }
+    out["grouped_over_per_dest"] = round(
+        out["grouped"]["edges_per_s"] / max(out["per_dest"]["edges_per_s"], 1), 3
+    )
     return out
 
 
@@ -325,6 +346,9 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(_scaling(sf_dir)))
+        return
+    if "--routing" in sys.argv:
+        print(json.dumps(_routing_compare(num_cpus)))
         return
     if "--engine" in sys.argv:
         print(json.dumps(_engine_bench(num_cpus)))

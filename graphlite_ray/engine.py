@@ -127,6 +127,20 @@ def latest_checkpoint(ckpt_dir: str, expect_hash: str | None = None) -> dict | N
     return best
 
 
+def resolve_routing(routing: str) -> str:
+    """"auto" -> "grouped" on a single-node cluster (P plasma objects per
+    superstep, zero-copy fan-out) / "per_dest" on multi-node (P^2 objects,
+    each shipped to exactly one consumer node — no network amplification).
+    See worker.py's routing docstring for the measured tradeoff."""
+    if routing != "auto":
+        return routing
+    try:
+        alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+    except Exception:
+        alive = 1
+    return "grouped" if alive <= 1 else "per_dest"
+
+
 def run_bsp(
     program: VertexProgram,
     graph_dir: str,
@@ -134,6 +148,7 @@ def run_bsp(
     max_supersteps: int = 200,
     ckpt_every: int = 0,
     resume: bool = False,
+    routing: str = "auto",
 ) -> BSPResult:
     """Run a vertex program over pre-built CSR shards to termination.
 
@@ -142,6 +157,10 @@ def run_bsp(
     the latest complete manifest: values + active mask + in-flight messages
     are reloaded per partition and the loop continues at the next superstep,
     bit-identical to an uninterrupted run (tested).
+
+    ``routing`` selects the message-exchange layout ("auto" | "grouped" |
+    "per_dest"); results are bit-identical across layouts (tested) — only
+    the object-store traffic pattern differs (worker.py docstring).
 
     Fault tolerance: an actor death mid-superstep (node loss analog) is
     caught, all actors are recreated, and the run continues from the latest
@@ -161,6 +180,7 @@ def run_bsp(
                 max_supersteps=max_supersteps,
                 ckpt_every=ckpt_every,
                 resume=resume or attempt > 0,
+                routing=resolve_routing(routing),
             )
             program.master_term(result)  # Graph::term analog
             return result
@@ -177,6 +197,7 @@ def _run_bsp_attempt(
     max_supersteps: int,
     ckpt_every: int,
     resume: bool,
+    routing: str = "grouped",
 ) -> BSPResult:
     meta = load_graph_meta(graph_dir)
     P = int(meta["P"])
@@ -206,7 +227,8 @@ def _run_bsp_attempt(
     actor_cpus = min(1.0, max(0.01, float(total_cpus) / max(1, P)))
     Actor = ray.remote(num_cpus=actor_cpus)(PartitionWorker)
     workers = [
-        Actor.remote(p, P, graph_dir, program, meta["n_vertices"]) for p in range(P)
+        Actor.remote(p, P, graph_dir, program, meta["n_vertices"], routing=routing)
+        for p in range(P)
     ]
     ray.get([w.ready.remote() for w in workers])  # surface load errors early
 
@@ -214,7 +236,7 @@ def _run_bsp_attempt(
         return _superstep_loop(
             program, workers, meta, specs, aggr_global, start_ss, use_restored,
             restore_from, max_supersteps, ckpt_every, ckpt_dir, graph_dir, result,
-            cfg_hash,
+            cfg_hash, routing,
         )
     finally:
         # free actor CPU reservations (state is checkpointed); also runs on
@@ -226,9 +248,10 @@ def _run_bsp_attempt(
 def _superstep_loop(
     program, workers, meta, specs, aggr_global, start_ss, use_restored,
     restore_from, max_supersteps, ckpt_every, ckpt_dir, graph_dir, result,
-    cfg_hash,
+    cfg_hash, routing="grouped",
 ) -> BSPResult:
     P = len(workers)
+    per_dest = routing == "per_dest"
     if restore_from is not None:
         ray.get([w.restore.remote(restore_from["superstep"], ckpt_dir) for w in workers])
         aggr_global = {
@@ -238,23 +261,31 @@ def _superstep_loop(
         start_ss = restore_from["superstep"] + 1
         use_restored = True
 
-    # msgs[i] = ref of producer i's grouped message object (dict dest->block)
-    msgs: list = [None] * P
+    # grouped:  msgs[i] = ref of producer i's grouped object (dict dest->block)
+    # per_dest: msgs[i][j] = ref of producer i's block FOR consumer j
+    msgs: list = [[None] * P for _ in range(P)] if per_dest else [None] * P
+    n_ret = 1 + (P if per_dest else 1)
     halted = False
     ss = start_ss - 1
     for ss in range(start_ss, max_supersteps):
         t0 = time.perf_counter()
         refs = []
         for j, w in enumerate(workers):
-            incoming = [None] * P if use_restored else msgs
+            if use_restored:
+                incoming = [None] * P
+            elif per_dest:
+                # each per-dest object ref goes to exactly ONE consumer
+                incoming = [msgs[i][j] for i in range(P)]
+            else:
+                incoming = msgs
             refs.append(
-                w.step.options(num_returns=2).remote(
+                w.step.options(num_returns=n_ret).remote(
                     ss, aggr_global, *incoming, use_restored=use_restored
                 )
             )
         use_restored = False
         metas = ray.get([r[0] for r in refs])
-        msgs = [refs[i][1] for i in range(P)]
+        msgs = [refs[i][1:] for i in range(P)] if per_dest else [refs[i][1] for i in range(P)]
 
         totals = {
             k: int(sum(m[k] for m in metas))

@@ -149,6 +149,7 @@ def run_algorithm(
     max_supersteps: int = 200,
     ckpt_every: int = 0,
     resume: bool = False,
+    routing: str = "auto",
     **program_kwargs,
 ) -> BSPResult:
     """Stages 1-3: pages -> BSP result for a built-in or custom program."""
@@ -164,6 +165,7 @@ def run_algorithm(
         max_supersteps=max_supersteps,
         ckpt_every=ckpt_every,
         resume=resume,
+        routing=routing,
     )
 
 
@@ -177,6 +179,7 @@ def run_on_edges(
     ckpt_every: int = 0,
     resume: bool = False,
     weights: np.ndarray | None = None,
+    routing: str = "auto",
     **program_kwargs,
 ) -> BSPResult:
     """Run a program directly on an integer edge list (the reference's own
@@ -211,6 +214,7 @@ def run_on_edges(
         max_supersteps=max_supersteps,
         ckpt_every=ckpt_every,
         resume=resume,
+        routing=routing,
     )
 
 
@@ -223,6 +227,7 @@ def run_on_edge_dataset(
     max_supersteps: int = 200,
     ckpt_every: int = 0,
     resume: bool = False,
+    routing: str = "auto",
     **program_kwargs,
 ) -> BSPResult:
     """Run a program on a STREAMING edge Dataset (src:int64, dst:int64
@@ -245,6 +250,7 @@ def run_on_edge_dataset(
         max_supersteps=max_supersteps,
         ckpt_every=ckpt_every,
         resume=resume,
+        routing=routing,
     )
 
 

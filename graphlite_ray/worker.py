@@ -21,17 +21,28 @@ Message blocks between partitions are numpy-array tuples:
     combiner "none":        (dst_global:int64, src_global:int64, val) — RAW,
                             one row per message, sender id preserved
 
-Routing: each producer returns ONE grouped message object per superstep — a
-dict {dest_partition: block} — and the driver hands every destination the
-refs of all P producer objects (never fetching payloads itself, like the
-reference master, SURVEY.md §3.1 step 6). A destination reads its entry
-from each producer object; on a single node these reads are ZERO-COPY
-plasma views, so the object-store does P object creations per superstep
-instead of P^2 (P^2 small objects measurably serialize on the store lock
-and destroy scaling). On a multi-node cluster the per-dest-object layout
-(P^2 objects, each shipped to exactly one node) would minimize network
-bytes instead — that switch is a routing-layer change only; block format
-and combine semantics are identical.
+Routing — two layouts, same block format and combine semantics (selected
+by the engine's ``routing`` option, default auto by cluster size):
+
+  "grouped" (single-node optimum): each producer returns ONE grouped
+  message object per superstep — a dict {dest_partition: block} — and the
+  driver hands every destination the refs of all P producer objects (never
+  fetching payloads itself, like the reference master, SURVEY.md §3.1
+  step 6). A destination reads its entry from each producer object; on a
+  single node these reads are ZERO-COPY plasma views, so the object store
+  does P creations per superstep instead of P^2 (P^2 small objects
+  measurably serialize on the store lock and destroy scaling here).
+
+  "per_dest" (multi-node optimum): each producer returns P separate
+  per-destination objects (``num_returns=1+P``) and the driver routes each
+  ref to exactly ONE consumer — the analog of the reference's
+  one-peer-per-block sender (`engine/Sender.cc:44-235`,
+  `engine/WW.nodemsg_list.proto:10-18`). Across nodes this ships each
+  byte to exactly its destination instead of pulling the whole producer
+  object P times (O(P) network amplification avoided).
+
+Both layouts are bit-identical in results (tested) and checkpoint the same
+way (``last_out`` keeps the dict layout regardless).
 """
 
 from __future__ import annotations
@@ -95,11 +106,13 @@ class PartitionWorker:
         graph_dir: str,
         program: VertexProgram,
         n_vertices_global: int,
+        routing: str = "grouped",
     ):
         self.part_id = part_id
         self.P = P
         self.program = program
         self.n_vertices_global = n_vertices_global
+        self.routing = routing
         self.shard = CSRShard.load(graph_dir, part_id, P)  # once per actor
         self.values = program.init_values(self.shard)
         self.active = np.ones(self.shard.n, bool)
@@ -115,6 +128,11 @@ class PartitionWorker:
         t0 = time.perf_counter()
         if use_restored:
             blocks = self._restored_incoming or []
+        elif self.routing == "per_dest":
+            # incoming = P per-destination blocks, each addressed to THIS
+            # partition only (the driver routed producer i's j-th return
+            # object to consumer j)
+            blocks = [b for b in incoming if b is not None and len(b[0])]
         else:
             # incoming = P grouped producer objects (zero-copy plasma views);
             # pick this partition's entry from each
@@ -209,6 +227,9 @@ class PartitionWorker:
             "aggr": dict(out.aggr),
             "wall_s": time.perf_counter() - t0,
         }
+        if self.routing == "per_dest":
+            # P separate objects; the driver hands each to ONE consumer
+            return tuple([meta] + [blocks_out.get(j) for j in range(self.P)])
         return meta, (blocks_out or None)
 
     # -- checkpoint / restore (north rule; reference has none — SURVEY.md §4)

@@ -63,6 +63,61 @@ def test_minhash_dedup_survives_duplicate_doc_ids(ray_session):
     assert (1, 2) in pairs
 
 
+@pytest.mark.parametrize("algo", ["pagerank", "connected_components"])
+def test_routing_layouts_bit_identical(ray_session, tmp_path, algo):
+    """grouped (P objects/superstep) vs per_dest (P^2 objects, one consumer
+    each) message routing must produce BIT-identical values."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edges
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 60, 400).astype(np.int64)
+    dst = rng.randint(0, 60, 400).astype(np.int64)
+
+    outs = {}
+    for routing in ("grouped", "per_dest"):
+        res = run_on_edges(
+            algo, src, dst, str(tmp_path / routing), P=4, routing=routing
+        )
+        df = (
+            res.values()
+            .to_pandas()
+            .sort_values("vertex_id", ignore_index=True)
+        )
+        outs[routing] = df
+    assert (
+        outs["grouped"]["vertex_id"].to_numpy()
+        == outs["per_dest"]["vertex_id"].to_numpy()
+    ).all()
+    # bit-identical, not allclose: same blocks, same combine order per dest
+    assert (
+        outs["grouped"]["value"].to_numpy() == outs["per_dest"]["value"].to_numpy()
+    ).all()
+
+
+def test_per_dest_resume_midrun(ray_session, tmp_path):
+    """Checkpoint/restore works identically under per_dest routing."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edges
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 40, 200).astype(np.int64)
+    dst = rng.randint(0, 40, 200).astype(np.int64)
+    full = run_on_edges(
+        "pagerank", src, dst, str(tmp_path / "full"), P=4, routing="per_dest"
+    )
+    part = run_on_edges(
+        "pagerank", src, dst, str(tmp_path / "part"), P=4,
+        routing="per_dest", max_supersteps=5, ckpt_every=2,
+    )
+    assert not part.halted
+    resumed = run_on_edges(
+        "pagerank", src, dst, str(tmp_path / "part"), P=4,
+        routing="per_dest", resume=True,
+    )
+    a = full.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    b = resumed.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
