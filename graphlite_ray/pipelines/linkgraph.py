@@ -322,13 +322,9 @@ def result_with_urls(result: BSPResult, work_dir: str) -> "ray.data.Dataset":
 
 def format_reference_output(scores: "ray.data.Dataset") -> "ray.data.Dataset":
     """Render the reference's output lines `"<vid>: <value>"` (`%f`, 6
-    decimals — `example/PageRankVertex.cc:106-119`) for byte-compat export."""
+    decimals — `example/PageRankVertex.cc:106-119`) for byte-compat export.
+    Thin wrapper over the pluggable formatter protocol
+    (`sources/formatters.py`) with the reference line format."""
+    from graphlite_ray.sources.formatters import format_output
 
-    def _fmt(batch: pa.Table) -> pa.Table:
-        vids = batch["vertex_id"].to_pylist()
-        vals = batch["value"].to_pylist()
-        return pa.table(
-            {"line": pa.array([f"{v}: {x:f}" for v, x in zip(vids, vals)], pa.string())}
-        )
-
-    return scores.map_batches(_fmt, batch_format="pyarrow")
+    return format_output(scores)

@@ -111,3 +111,9 @@ def write_text(path: str, text: str) -> None:
     fs, p = resolve(path)
     with fs.open_output_stream(p) as f:
         f.write(text.encode())
+
+
+def read_text(path: str) -> str:
+    fs, p = resolve(path)
+    with fs.open_input_stream(p) as f:
+        return f.read().decode()

@@ -118,6 +118,75 @@ def test_per_dest_resume_midrun(ray_session, tmp_path):
     assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
 
 
+def test_formatter_roundtrip_reference_shards(ray_session, tmp_path):
+    """Read the reference's OWN tinygraph input contract through the
+    pluggable InputFormatter (2 hash-partitioned text shards), run
+    PageRank, and write byte-compatible '%lld: %f' output lines through
+    the OutputFormatter — the full ported-job seam."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+    from graphlite_ray.sources.edgelist import (
+        TINYGRAPH,
+        TINYGRAPH_PAGERANK,
+        hash_partition_shards,
+        read_edgelist,
+    )
+    from graphlite_ray.sources.formatters import (
+        ReferenceEdgeListInput,
+        read_edge_shards,
+        write_formatted,
+    )
+
+    n, src, dst = read_edgelist(TINYGRAPH)
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for w, (local_v, s, d) in enumerate(hash_partition_shards(src, dst, n, 2)):
+        body = f"{local_v}\n{len(s)}\n" + "".join(
+            f"{a} {b}\n" for a, b in zip(s, d)
+        )
+        (shard_dir / f"shard_{w}").write_text(body)
+
+    edges = read_edge_shards(str(shard_dir), ReferenceEdgeListInput())
+    assert edges.count() == 12
+    res = run_on_edge_dataset("pagerank", edges, str(tmp_path / "work"), P=2)
+    out_dir = tmp_path / "out"
+    manifest = write_formatted(
+        res.values().select_columns(["vertex_id", "value"]), str(out_dir)
+    )
+    lines = sorted(
+        ln
+        for p in out_dir.iterdir()
+        for ln in p.read_text().splitlines()
+    )
+    want = sorted(f"{v}: {x:f}" for v, x in TINYGRAPH_PAGERANK.items())
+    assert lines == want  # byte-compatible with the reference OutputFormatter
+    assert manifest["n_lines"].sum() == 5
+
+
+def test_input_formatter_header_mismatch_raises(ray_session, tmp_path):
+    from graphlite_ray.sources.formatters import read_edge_shards
+
+    p = tmp_path / "bad_shard"
+    p.write_text("3\n5\n0 1\n1 2\n")  # declares 5 edges, has 2
+    with pytest.raises(Exception, match="declares 5 edges, parsed 2"):
+        read_edge_shards(str(p)).count()
+
+
+def test_weighted_input_formatter(ray_session, tmp_path):
+    from graphlite_ray.sources.formatters import (
+        ReferenceEdgeListInput,
+        read_edge_shards,
+    )
+
+    p = tmp_path / "wshard"
+    p.write_text("2\n2\n0 1 0.5\n1 0 2.25\n")
+    df = (
+        read_edge_shards(str(p), ReferenceEdgeListInput(weighted=True))
+        .to_pandas()
+        .sort_values("src", ignore_index=True)
+    )
+    assert df["weight"].tolist() == [0.5, 2.25]
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
