@@ -24,6 +24,19 @@ from graphlite_ray.functions.hashing import hash_strings
 _MULT = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _hash_objects(v: np.ndarray) -> np.ndarray:
+    """String/object key column -> uint64, via pandas' C siphash
+    (O(total_bytes), fixed key — deterministic across processes). The
+    byte-position FNV loop in hash_strings costs max_len numpy passes,
+    which is pathological when the KEY is a whole document (exact_dedup);
+    bucket assignment is transient within one shuffle, so it does not need
+    hash_strings' cross-version stability guarantee."""
+    try:
+        return pd.util.hash_array(np.asarray(v, dtype=object), categorize=False)
+    except TypeError:  # unhashable objects: stringify, rare fallback
+        return hash_strings([str(x) for x in v])
+
+
 def bucket_ids(df_or_table, key_cols: list[str], B: int) -> np.ndarray:
     """Deterministic bucket id per row from the key columns."""
     if isinstance(df_or_table, pa.Table):
@@ -41,7 +54,7 @@ def bucket_ids(df_or_table, key_cols: list[str], B: int) -> np.ndarray:
             elif v.dtype.kind == "f":
                 hv = v.view(np.uint64) * _MULT
             else:
-                hv = hash_strings([str(x) for x in v])
+                hv = _hash_objects(v)
             h = (h ^ hv) * _MULT
     return (h % np.uint64(max(1, B))).astype(np.int64)
 

@@ -229,16 +229,22 @@ def token_doc_frequency(
 
 class PropsExtractor:
     """events.props JSON sidecar -> typed column (the JSON-field-extraction
-    operator): one vectorized regex per batch, no per-row json.loads."""
+    operator): one vectorized regex per batch, no per-row json.loads.
+    Rows whose props lack a numeric "k" field are DROPPED (coerce +
+    filter), not crashed on — malformed sidecar rows are expected in dirty
+    web data."""
 
     import re as _re
 
     K_RE = r'"k":\s*(-?\d+)'
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["props"].str.extract(self.K_RE, expand=False).astype("int64")
-        out = batch.drop(columns=["props"]).copy()
-        out["k"] = k
+        k = pd.to_numeric(
+            batch["props"].str.extract(self.K_RE, expand=False), errors="coerce"
+        )
+        keep = k.notna()
+        out = batch.loc[keep].drop(columns=["props"]).copy()
+        out["k"] = k[keep].astype("int64")
         return out
 
 

@@ -187,6 +187,38 @@ def test_weighted_input_formatter(ray_session, tmp_path):
     assert df["weight"].tolist() == [0.5, 2.25]
 
 
+def test_exact_dedup_long_documents(ray_session):
+    """bucket_ids on whole-document string keys must not degrade to a
+    per-byte-position loop (pandas siphash path) — and stays correct."""
+    import time
+
+    import ray.data
+
+    from graphlite_ray.stages.dedup import exact_dedup
+
+    long_doc = ("lorem ipsum dolor sit amet " * 2000).strip()  # ~50 KB
+    rows = [{"doc_id": i, "text": long_doc + (f" v{i % 3}")} for i in range(60)]
+    t0 = time.perf_counter()
+    out = exact_dedup(ray.data.from_items(rows)).to_pandas()
+    elapsed = time.perf_counter() - t0
+    assert sorted(out["doc_id"]) == [0, 1, 2]  # min id per distinct text
+    assert elapsed < 30  # generous; the old path was minutes-scale at size
+
+
+def test_props_extractor_drops_malformed_rows():
+    from graphlite_ray.stages.textstats import PropsExtractor
+
+    batch = pd.DataFrame(
+        {
+            "props": ['{"k": 7}', '{"nope": 1}', '{"k": "xyz"}', '{"k": -3}'],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = PropsExtractor()(batch)
+    assert out["k"].tolist() == [7, -3]
+    assert out["value"].tolist() == [1.0, 4.0]
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
