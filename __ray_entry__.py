@@ -562,6 +562,33 @@ def _q_props_rollup(sf_dir: str):
     return out.sort_values("k", ignore_index=True)
 
 
+def _q_doc_heavy_hitters(sf_dir: str):
+    """Top-20 most frequent tokens (vocabulary heavy hitters) — exact:
+    per-batch producer combine, bucketed token sums, per-bucket top-k,
+    tiny driver merge. DuckDB GROUP BY + LIMIT oracle."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import token_heavy_hitters
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_heavy_hitters(docs, k=20)
+
+
+def _q_doc_sample(sf_dir: str):
+    """Deterministic 5% hash sample (leakage-free corpus sampling) —
+    DuckDB-oracled via the same SQL-replicable Knuth hash as the split."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import HashSampler
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = docs.map_batches(
+        HashSampler,
+        fn_constructor_kwargs={"pct": 5},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id"])
+
+
 def _q_doc_split(sf_dir: str):
     """Deterministic hash train/val/test split + per-split counts —
     DuckDB-oracled (the hash is plain modular arithmetic)."""
@@ -636,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators over documents/embeddings
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_df": _q_doc_token_df,
+        "doc_heavy_hitters": _q_doc_heavy_hitters,
+        "doc_sample": _q_doc_sample,
         "doc_split_counts": _q_doc_split,
         "props_rollup": _q_props_rollup,
         "doc_token_count": _q_doc_tokens,
@@ -1087,6 +1116,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_ngram_jaccard": (
             _jaccard_pairs_sql(0.5) + " SELECT a, b FROM jpairs ORDER BY a, b"
+        ),
+        "doc_heavy_hitters": (
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
+            "FROM documents WHERE trim(text) <> '') "
+            "GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"
+        ),
+        "doc_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 % 100 < 5"
         ),
         "doc_split_counts": (
             "SELECT split, count(*) AS n FROM ("

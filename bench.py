@@ -154,6 +154,27 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     knn_bruteforce(emb, Q3, k=10)
     q["emb_knn"] = time.perf_counter() - t0
 
+    # measured recall of the LSH near-dup scale path vs the exact oracle
+    # (the documented approximation, quantified per run)
+    from graphlite_ray.stages.dedup import embedding_near_dup, embedding_near_dup_exact
+
+    t0 = time.perf_counter()
+    ex = embedding_near_dup_exact(emb, tau=0.4)
+    lsh = embedding_near_dup(emb, tau=0.4, nbits=10)
+    q["emb_near_dup"] = time.perf_counter() - t0
+    exact_pairs = set(map(tuple, ex.pairs[["a", "b"]].to_numpy()))
+    lsh_pairs = set(map(tuple, lsh.pairs[["a", "b"]].to_numpy()))
+    lsh_recall = {
+        "tau": 0.4,
+        "nbits": 10,
+        "exact_pairs": len(exact_pairs),
+        "lsh_pairs": len(lsh_pairs),
+        "recall": round(len(lsh_pairs & exact_pairs) / max(len(exact_pairs), 1), 4),
+        "precision": round(
+            len(lsh_pairs & exact_pairs) / max(len(lsh_pairs), 1), 4
+        ),
+    }
+
     out = {
         "metric": HEADLINE_METRIC,
         "value": round(q["extract_edges"] + q["csr_build"] + q["pagerank"], 3),
@@ -164,6 +185,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "pagerank": pr,
         "join_strategy": join_strategy,
+        "lsh_recall": lsh_recall,
     }
     shutil.rmtree(work, ignore_errors=True)
     ray.shutdown()

@@ -33,6 +33,12 @@ def main(argv=None) -> int:
         sp.add_argument("--max-supersteps", type=int, default=200)
         sp.add_argument("--resume", action="store_true")
         sp.add_argument("--out", help="write (vertex_id, url, value) parquet here")
+        sp.add_argument(
+            "--routing",
+            choices=["auto", "grouped", "per_dest"],
+            default="auto",
+            help="message-exchange layout (auto = by cluster size)",
+        )
 
     for algo in (
         "pagerank",
@@ -116,6 +122,7 @@ def main(argv=None) -> int:
         max_supersteps=args.max_supersteps,
         ckpt_every=args.ckpt_every,
         resume=args.resume,
+        routing=args.routing,
         **kwargs,
     )
     if args.out:

@@ -227,6 +227,64 @@ def token_doc_frequency(
     )
 
 
+def token_heavy_hitters(
+    docs: "ray.data.Dataset", k: int = 20, B: int = 32
+) -> pd.DataFrame:
+    """Top-k most frequent tokens across the corpus (the vocabulary /
+    heavy-hitter operator): per-batch token counts collapse each batch to
+    its distinct tokens (producer combine), ONE bucketed shuffle on token
+    sums exact totals per bucket, each bucket emits only its local top-k,
+    and the driver merges <= B*k rows. Exact (not sketched) because every
+    token's rows land in one bucket; swap the final per-bucket head(k) for
+    a count-min sketch only if the vocabulary itself outgrows a bucket."""
+    import pyarrow as pa
+
+    def _counts(t: "pa.Table") -> "pa.Table":
+        toks: list[str] = []
+        for text in t["text"].to_pylist():
+            toks.extend(text.lower().split())
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, object), return_counts=True)
+        return pa.table({"token": pa.array(u.tolist(), pa.string()), "c": c})
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["c"].sum()
+        return s.sort_values(["c", "token"], ascending=[False, True]).head(k)
+
+    parts = grouped_map_bucketed(
+        docs.map_batches(_counts, batch_format="pyarrow"), ["token"], _bucket_topk, B=B
+    ).to_pandas()
+    out = (
+        parts.sort_values(["c", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+        .rename(columns={"c": "n"})
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+class HashSampler:
+    """Deterministic corpus sampling by id hash (leakage-free, resumable —
+    the same rows are sampled on every run/partition layout): keep rows
+    with (id * 2654435761) mod 2^32 mod 100 < pct. Same SQL-replicable
+    hash as SplitAssigner, so the sample is auditable outside the engine."""
+
+    def __init__(self, pct: int = 5, id_col: str = "doc_id"):
+        self.pct, self.id_col = pct, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32) % np.uint64(100)
+        return batch[h < self.pct]
+
+
 class PropsExtractor:
     """events.props JSON sidecar -> typed column (the JSON-field-extraction
     operator): one vectorized regex per batch, no per-row json.loads.
