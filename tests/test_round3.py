@@ -94,6 +94,15 @@ def test_routing_layouts_bit_identical(ray_session, tmp_path, algo):
     ).all()
 
 
+def test_resolve_routing_auto(ray_session):
+    from graphlite_ray.engine import resolve_routing
+
+    assert resolve_routing("grouped") == "grouped"
+    assert resolve_routing("per_dest") == "per_dest"
+    # this sandbox is single-node -> auto picks the grouped layout
+    assert resolve_routing("auto") == "grouped"
+
+
 def test_per_dest_resume_midrun(ray_session, tmp_path):
     """Checkpoint/restore works identically under per_dest routing."""
     from graphlite_ray.pipelines.linkgraph import run_on_edges
