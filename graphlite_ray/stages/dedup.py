@@ -223,7 +223,7 @@ def minhash_dedup(
         MinHashBander,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pandas",
-        batch_size=1024,
+        batch_size=4096,  # signatures amortize per-batch overhead (measured)
         concurrency=(1, 8),
     )
     cand = grouped_map_bucketed(
@@ -327,7 +327,13 @@ def minhash_dedup(
             {"a": ab[pids, 0], "b": ab[pids, 1], "score": scores}
         )
 
-    scored = grouped_map_bucketed(exploded, ["pair_id"], _verify_frame, B=32).to_pandas()
+    # verify-bucket count adapts to the candidate volume: a handful of
+    # pairs doesn't pay 32 bucket tasks' fixed overhead, web-scale pair
+    # lists still spread across 32
+    B_verify = int(min(32, max(1, npairs // 500)))
+    scored = grouped_map_bucketed(
+        exploded, ["pair_id"], _verify_frame, B=B_verify
+    ).to_pandas()
     if not {"a", "b", "score"} <= set(scored.columns):
         scored = pd.DataFrame({"a": [], "b": [], "score": []})
     dups = (

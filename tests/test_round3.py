@@ -228,6 +228,76 @@ def test_props_extractor_drops_malformed_rows():
     assert out["value"].tolist() == [1.0, 4.0]
 
 
+def test_hub_skew_combiner_bounds_fanin(ray_session, tmp_path):
+    """Star graph (1 hub, 5000 spokes, edges both ways): producer-side
+    combining must cap the hub's per-superstep fan-in at <= P combined
+    rows, not 5000 raw messages — the skew-mitigation contract."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edges
+
+    n = 5000
+    spokes = np.arange(1, n + 1, dtype=np.int64)
+    src = np.concatenate([np.zeros(n, np.int64), spokes])
+    dst = np.concatenate([spokes, np.zeros(n, np.int64)])
+    res = run_on_edges("pagerank", src, dst, str(tmp_path / "star"), P=4)
+    assert res.halted
+    # logical sends count pre-combine; DELIVERED rows are what the recv
+    # counter tracks post producer-combine: the hub receives at most P
+    # combined rows (+ n spokes each receiving 1), never n hub-bound rows
+    steady = [m for m in res.metrics if 2 <= m["superstep"] < res.final_superstep]
+    for m in steady:
+        assert m["recv"] <= n + 4  # spokes + <=P combined hub rows
+        assert m["sent"] == 2 * n  # logical (pre-combine) count preserved
+    # sanity: hub value far above spokes
+    df = res.values().to_pandas()
+    hub = df.loc[df.vertex_id == 0, "value"].iloc[0]
+    assert hub > 100 * df.loc[df.vertex_id != 0, "value"].max()
+
+
+def test_heavy_hitters_matches_pandas(ray_session):
+    import ray.data
+
+    from graphlite_ray.stages.textstats import token_heavy_hitters
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab, rng.randint(1, 40))),
+        }
+        for i in range(200)
+    ]
+    got = token_heavy_hitters(ray.data.from_items(rows), k=10, B=8)
+    counts = {}
+    for r in rows:
+        for t in r["text"].lower().split():
+            counts[t] = counts.get(t, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["n"])) == want
+
+
+def test_hash_sampler_consistent_with_split(ray_session):
+    """The 5% sample must be a subset of rows the splitter can reproduce —
+    same hash, so sample/split decisions are mutually consistent."""
+    import ray.data
+
+    from graphlite_ray.stages.textstats import HashSampler, _SPLIT_MULT
+
+    ids = np.arange(1000, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"doc_id": ids})
+    )
+    out = (
+        ds.map_batches(
+            HashSampler, fn_constructor_kwargs={"pct": 5}, batch_format="pandas",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    h = (ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32) % np.uint64(100)
+    assert sorted(out["doc_id"]) == sorted(ids[h < 5])
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
