@@ -208,8 +208,19 @@ def q_distinct_users(sf_dir: str, B: int = 32) -> pd.DataFrame:
     return out.sort_values("event_type", ignore_index=True)
 
 
+def _window_final_frame(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized final combine for window partials: ONE pandas groupby
+    per bucket handles all its (event_type, window) keys — not a
+    map_groups Python call per key (thousands of windows at scale)."""
+    return g.groupby(["event_type", "window_start"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+    )
+
+
 def q_hourly_windows(sf_dir: str) -> pd.DataFrame:
-    """Tumbling event-time window aggregate: (event_type, hour bucket)."""
+    """Tumbling event-time window aggregate: (event_type, hour bucket).
+    Partial per-batch aggregate, bucketed shuffle on the window key,
+    vectorized per-bucket final."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def _partial(t: pa.Table) -> pd.DataFrame:
@@ -221,22 +232,16 @@ def q_hourly_windows(sf_dir: str) -> pd.DataFrame:
             n_events=("value", "size"), sum_value=("value", "sum")
         )
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n_events": [int(g["n_events"].sum())],
-                "sum_value": [g["sum_value"].sum()],
-            }
-        )
-
     return (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .map_groups(_final, batch_format="pandas")
+        grouped_map_bucketed(
+            ds.map_batches(_partial, batch_format="pyarrow"),
+            ["event_type", "window_start"],
+            _window_final_frame,
+            B=16,
+        )
         .to_pandas()
         .sort_values(["event_type", "window_start"], ignore_index=True)
+        .astype({"n_events": "int64"})
     )
 
 
@@ -263,22 +268,16 @@ def q_sliding_windows(sf_dir: str) -> pd.DataFrame:
         out["window_start"] = out["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
         return out
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n_events": [int(g["n_events"].sum())],
-                "sum_value": [g["sum_value"].sum()],
-            }
-        )
-
     return (
-        ds.map_batches(_expand, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .map_groups(_final, batch_format="pandas")
+        grouped_map_bucketed(
+            ds.map_batches(_expand, batch_format="pyarrow"),
+            ["event_type", "window_start"],
+            _window_final_frame,
+            B=16,
+        )
         .to_pandas()
         .sort_values(["event_type", "window_start"], ignore_index=True)
+        .astype({"n_events": "int64"})
     )
 
 
