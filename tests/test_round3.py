@@ -298,6 +298,35 @@ def test_hash_sampler_consistent_with_split(ray_session):
     assert sorted(out["doc_id"]) == sorted(ids[h < 5])
 
 
+def test_formatter_random_roundtrip(ray_session, tmp_path):
+    """Random edge lists survive text-shard encode -> read_edge_shards
+    decode with the edge multiset intact (property-style, 3 seeds)."""
+    from graphlite_ray.sources.formatters import (
+        ReferenceEdgeListInput,
+        read_edge_shards,
+    )
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        m = rng.randint(1, 300)
+        src = rng.randint(0, 10**12, m)
+        dst = rng.randint(0, 10**12, m)
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        # split into 3 shards with headers
+        for w in range(3):
+            mask = np.arange(m) % 3 == w
+            body = f"0\n{mask.sum()}\n" + "".join(
+                f"{a} {b}\n" for a, b in zip(src[mask], dst[mask])
+            )
+            (d / f"shard_{w}").write_text(body)
+        got = read_edge_shards(str(d), ReferenceEdgeListInput()).to_pandas()
+        want = pd.DataFrame({"src": src, "dst": dst})
+        got = got.sort_values(["src", "dst"], ignore_index=True)
+        want = want.sort_values(["src", "dst"], ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
