@@ -161,14 +161,24 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     ivf_dir = f"/tmp/glr_bench/ivf_{sf_name}"
     if not os.path.exists(os.path.join(ivf_dir, "centroids.npy")):
         build_ivf_index(emb, ivf_dir, n_clusters=16)
-    ivf_knn = knn_ivf_indexed(ivf_dir, Q3, k=10, nprobe=4)
+    def _ivf_recall_at(nprobe: int) -> float:
+        ivf_knn = knn_ivf_indexed(ivf_dir, Q3, k=10, nprobe=nprobe)
+        hits = 0
+        for qid in range(3):
+            e = set(exact_knn[exact_knn["query_id"] == qid]["vec_id"])
+            i = set(ivf_knn[ivf_knn["query_id"] == qid]["vec_id"])
+            hits += len(e & i)
+        return round(hits / 30, 4)
+
+    # recall at two probe levels: the accuracy/IO knob (synthetic vectors
+    # are near-uniform on the sphere — the hard case for IVF; clustered
+    # real-world embeddings concentrate neighbors into fewer probes)
+    ivf_recall = {
+        "k": 10,
+        "recall_at_10_nprobe4": _ivf_recall_at(4),
+        "recall_at_10_nprobe8": _ivf_recall_at(8),
+    }
     q["emb_knn_ivf"] = time.perf_counter() - t0
-    hits = 0
-    for qid in range(3):
-        e = set(exact_knn[exact_knn["query_id"] == qid]["vec_id"])
-        i = set(ivf_knn[ivf_knn["query_id"] == qid]["vec_id"])
-        hits += len(e & i)
-    ivf_recall = {"k": 10, "nprobe": 4, "recall_at_10": round(hits / 30, 4)}
 
     # measured recall of the LSH near-dup scale path vs the exact oracle
     # (the documented approximation, quantified per run). Two regimes:
