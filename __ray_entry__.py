@@ -459,7 +459,8 @@ def _media_path(sf_dir: str) -> str:
     from graphlite_ray.stages.multimodal import synthetic_media_table
 
     n = _MEDIA_FOR_SF.get(os.path.basename(os.path.normpath(sf_dir)), 60)
-    path = f"/tmp/glr_media/media_n{n}_s42.parquet"
+    # v2: meta sidecar carries encode-time ground-truth stats (psum/e/fm)
+    path = f"/tmp/glr_media/media_n{n}_s42_v2.parquet"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = pa.Table.from_pandas(
@@ -489,8 +490,9 @@ def _q_media_image_dims(sf_dir: str):
 
 
 def _q_media_image_stats(sf_dir: str):
-    """Full image decode stats incl. pixel sums (rows-only: pixel data is
-    only reachable by actually decoding the BMP payload)."""
+    """Full image decode stats incl. pixel sums — DuckDB-oracled against
+    the encoder's ground-truth meta sidecar: the pipeline must actually
+    decode the BMP payload to reproduce the recorded pixel sum."""
     from graphlite_ray.stages.multimodal import decode_images
 
     media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "image")
@@ -498,7 +500,9 @@ def _q_media_image_stats(sf_dir: str):
 
 
 def _q_media_audio_energy(sf_dir: str):
-    """REAL PCM-WAV decode -> per-frame energies (rows-only)."""
+    """REAL PCM-WAV decode -> per-frame energies — DuckDB-oracled against
+    the encoder's recorded per-frame energies (lossless PCM: decode-side
+    energies are bit-identical to encode-side)."""
     from graphlite_ray.stages.multimodal import sample_audio_frames
 
     media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "audio")
@@ -508,8 +512,8 @@ def _q_media_audio_energy(sf_dir: str):
 
 
 def _q_media_video_frames(sf_dir: str):
-    """REAL GLRV raw-container decode -> sampled frame summaries
-    (rows-only)."""
+    """REAL GLRV raw-container decode -> sampled frame summaries —
+    DuckDB-oracled against the encoder's recorded per-frame means."""
     from graphlite_ray.stages.multimodal import sample_video_frames
 
     media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "video")
@@ -986,6 +990,42 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_media_path(_ORACLE_SF)}') "
             f"WHERE media_type = 'image' ORDER BY media_id"
         ),
+        "media_image_stats": (
+            f"SELECT media_id, "
+            f"CAST(json_extract(meta, '$.h') AS BIGINT) AS height, "
+            f"CAST(json_extract(meta, '$.w') AS BIGINT) AS width, "
+            f"CAST(3 AS BIGINT) AS channels, "
+            f"CAST(json_extract(meta, '$.psum') AS BIGINT) AS pixels_sum "
+            f"FROM read_parquet('{_media_path(_ORACLE_SF)}') "
+            f"WHERE media_type = 'image' ORDER BY media_id"
+        ),
+        "media_audio_energy": (
+            # encoder-recorded per-1024-sample-frame energies; the query
+            # samples every 4th frame
+            f"SELECT media_id, idx - 1 AS frame_idx, ROUND(en, 4) AS energy "
+            f"FROM (SELECT media_id, "
+            f"unnest(CAST(json_extract(meta, '$.e') AS DOUBLE[])) AS en, "
+            f"unnest(generate_series(1, "
+            f"len(CAST(json_extract(meta, '$.e') AS DOUBLE[])))) AS idx "
+            f"FROM read_parquet('{_media_path(_ORACLE_SF)}') "
+            f"WHERE media_type = 'audio') "
+            f"WHERE (idx - 1) % 4 = 0 ORDER BY media_id, frame_idx"
+        ),
+        "media_video_frames": (
+            # encoder-recorded per-frame means + constant frame dims; the
+            # query samples every 2nd frame
+            f"SELECT media_id, idx - 1 AS frame_idx, "
+            f"CAST(json_extract(meta, '$.fh') AS BIGINT) AS height, "
+            f"CAST(json_extract(meta, '$.fw') AS BIGINT) AS width, "
+            f"ROUND(fm, 4) AS mean_intensity "
+            f"FROM (SELECT media_id, meta, "
+            f"unnest(CAST(json_extract(meta, '$.fm') AS DOUBLE[])) AS fm, "
+            f"unnest(generate_series(1, "
+            f"CAST(json_extract(meta, '$.frames') AS BIGINT))) AS idx "
+            f"FROM read_parquet('{_media_path(_ORACLE_SF)}') "
+            f"WHERE media_type = 'video') "
+            f"WHERE (idx - 1) % 2 = 0 ORDER BY media_id, frame_idx"
+        ),
         "emb_near_dup": (
             "SELECT a.vec_id AS a, b.vec_id AS b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -1161,9 +1201,6 @@ def oracle_sql() -> dict[str, str]:
         #     oracles)
         #   emb_near_dup_lsh / emb_knn_ivf — approximate-by-design scale
         #     variants of the ORACLED exact queries (emb_near_dup /
-        #     emb_knn); precision-1.0 / recall asserted in pytest
-        #   media_image_stats / media_audio_energy / media_video_frames —
-        #     require actually decoding the binary payloads (the dims
-        #     slice IS oracled via media_image_dims); round-trip codec
-        #     exactness in tests/test_stages.py::test_multimodal_real_codecs
+        #     emb_knn); precision-1.0 / recall asserted in pytest (and
+        #     measured per bench run: lsh_recall / ivf_recall)
     }

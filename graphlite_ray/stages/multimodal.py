@@ -395,7 +395,15 @@ def synthetic_media_table(n: int, seed: int = 42, real_codecs: bool = True) -> p
     """Deterministic media rows. With `real_codecs` (default) payloads are
     genuine BMP / WAV / GLRV bytes so the decode stages exercise REAL
     parsing; `real_codecs=False` keeps the legacy opaque random payloads
-    for the fake-codec plumbing path."""
+    for the fake-codec plumbing path.
+
+    The meta sidecar records ENCODE-TIME ground truth (dims, pixel sum,
+    per-frame energies / means) so downstream decode stages are
+    independently verifiable from the sidecar alone — the pipeline must
+    actually parse the binary payload to reproduce them (this is what the
+    media_* DuckDB oracles check)."""
+    import json
+
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -405,16 +413,33 @@ def synthetic_media_table(n: int, seed: int = 42, real_codecs: bool = True) -> p
         elif mtype == "image":
             h, w = int(rng.randint(8, 32)), int(rng.randint(8, 32))
             img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-            payload, meta = encode_bmp(img), f'{{"codec":"bmp","h":{h},"w":{w}}}'
+            payload = encode_bmp(img)
+            meta = json.dumps(
+                {"codec": "bmp", "h": h, "w": w, "psum": int(img.sum())}
+            )
         elif mtype == "audio":
             ns = int(rng.randint(2048, 8192))
             samples = (rng.standard_normal(ns) * 3000).astype(np.int16)
-            payload, meta = encode_wav(samples), f'{{"codec":"pcm_wav","n":{ns}}}'
+            payload = encode_wav(samples)
+            nf = ns // 1024
+            energies = (
+                samples[: nf * 1024].astype(np.float64).reshape(nf, 1024) ** 2
+            ).mean(axis=1)
+            meta = json.dumps({"codec": "pcm_wav", "n": ns, "e": energies.tolist()})
         else:
             frames = [
                 rng.randint(0, 256, size=(8, 12, 3)).astype(np.uint8)
                 for _ in range(int(rng.randint(4, 12)))
             ]
-            payload, meta = encode_glrv(frames), f'{{"codec":"glrv","frames":{len(frames)}}}'
+            payload = encode_glrv(frames)
+            meta = json.dumps(
+                {
+                    "codec": "glrv",
+                    "frames": len(frames),
+                    "fh": 8,
+                    "fw": 12,
+                    "fm": [float(f.mean()) for f in frames],
+                }
+            )
         rows.append((i, mtype, payload, meta))
     return pd.DataFrame(rows, columns=["media_id", "media_type", "payload", "meta"])
