@@ -566,6 +566,33 @@ def _q_props_rollup(sf_dir: str):
     return out.sort_values("k", ignore_index=True)
 
 
+def _q_event_percentiles_hist(sf_dir: str):
+    """Histogram-sketch quantiles (the bounded-memory scale path for
+    per-group percentiles): two passes, groups x bins distributed state.
+    DuckDB-oracled EXACTLY — bin assignment and the cumulative pick are
+    pure IEEE arithmetic the SQL replays step for step."""
+    from graphlite_ray.functions.sketches import histogram_quantiles
+    from graphlite_ray.sources.io import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = histogram_quantiles(ev, "event_type", "value", qs=(0.5, 0.95), bins=256)
+    out["p50_est"] = out["p50_est"].round(6)
+    out["p95_est"] = out["p95_est"].round(6)
+    return out
+
+
+def _q_distinct_users_approx(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type (rows-only:
+    the estimate depends on our splitmix64 hash, not SQL-replicable; the
+    exact counterpart `distinct_users` IS oracled and pytest asserts the
+    sketch's error bound)."""
+    from graphlite_ray.functions.sketches import approx_distinct_per_group
+    from graphlite_ray.sources.io import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct_per_group(ev, "event_type", "user_id", p=12)
+
+
 def _q_doc_heavy_hitters(sf_dir: str):
     """Top-20 most frequent tokens (vocabulary heavy hitters) — exact:
     per-batch producer combine, bucketed token sums, per-bucket top-k,
@@ -656,6 +683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_percentiles": lambda sf: _round_cols(
             R.q_event_value_percentiles(sf), {"p50": 6, "p95": 6}
         ),
+        "event_percentiles_hist": _q_event_percentiles_hist,
+        "distinct_users_approx": _q_distinct_users_approx,
         "top_orders_per_priority": lambda sf: R.q_top_orders_per_priority(sf),
         "customers_without_orders": lambda sf: R.q_customers_without_orders(sf),
         "orders_by_priority": lambda sf: _round_cols(
@@ -1110,6 +1139,31 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(value, 0.95), 6) AS p95, "
             "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
         ),
+        "event_percentiles_hist": (
+            # exact replay of the histogram sketch: same IEEE bin widths,
+            # same ceil(q*n) cumulative pick, same mid-bin estimate
+            "WITH stats AS (SELECT event_type, min(value) AS mn, "
+            "max(value) AS mx, count(*) AS n FROM events GROUP BY event_type), "
+            "bd AS (SELECT e.event_type, CASE WHEN s.mx > s.mn THEN "
+            "LEAST(CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 256.0)) "
+            "AS BIGINT), 255) ELSE 0 END AS bin "
+            "FROM events e JOIN stats s USING (event_type)), "
+            "c AS (SELECT event_type, bin, count(*) AS c FROM bd GROUP BY 1, 2), "
+            "cum AS (SELECT event_type, bin, "
+            "sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM c), "
+            "pick AS (SELECT s.event_type, "
+            "coalesce((SELECT min(bin) FROM cum WHERE cum.event_type = "
+            "s.event_type AND cum.cum >= ceil(0.5 * s.n)), 255) AS b50, "
+            "coalesce((SELECT min(bin) FROM cum WHERE cum.event_type = "
+            "s.event_type AND cum.cum >= ceil(0.95 * s.n)), 255) AS b95 "
+            "FROM stats s) "
+            "SELECT s.event_type, "
+            "ROUND(CASE WHEN s.mx > s.mn THEN s.mn + (p.b50 + 0.5) * "
+            "((s.mx - s.mn) / 256.0) ELSE s.mn END, 6) AS p50_est, "
+            "ROUND(CASE WHEN s.mx > s.mn THEN s.mn + (p.b95 + 0.5) * "
+            "((s.mx - s.mn) / 256.0) ELSE s.mn END, 6) AS p95_est, s.n "
+            "FROM stats s JOIN pick p USING (event_type) ORDER BY s.event_type"
+        ),
         "top_orders_per_priority": (
             "SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM ("
             "SELECT o_orderpriority, o_orderkey, o_totalprice, "
@@ -1196,6 +1250,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, count(*) AS n FROM embeddings GROUP BY label ORDER BY label"
         ),
         # Rows-only queries, each with its pytest exactness oracle:
+        #   distinct_users_approx — HyperLogLog estimate over our
+        #     splitmix64 hash (not SQL-replicable); the exact counterpart
+        #     `distinct_users` IS oracled, pytest bounds the sketch error
         #   doc_fingerprint / doc_simhash_pairs — 64-bit rolling/FNV
         #     hashing, not SQL-expressible (tests/test_stages.py planted
         #     oracles)

@@ -1,0 +1,261 @@
+"""Mergeable, ORDER-INDEPENDENT sketches for the wide aggregations that
+cannot hold a group's raw values at 100 TB.
+
+Both sketches here are deterministic functions of the input MULTISET (not
+of arrival order or partitioning), so distributed runs are repeatable and
+testable:
+
+  - HyperLogLog: approximate distinct count. Registers are per-bucket
+    maxima of a deterministic 64-bit hash -> max is commutative/
+    associative -> partition-order invariant. Partials merge with
+    elementwise max.
+  - Fixed-range histogram: approximate quantiles with a hard error bound
+    of (max-min)/bins per estimate. Two passes (exact min/max, then bin
+    counts); bin assignment is pure IEEE arithmetic, so a DuckDB oracle
+    can replay it EXACTLY — the rare approximate operator with an exact
+    SQL oracle (`q_event_percentiles_hist`).
+
+The reference engine has neither (its only aggregate is the BSP
+aggregator); these are north-rule training-data additions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# splitmix64 constants — the standard 64-bit finalizer (public domain)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of int64/uint64 arrays (splitmix64
+    finalizer): uniform hash for integer keys."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + _SM_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+        return z ^ (z >> np.uint64(31))
+
+
+class HyperLogLog:
+    """Dense HLL with 2^p uint8 registers (p=12 -> 4 KiB partials).
+
+    add_hashes() is fully vectorized: bucket = top p bits, rho = leading
+    zeros of the (64-p)-bit suffix + 1 (bit length via frexp — exact for
+    <= 52-bit suffixes). Standard bias-corrected estimate with
+    linear-counting small-range correction.
+    """
+
+    def __init__(self, p: int = 12):
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = h.astype(np.uint64)
+        bucket = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - self.p)) - 1)
+        # bit_length(rem) via frexp exponent; rem has <= 52 bits for p>=12
+        _, exp = np.frexp(rem.astype(np.float64))
+        rho = ((64 - self.p) - exp + 1).astype(np.uint8)  # rem==0 -> max rho
+        np.maximum.at(self.registers, bucket, rho)
+        return self
+
+    def add_ints(self, values: np.ndarray) -> "HyperLogLog":
+        return self.add_hashes(mix64(np.asarray(values)))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(blob, np.uint8).copy()
+        assert len(h.registers) == h.m
+        return h
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        E = alpha * m * m / inv.sum()
+        if E <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                E = m * np.log(m / zeros)  # linear counting
+        return float(E)
+
+
+def approx_distinct_per_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    p: int = 12,
+):
+    """Approximate distinct `value_col` per `group_col` group: per-batch
+    partial HLL registers (one 2^p-byte row per group per batch), ONE
+    bucketed shuffle on the group key, vectorized register-max merge per
+    group, tiny (group, estimate) result. Never holds raw values; partial
+    size is groups x 2^p bytes regardless of data volume.
+
+    Returns a pandas DataFrame (group_col, n_approx:int64).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        groups, inv = np.unique(g, return_inverse=True)
+        rows = []
+        for i, key in enumerate(groups):
+            hll = HyperLogLog(p).add_ints(v[inv == i])
+            rows.append((key, hll.to_bytes()))
+        return pd.DataFrame(rows, columns=[group_col, "regs"])
+
+    def _merge_frame(frame: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, grp in frame.groupby(group_col, sort=False):
+            mats = np.stack(
+                [np.frombuffer(b, np.uint8) for b in grp["regs"]]
+            )
+            hll = HyperLogLog(p)
+            hll.registers = mats.max(axis=0).copy()
+            out.append((key, int(round(hll.estimate()))))
+        return pd.DataFrame(out, columns=[group_col, "n_approx"]).astype(
+            {"n_approx": "int64"}
+        )
+
+    return (
+        grouped_map_bucketed(
+            ds.map_batches(_partial, batch_format="pyarrow"),
+            [group_col],
+            _merge_frame,
+            B=8,
+        )
+        .to_pandas()
+        .sort_values(group_col, ignore_index=True)
+    )
+
+
+def histogram_quantiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    bins: int = 256,
+):
+    """Approximate per-group quantiles via a fixed-range histogram sketch:
+    pass 1 = exact per-group (min, max, n); pass 2 = per-batch partial bin
+    counts on (group, bin), small groupby sum, then the deterministic
+    estimate mid(bin) where the cumulative count first reaches ceil(q*n).
+    Error bound: (max-min)/(2*bins) per estimate; all distributed state is
+    groups x bins counters. Bin assignment is plain IEEE arithmetic —
+    exactly replayable in SQL (see the q_event_percentiles_hist oracle).
+
+    Returns pandas (group_col, q<..>_est per q, n:int64) sorted by group.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    # pass 1: exact min/max/n per group (partial + tiny final)
+    def _stats_partial(t: pa.Table) -> pd.DataFrame:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        groups, inv = np.unique(g, return_inverse=True)
+        mn = np.full(len(groups), np.inf)
+        mx = np.full(len(groups), -np.inf)
+        np.minimum.at(mn, inv, v)
+        np.maximum.at(mx, inv, v)
+        n = np.bincount(inv)
+        return pd.DataFrame(
+            {group_col: groups, "mn": mn, "mx": mx, "n": n.astype(np.int64)}
+        )
+
+    def _stats_final(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby(group_col, as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum")
+        )
+
+    stats = (
+        grouped_map_bucketed(
+            ds.map_batches(_stats_partial, batch_format="pyarrow"),
+            [group_col],
+            _stats_final,
+            B=8,
+        )
+        .to_pandas()
+        .set_index(group_col)
+    )
+
+    import ray
+
+    stats_ref = ray.put(stats)
+
+    # pass 2: partial bin counts per batch
+    def _bins_partial_cls():
+        class _Bins:
+            def __init__(self):
+                self.stats = ray.get(stats_ref)
+
+            def __call__(self, t: pa.Table) -> pd.DataFrame:
+                g = t[group_col].to_numpy(zero_copy_only=False)
+                v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                mn = self.stats["mn"].reindex(g).to_numpy()
+                mx = self.stats["mx"].reindex(g).to_numpy()
+                width = (mx - mn) / float(bins)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    b = np.floor((v - mn) / width)
+                b = np.where(width > 0, b, 0.0)
+                b = np.minimum(b, bins - 1).astype(np.int64)
+                df = pd.DataFrame({group_col: g, "bin": b})
+                return df.groupby([group_col, "bin"], as_index=False).agg(
+                    c=("bin", "size")
+                )
+
+        return _Bins
+
+    def _quantile_frame(frame: pd.DataFrame) -> pd.DataFrame:
+        stats_l = ray.get(stats_ref)
+        out = []
+        for key, grp in frame.groupby(group_col, sort=False):
+            cnt = grp.groupby("bin")["c"].sum().sort_index()
+            cum = cnt.cumsum()
+            mn = float(stats_l.loc[key, "mn"])
+            mx = float(stats_l.loc[key, "mx"])
+            n = int(stats_l.loc[key, "n"])
+            width = (mx - mn) / float(bins)
+            row = {group_col: key, "n": n}
+            for q in qs:
+                target = np.ceil(q * n)
+                hit = cum[cum >= target]
+                b = int(hit.index[0]) if len(hit) else bins - 1
+                est = mn if width == 0 else mn + (b + 0.5) * width
+                row[f"p{int(q * 100)}_est"] = est
+            out.append(row)
+        cols = [group_col] + [f"p{int(q * 100)}_est" for q in qs] + ["n"]
+        return pd.DataFrame(out)[cols].astype({"n": "int64"})
+
+    return (
+        grouped_map_bucketed(
+            ds.map_batches(_bins_partial_cls(), batch_format="pyarrow",
+                           concurrency=(1, 4)),
+            [group_col],
+            _quantile_frame,
+            B=8,
+        )
+        .to_pandas()
+        .sort_values(group_col, ignore_index=True)
+    )

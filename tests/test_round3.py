@@ -327,6 +327,71 @@ def test_formatter_random_roundtrip(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, want)
 
 
+def test_hll_accuracy_and_merge():
+    from graphlite_ray.functions.sketches import HyperLogLog, mix64
+
+    vals = np.arange(100_000, dtype=np.int64) * 7 + 13
+    whole = HyperLogLog(12).add_ints(vals)
+    est = whole.estimate()
+    assert abs(est - 100_000) / 100_000 < 0.03  # ~1.6% std at p=12
+    # merge of disjoint halves == whole (order independence)
+    a = HyperLogLog(12).add_ints(vals[: 50_000])
+    b = HyperLogLog(12).add_ints(vals[50_000:])
+    assert a.merge(b).estimate() == est
+    # duplicates don't change the estimate
+    dup = HyperLogLog(12).add_ints(np.concatenate([vals, vals]))
+    assert dup.estimate() == est
+    # small-range regime is near-exact (linear counting)
+    small = HyperLogLog(12).add_ints(np.arange(150, dtype=np.int64))
+    assert abs(small.estimate() - 150) <= 3
+    # round-trip through bytes
+    assert HyperLogLog.from_bytes(whole.to_bytes(), 12).estimate() == est
+
+
+def test_histogram_quantiles_error_bound(ray_session):
+    import ray.data
+
+    from graphlite_ray.functions.sketches import histogram_quantiles
+
+    rng = np.random.RandomState(5)
+    groups = np.repeat(["a", "b"], 20_000)
+    vals = np.concatenate(
+        [rng.standard_normal(20_000) * 10 + 50, rng.exponential(5, 20_000)]
+    )
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(pa.table({"g": groups, "v": vals}))
+    out = histogram_quantiles(ds, "g", "v", qs=(0.5, 0.95), bins=256).set_index("g")
+    for g in ("a", "b"):
+        v = vals[groups == g]
+        width = (v.max() - v.min()) / 256
+        for q, col in ((0.5, "p50_est"), (0.95, "p95_est")):
+            exact = np.quantile(v, q)
+            assert abs(out.loc[g, col] - exact) <= width + 1e-9, (g, q)
+    assert (out["n"] == 20_000).all()
+
+
+def test_approx_distinct_matches_exact_small(ray_session):
+    from graphlite_ray.functions.sketches import approx_distinct_per_group
+    from graphlite_ray.sources.io import read_parquet_clean
+
+    ev = read_parquet_clean(
+        "/root/testdata/sf0.01/events.parquet", columns=["event_type", "user_id"]
+    )
+    got = approx_distinct_per_group(ev, "event_type", "user_id", p=12)
+    exact = (
+        pd.read_parquet(
+            "/root/testdata/sf0.01/events.parquet", columns=["event_type", "user_id"]
+        )
+        .groupby("event_type")["user_id"]
+        .nunique()
+    )
+    for _, row in got.iterrows():
+        assert abs(row["n_approx"] - exact[row["event_type"]]) <= max(
+            3, 0.03 * exact[row["event_type"]]
+        )
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
