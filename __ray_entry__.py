@@ -174,6 +174,84 @@ def _q_sssp(sf_dir: str):
     return ds.map_batches(_finite, batch_format="pyarrow")
 
 
+def _q_sssp_weighted(sf_dir: str):
+    """Weighted shortest paths (per-edge xor5 weights — the reference's
+    Edge.weight payload under a DRIVER oracle): recursive weighted-walk
+    CTE. Shares the wpr work dir so the weighted CSR build is reused."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges, run_on_edge_dataset
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    n = _pages_n(sf_dir)
+    source = _sssp_source(sf_dir)
+
+    def _with_weights(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = ((src ^ dst) % 5 + 1).astype(np.float64)
+        return pa.table({"src": src, "dst": dst, "weight": w})
+
+    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+        _with_weights, batch_format="pyarrow"
+    )
+    res = run_on_edge_dataset(
+        "sssp", edges, os.path.join(work, "wpr"), P=8,
+        tag="xor5", resume=True, source=source,
+    )
+    ds = res.values().select_columns(["vertex_id", "value"])
+
+    def _finite(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_finite(t["value"]))
+
+    return ds.map_batches(_finite, batch_format="pyarrow")
+
+
+def _q_reshard_degrees(sf_dir: str):
+    """Online repartition (reshard_graph, S6): reshard the P=8 CSR layout
+    to P=5 and recount out-degrees from the resharded edge shards — the
+    oracle is the SAME degree SQL over the original staged edges, so any
+    row lost/duplicated by the reshard shuffle fails the hash."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_graph
+    from graphlite_ray.state import storage
+    from graphlite_ray.state.csr import load_graph_meta, reshard_graph
+
+    pages, work = _graph_work(sf_dir)
+    graph_dir = prepare_graph(pages, work, P=8)
+    out_dir = os.path.join(work, "graph_p5")
+    meta_path = os.path.join(out_dir, "meta.json")
+    if not (storage.exists(meta_path) and load_graph_meta(out_dir).get("P") == 5):
+        reshard_graph(graph_dir, out_dir, 5)
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    files = [
+        os.path.join(out_dir, n_)
+        for n_ in sorted(storage.listdir(out_dir))
+        if n_.startswith("edges_p") and n_.endswith(".parquet")
+    ]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"src": u, "c": c})
+
+    def _final_frame(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("src", as_index=False)["c"].sum()
+        return out.rename(columns={"c": "out_degree"})
+
+    return grouped_map_bucketed(
+        ray.data.read_parquet(files).map_batches(_partial, batch_format="pyarrow"),
+        ["src"],
+        _final_frame,
+        B=16,
+    )
+
+
 def _q_triangles(sf_dir: str):
     import ray.data
 
@@ -662,6 +740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_lpa,
         "kcore": _q_kcore,
         "sssp": _q_sssp,
+        "sssp_weighted": _q_sssp_weighted,
+        "reshard_out_degrees": _q_reshard_degrees,
         "triangle_count": _q_triangles,
         "extract_edges": _q_extract_edges,
         "out_degrees": _q_degrees,
@@ -1000,6 +1080,27 @@ def oracle_sql() -> dict[str, str]:
             f"ON e.src = w.vertex_id WHERE w.value < 150) "
             f"SELECT vertex_id, min(value) AS value FROM walk "
             f"GROUP BY vertex_id ORDER BY vertex_id"
+        ),
+        "sssp_weighted": (
+            # weighted walk: xor5 integer edge weights, min distance per
+            # vertex; integer sums in doubles are exact on both sides
+            f"WITH RECURSIVE walk(vertex_id, value) AS ("
+            f"SELECT CAST({sssp_src} AS BIGINT) AS vertex_id, "
+            f"CAST(0 AS DOUBLE) AS value "
+            f"UNION "
+            f"SELECT e.dst AS vertex_id, "
+            f"w.value + (xor(e.src, e.dst) % 5 + 1) AS value "
+            f"FROM walk w JOIN read_parquet('{edges_glob}') e "
+            f"ON e.src = w.vertex_id WHERE w.value < 400) "
+            f"SELECT vertex_id, min(value) AS value FROM walk "
+            f"GROUP BY vertex_id ORDER BY vertex_id"
+        ),
+        "reshard_out_degrees": (
+            # identical to out_degrees ON PURPOSE: the query recounts from
+            # the RESHARDED P=5 layout; equality proves the repartition
+            # shuffle moved every edge exactly once
+            f"SELECT src, count(*) AS out_degree "
+            f"FROM read_parquet('{edges_glob}') GROUP BY src ORDER BY src"
         ),
         # --- embedding oracles (independent: list_cosine_similarity) -----
         "emb_knn": (
