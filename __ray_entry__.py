@@ -252,6 +252,85 @@ def _q_reshard_degrees(sf_dir: str):
     )
 
 
+def _host_edges_dir(sf_dir: str) -> str:
+    """Stage the host-level edge table (one row per page-level link,
+    host strings) under the work dir — shared input for the host-graph
+    queries AND their DuckDB oracles."""
+    from graphlite_ray.pipelines.linkgraph import host_edges, prepare_edges
+    from graphlite_ray.state import storage
+
+    pages, work = _graph_work(sf_dir)
+    prepare_edges(pages, work, P=8)
+    hdir = os.path.join(work, "host_edges")
+    marker = os.path.join(hdir, "_SUCCESS")
+    if not storage.exists(marker):
+        if storage.isdir(hdir):
+            storage.rmtree(hdir)
+        storage.makedirs(hdir)
+        host_edges(work).write_parquet(hdir)
+        storage.write_text(marker, "ok")
+    return hdir
+
+
+def _q_host_edge_counts(sf_dir: str):
+    """Host-graph collapse (the standard Common-Crawl host-level
+    aggregation): (src_host, dst_host, n page-level links)."""
+    from graphlite_ray.pipelines.linkgraph import host_edge_counts
+
+    _, work = _graph_work(sf_dir)
+    _host_edges_dir(sf_dir)  # ensures the staged edges exist
+    return host_edge_counts(work)
+
+
+def _q_host_pagerank(sf_dir: str):
+    """PageRank on the HOST multigraph (parallel edges = page-level link
+    counts). The engine runs on hashed host ids; the oracle replays the
+    recurrence over the staged host-STRING edges — PageRank is
+    relabeling-invariant, and the query joins values back to hosts."""
+    import ray.data
+
+    from graphlite_ray.functions.hashing import ids_from_urls
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+
+    _, work = _graph_work(sf_dir)
+    hdir = _host_edges_dir(sf_dir)
+    hosts_ds = ray.data.read_parquet(hdir, columns=["src_host", "dst_host"])
+
+    def _ids(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "src": ids_from_urls(df["src_host"].to_numpy()),
+                "dst": ids_from_urls(df["dst_host"].to_numpy()),
+            }
+        )
+
+    res = run_on_edge_dataset(
+        "pagerank",
+        hosts_ds.map_batches(_ids, batch_format="pandas"),
+        os.path.join(work, "hostpr"),
+        P=4,
+        resume=True,
+    )
+
+    # host dictionary: per-batch distinct -> small driver set (hosts are
+    # the collapsed vertex set; at true web scale use the co-partitioned
+    # urlmap join instead of a driver dict)
+    def _uniq(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(
+            np.concatenate([df["src_host"].to_numpy(), df["dst_host"].to_numpy()])
+        )
+        return pd.DataFrame({"host": h})
+
+    hosts = np.unique(
+        hosts_ds.map_batches(_uniq, batch_format="pandas").to_pandas()["host"].to_numpy()
+    )
+    id2host = dict(zip(ids_from_urls(hosts).tolist(), hosts.tolist()))
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    df["host"] = df["vertex_id"].map(id2host)
+    df["value"] = df["value"].round(6)
+    return df[["host", "value"]].sort_values("host", ignore_index=True)
+
+
 def _q_triangles(sf_dir: str):
     import ray.data
 
@@ -742,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": _q_sssp,
         "sssp_weighted": _q_sssp_weighted,
         "reshard_out_degrees": _q_reshard_degrees,
+        "host_edge_counts": _q_host_edge_counts,
+        "host_pagerank": _q_host_pagerank,
         "triangle_count": _q_triangles,
         "extract_edges": _q_extract_edges,
         "out_degrees": _q_degrees,
@@ -908,43 +989,49 @@ def _sym_edges_cte(edges_glob: str) -> str:
     )
 
 
-def _pagerank_oracle_sql(edges_glob: str, weighted: bool) -> str:
+def _pagerank_oracle_sql(
+    edges_glob: str,
+    weighted: bool,
+    src: str = "src",
+    dst: str = "dst",
+    out_name: str = "vertex_id",
+) -> str:
     """Replays the reference recurrence (0.15 + 0.85 * sum of incoming
     val/outdeg; dangling vertices receive but never send) and the engine's
     halt rule: stop at the FIRST iteration whose summed |delta| < 1e-6
     (programs.py:213-239 — values at that iteration are the final values,
     since the halting superstep makes no further update). The weighted
     variant inlines the xor5 weight formula: w = xor(src,dst) % 5 + 1,
-    each sender distributing val * w_e / W_total (programs.py:242-268)."""
+    each sender distributing val * w_e / W_total (programs.py:242-268).
+    `src`/`dst` parametrize the edge table's columns (BIGINT vertex ids or
+    host STRINGS — PageRank is relabeling-invariant)."""
+    rp = f"read_parquet('{edges_glob}')"
     if weighted:
         denom = (
-            f"(SELECT src AS v, sum(xor(src, dst) % 5 + 1) AS d "
-            f"FROM read_parquet('{edges_glob}') GROUP BY src)"
+            f"(SELECT {src} AS v, sum(xor({src}, {dst}) % 5 + 1) AS d "
+            f"FROM {rp} GROUP BY {src})"
         )
-        contrib = "p2.val * (xor(e.src, e.dst) % 5 + 1) / p2.d"
+        contrib = f"p2.val * (xor(e.{src}, e.{dst}) % 5 + 1) / p2.d"
     else:
-        denom = (
-            f"(SELECT src AS v, count(*) AS d "
-            f"FROM read_parquet('{edges_glob}') GROUP BY src)"
-        )
+        denom = f"(SELECT {src} AS v, count(*) AS d FROM {rp} GROUP BY {src})"
         contrib = "p2.val / p2.d"
     return (
         "WITH RECURSIVE pr(iter, v, val, delta) AS ("
         "SELECT 0, v, CAST(1.0 AS DOUBLE), CAST(1e18 AS DOUBLE) "
-        f"FROM (SELECT DISTINCT src AS v FROM read_parquet('{edges_glob}') "
-        f"UNION SELECT DISTINCT dst FROM read_parquet('{edges_glob}')) "
+        f"FROM (SELECT DISTINCT {src} AS v FROM {rp} "
+        f"UNION SELECT DISTINCT {dst} FROM {rp}) "
         "UNION ALL "
         "SELECT iter + 1, v, newval, sum(abs(newval - val)) OVER () "
         "FROM ("
         "SELECT p.iter, p.v, p.val, 0.15 + 0.85 * coalesce(m.s, 0.0) AS newval "
         "FROM pr p "
-        f"LEFT JOIN (SELECT e.dst AS v, sum({contrib}) AS s "
+        f"LEFT JOIN (SELECT e.{dst} AS v, sum({contrib}) AS s "
         f"FROM (SELECT pr.v, pr.val, od.d FROM pr JOIN {denom} od USING (v)) p2 "
-        f"JOIN read_parquet('{edges_glob}') e ON e.src = p2.v "
-        "GROUP BY e.dst) m ON m.v = p.v "
+        f"JOIN {rp} e ON e.{src} = p2.v "
+        f"GROUP BY e.{dst}) m ON m.v = p.v "
         "WHERE p.delta >= 1e-6 AND p.iter < 199)) "
-        "SELECT v AS vertex_id, ROUND(val, 6) AS value FROM pr "
-        "WHERE iter = (SELECT max(iter) FROM pr) ORDER BY vertex_id"
+        f"SELECT v AS {out_name}, ROUND(val, 6) AS value FROM pr "
+        f"WHERE iter = (SELECT max(iter) FROM pr) ORDER BY {out_name}"
     )
 
 
@@ -1031,6 +1118,7 @@ def _kcore_oracle_sql(edges_glob: str, k: int = 4) -> str:
 
 def oracle_sql() -> dict[str, str]:
     edges_glob = _staged_edges_glob()
+    host_glob = os.path.join(_host_edges_dir(_ORACLE_SF), "*.parquet")
     sssp_src = _sssp_source(_ORACLE_SF)
     pages_glob = os.path.join(_graph_work(_ORACLE_SF)[0], "*.parquet")
     return {
@@ -1065,6 +1153,22 @@ def oracle_sql() -> dict[str, str]:
         # engine's recurrence + halt rule (see the builder docstrings) -----
         "pagerank": _pagerank_oracle_sql(edges_glob, weighted=False),
         "weighted_pagerank": _pagerank_oracle_sql(edges_glob, weighted=True),
+        "host_pagerank": _pagerank_oracle_sql(
+            host_glob, weighted=False, src="src_host", dst="dst_host",
+            out_name="host",
+        ),
+        "host_edge_counts": (
+            # INDEPENDENT host extraction: SQL regexp over the page-level
+            # urls (not the staged host table) — verifies the Python host
+            # collapse itself; host_pagerank then verifies the recurrence
+            # over the staged host edges
+            f"SELECT src_host, dst_host, count(*) AS n FROM ("
+            f"SELECT regexp_extract(src_url, '^[a-z]+://([^/]+)', 1) AS src_host, "
+            f"regexp_extract(dst_url, '^[a-z]+://([^/]+)', 1) AS dst_host "
+            f"FROM read_parquet('{edges_glob}')) "
+            f"WHERE src_host <> '' AND dst_host <> '' "
+            f"GROUP BY src_host, dst_host ORDER BY src_host, dst_host"
+        ),
         "connected_components": _cc_oracle_sql(edges_glob),
         "label_propagation": _lpa_oracle_sql(edges_glob),
         "kcore": _kcore_oracle_sql(edges_glob, k=4),

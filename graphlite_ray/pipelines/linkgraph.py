@@ -254,6 +254,58 @@ def run_on_edge_dataset(
     )
 
 
+HOST_RE = r"^[a-z]+://([^/]+)"
+
+
+def host_edges(work_dir: str) -> "ray.data.Dataset":
+    """Page-level edge table -> host-level edge rows (one row per
+    page-level link, hosts extracted with HOST_RE — the standard
+    Common-Crawl host-graph collapse). Streaming map over the staged
+    edges; multiplicity preserved so host PageRank weights by link
+    count."""
+    import pandas as pd
+
+    staged = ray.data.read_parquet(
+        storage.join(work_dir, "edges"), columns=["src_url", "dst_url"]
+    )
+
+    def _hosts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_host": df["src_url"].str.extract(HOST_RE, expand=False),
+                "dst_host": df["dst_url"].str.extract(HOST_RE, expand=False),
+            }
+        ).dropna()
+
+    return staged.map_batches(_hosts, batch_format="pandas")
+
+
+def host_edge_counts(work_dir: str) -> "ray.data.Dataset":
+    """Host graph with edge weights = page-level link counts:
+    (src_host, dst_host, n). Partial per-batch counts, one bucketed
+    shuffle on the host pair."""
+    import pandas as pd
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["src_host", "dst_host"], as_index=False).agg(
+            n=("src_host", "size")
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src_host", "dst_host"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return grouped_map_bucketed(
+        host_edges(work_dir).map_batches(_partial, batch_format="pandas"),
+        ["src_host", "dst_host"],
+        _final,
+        B=16,
+    )
+
+
 class _JoinUrls:
     """Per-partition zero-shuffle join of result values with the url
     dictionary: both sides were laid out by vertex_id % P in stage 1 /
