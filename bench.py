@@ -148,6 +148,29 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     q["join_revenue"] = time.perf_counter() - t0
     join_strategy = dict(R.LAST_JOIN_STRATEGY)
 
+    # host-graph collapse over the already-staged page edges
+    from graphlite_ray.pipelines.linkgraph import host_edge_counts
+
+    t0 = time.perf_counter()
+    host_edge_counts(work).count()
+    q["host_edge_counts"] = time.perf_counter() - t0
+
+    # sketch aggregations over the events table
+    from graphlite_ray.functions.sketches import (
+        approx_distinct_per_group,
+        histogram_quantiles,
+    )
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    t0 = time.perf_counter()
+    histogram_quantiles(ev, "event_type", "value", qs=(0.5, 0.95), bins=256)
+    q["hist_quantiles"] = time.perf_counter() - t0
+
+    evu = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    t0 = time.perf_counter()
+    approx_distinct_per_group(evu, "event_type", "user_id", p=12)
+    q["hll_distinct"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
     Q3 = np.stack([r["embedding"] for r in emb.take(3)]).astype(np.float64)

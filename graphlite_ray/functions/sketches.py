@@ -204,28 +204,22 @@ def histogram_quantiles(
 
     stats_ref = ray.put(stats)
 
-    # pass 2: partial bin counts per batch
-    def _bins_partial_cls():
-        class _Bins:
-            def __init__(self):
-                self.stats = ray.get(stats_ref)
-
-            def __call__(self, t: pa.Table) -> pd.DataFrame:
-                g = t[group_col].to_numpy(zero_copy_only=False)
-                v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-                mn = self.stats["mn"].reindex(g).to_numpy()
-                mx = self.stats["mx"].reindex(g).to_numpy()
-                width = (mx - mn) / float(bins)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    b = np.floor((v - mn) / width)
-                b = np.where(width > 0, b, 0.0)
-                b = np.minimum(b, bins - 1).astype(np.int64)
-                df = pd.DataFrame({group_col: g, "bin": b})
-                return df.groupby([group_col, "bin"], as_index=False).agg(
-                    c=("bin", "size")
-                )
-
-        return _Bins
+    # pass 2: partial bin counts per batch (plain task fn — the broadcast
+    # stats frame is a zero-copy plasma read per task, no actor-pool
+    # startup cost)
+    def _bins_partial(t: pa.Table) -> pd.DataFrame:
+        stats_l = ray.get(stats_ref)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mn = stats_l["mn"].reindex(g).to_numpy()
+        mx = stats_l["mx"].reindex(g).to_numpy()
+        width = (mx - mn) / float(bins)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = np.floor((v - mn) / width)
+        b = np.where(width > 0, b, 0.0)
+        b = np.minimum(b, bins - 1).astype(np.int64)
+        df = pd.DataFrame({group_col: g, "bin": b})
+        return df.groupby([group_col, "bin"], as_index=False).agg(c=("bin", "size"))
 
     def _quantile_frame(frame: pd.DataFrame) -> pd.DataFrame:
         stats_l = ray.get(stats_ref)
@@ -250,8 +244,7 @@ def histogram_quantiles(
 
     return (
         grouped_map_bucketed(
-            ds.map_batches(_bins_partial_cls(), batch_format="pyarrow",
-                           concurrency=(1, 4)),
+            ds.map_batches(_bins_partial, batch_format="pyarrow"),
             [group_col],
             _quantile_frame,
             B=8,
