@@ -49,7 +49,10 @@ class HyperLogLog:
     """
 
     def __init__(self, p: int = 12):
-        assert 4 <= p <= 18
+        # p >= 11 keeps the (64-p)-bit suffix <= 53 bits, where the frexp
+        # bit-length trick is exact (beyond that float64 rounding can
+        # overestimate rho by 1 near powers of two)
+        assert 11 <= p <= 18
         self.p = p
         self.m = 1 << p
         self.registers = np.zeros(self.m, np.uint8)
@@ -162,6 +165,10 @@ def histogram_quantiles(
     Error bound: (max-min)/(2*bins) per estimate; all distributed state is
     groups x bins counters. Bin assignment is plain IEEE arithmetic —
     exactly replayable in SQL (see the q_event_percentiles_hist oracle).
+
+    `ds` is CONSUMED TWICE (stats pass + bin pass): pass a deterministic
+    source (parquet read / persisted staging table), not a pipeline with
+    nondeterministic stages, or the two passes may disagree.
 
     Returns pandas (group_col, q<..>_est per q, n:int64) sorted by group.
     """
