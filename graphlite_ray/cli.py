@@ -58,7 +58,8 @@ def main(argv=None) -> int:
         if algo in ("pagerank", "weighted_pagerank"):
             sp.add_argument(
                 "--reference-output",
-                help="also write the reference's '<vid>: <value>' text lines here",
+                help="also write the reference's '<vid>: <value>' output as "
+                "TEXT shards here (OutputFormatter protocol)",
             )
     tri = sub.add_parser("triangles")
     tri.add_argument("--pages", required=True)
@@ -96,7 +97,6 @@ def main(argv=None) -> int:
         return 0
 
     from graphlite_ray.pipelines.linkgraph import (
-        format_reference_output,
         result_with_urls,
         run_algorithm,
     )
@@ -128,7 +128,12 @@ def main(argv=None) -> int:
     if args.out:
         result_with_urls(res, args.work).write_parquet(args.out)
     if getattr(args, "reference_output", None):
-        format_reference_output(res.values()).write_parquet(args.reference_output)
+        from graphlite_ray.sources.formatters import write_formatted
+
+        write_formatted(
+            res.values().select_columns(["vertex_id", "value"]),
+            args.reference_output,
+        )
     print(
         json.dumps(
             {

@@ -392,6 +392,34 @@ def test_approx_distinct_matches_exact_small(ray_session):
         )
 
 
+def test_cli_reference_output_writes_text_shards(ray_session, tmp_path):
+    from graphlite_ray.cli import main
+    from graphlite_ray.sources.pages import pages_path
+
+    pages = pages_path(300, seed=42)
+    out = tmp_path / "refout"
+    rc = main(
+        [
+            "pagerank",
+            "--pages", pages,
+            "--work", str(tmp_path / "work"),
+            "--partitions", "4",
+            "--reference-output", str(out),
+        ]
+    )
+    assert rc == 0
+    lines = [
+        ln
+        for p in out.iterdir()
+        if p.name.startswith("part-")
+        for ln in p.read_text().splitlines()
+    ]
+    assert len(lines) > 100
+    import re
+
+    assert all(re.fullmatch(r"\d+: \d+\.\d{6}", ln) for ln in lines[:20])
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
