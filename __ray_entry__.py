@@ -616,8 +616,8 @@ def _media_path(sf_dir: str) -> str:
     from graphlite_ray.stages.multimodal import synthetic_media_table
 
     n = _MEDIA_FOR_SF.get(os.path.basename(os.path.normpath(sf_dir)), 60)
-    # v2: meta sidecar carries encode-time ground-truth stats (psum/e/fm)
-    path = f"/tmp/glr_media/media_n{n}_s42_v2.parquet"
+    # v3: ground-truth stat sidecars + mixed BMP/PNG image payloads
+    path = f"/tmp/glr_media/media_n{n}_s42_v3.parquet"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = pa.Table.from_pandas(

@@ -3,13 +3,15 @@ typed metadata, decoded/featurized by actor-pool `map_batches` stages.
 
 Codec reality in this container (no PIL/ffmpeg/torchaudio):
   - REAL decoders, dependency-free: 24-bit uncompressed **BMP** (struct +
-    numpy), PCM **WAV** (stdlib `wave`), and **GLRV** — a documented raw
-    video container (header + concatenated BMP frames) of the kind raw
-    frame-dump pipelines use. Encode + decode round-trip exactly (tested).
-  - Compressed codecs (JPEG/PNG/H.264/MP3) need external libraries: those
-    payloads raise NotImplementedError at the decode boundary, which is
-    exactly where a real codec plugs in; `deterministic_fake=True` keeps
-    the old content-derived fake for plumbing tests.
+    numpy), **PNG** 8-bit truecolor (stdlib zlib + numpy unfiltering, all
+    five row filters — a genuinely COMPRESSED format), PCM **WAV**
+    (stdlib `wave`), and **GLRV** — a documented raw video container
+    (header + concatenated BMP frames) of the kind raw frame-dump
+    pipelines use. Encode + decode round-trip exactly (tested).
+  - Codecs needing external libraries (JPEG/H.264/MP3) raise
+    NotImplementedError at the decode boundary, which is exactly where a
+    real codec plugs in; `deterministic_fake=True` keeps the old
+    content-derived fake for plumbing tests.
 
 Design points that are load-bearing at scale:
   - binary payloads stay in Arrow buffers end-to-end,
@@ -104,6 +106,109 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, s
 
 
+# ------------------------------------------------------------- PNG codec
+# A real COMPRESSED image codec with no external deps: zlib (stdlib) +
+# numpy unfiltering. Supports 8-bit truecolor RGB (color type 2), the
+# standard web-image baseline; other color types / bit depths raise at
+# the documented boundary. Decode handles all five PNG row filters.
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 rows,
+    zlib-compressed IDAT)."""
+    import zlib
+
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. 8-bit truecolor only; all five
+    row filters (none/sub/up/average/paeth) are unfiltered."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    off = 8
+    w = h = None
+    idat = []
+    while off < len(payload):
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        ctype = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        off += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 2 or comp != 0 or filt != 0 or inter != 0:
+                raise NotImplementedError(
+                    f"PNG variant depth={depth} color={color} interlace={inter} "
+                    "unsupported (8-bit truecolor RGB only)"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    out = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            recon = row
+        elif f == 2:  # up
+            recon = row + prior
+        else:  # sub / average / paeth need the left pixel: walk pixel cols
+            recon = row
+            left = np.zeros(3, np.uint8)
+            for x in range(0, stride, 3):
+                pr = prior[x : x + 3]
+                if f == 1:
+                    recon[x : x + 3] += left
+                elif f == 3:
+                    recon[x : x + 3] += (
+                        (left.astype(np.int16) + pr.astype(np.int16)) // 2
+                    ).astype(np.uint8)
+                elif f == 4:
+                    pl = prior[x - 3 : x] if x else np.zeros(3, np.uint8)
+                    recon[x : x + 3] += _paeth(left, pr, pl).astype(np.uint8)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                left = recon[x : x + 3]
+        out[y] = recon
+        prior = out[y]
+    return out.reshape(h, w, 3)
+
+
 GLRV_MAGIC = b"GLRV"
 
 
@@ -151,11 +256,14 @@ class ImageDecoder:
     def _decode(self, payload: bytes) -> np.ndarray:
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:8] == PNG_MAGIC:
+            return decode_png(payload)
         if not self.fake:
             raise NotImplementedError(
-                "no dependency-free codec for this payload (JPEG/PNG need "
-                "external libs); construct with deterministic_fake=True or "
-                "plug a real decoder here"
+                "no dependency-free codec for this payload (JPEG needs "
+                "external libs; BMP and 8-bit RGB PNG decode for real); "
+                "construct with deterministic_fake=True or plug a real "
+                "decoder here"
             )
         rng = _content_rng(payload)
         h, w = int(rng.randint(16, 64)), int(rng.randint(16, 64))
@@ -413,9 +521,11 @@ def synthetic_media_table(n: int, seed: int = 42, real_codecs: bool = True) -> p
         elif mtype == "image":
             h, w = int(rng.randint(8, 32)), int(rng.randint(8, 32))
             img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-            payload = encode_bmp(img)
+            # alternate raw BMP and compressed PNG payloads: both real
+            codec = "png" if (i // 3) % 2 else "bmp"
+            payload = encode_png(img) if codec == "png" else encode_bmp(img)
             meta = json.dumps(
-                {"codec": "bmp", "h": h, "w": w, "psum": int(img.sum())}
+                {"codec": codec, "h": h, "w": w, "psum": int(img.sum())}
             )
         elif mtype == "audio":
             ns = int(rng.randint(2048, 8192))

@@ -420,6 +420,90 @@ def test_cli_reference_output_writes_text_shards(ray_session, tmp_path):
     assert all(re.fullmatch(r"\d+: \d+\.\d{6}", ln) for ln in lines[:20])
 
 
+def test_png_roundtrip_random_images():
+    from graphlite_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(9)
+    for _ in range(5):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_decode_all_filter_types():
+    """Forward-filter a known image with each PNG filter per row and check
+    the decoder unfilters it back exactly (independent of our encoder,
+    which only emits filter 0)."""
+    import struct
+    import zlib
+
+    from graphlite_ray.stages.multimodal import (
+        PNG_MAGIC,
+        _paeth,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(4)
+    h, w = 6, 7
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    flat = img.reshape(h, w * 3).astype(np.int16)
+    raw = b""
+    prior = np.zeros(w * 3, np.int16)
+    for y in range(h):
+        f = y % 5  # exercise filters 0..4
+        row = flat[y]
+        left = np.concatenate([np.zeros(3, np.int16), row[:-3]])
+        pl = np.concatenate([np.zeros(3, np.int16), prior[:-3]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            filt = row - (left + prior) // 2
+        else:
+            filt = row - _paeth(
+                left.astype(np.uint8), prior.astype(np.uint8), pl.astype(np.uint8)
+            ).astype(np.int16)
+        raw += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == img).all()
+
+
+def test_png_in_media_pipeline(ray_session):
+    """The synthetic media table mixes BMP and PNG payloads; the decoder
+    stage must reproduce the encode-time sidecar stats for BOTH."""
+    import json
+
+    import ray.data
+
+    from graphlite_ray.stages.multimodal import decode_images, synthetic_media_table
+
+    table = synthetic_media_table(36)
+    imgs = table[table["media_type"] == "image"]
+    codecs = {json.loads(m)["codec"] for m in imgs["meta"]}
+    assert codecs == {"bmp", "png"}
+    out = (
+        decode_images(ray.data.from_pandas(imgs[["media_id", "payload"]]))
+        .to_pandas()
+        .set_index("media_id")
+    )
+    for _, row in imgs.iterrows():
+        meta = json.loads(row["meta"])
+        got = out.loc[row["media_id"]]
+        assert (got["height"], got["width"]) == (meta["h"], meta["w"])
+        assert got["pixels_sum"] == meta["psum"]
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg

@@ -238,16 +238,23 @@ def test_multimodal_real_codecs():
     import json
 
     from graphlite_ray.stages.multimodal import (
+        PNG_MAGIC,
         decode_bmp,
         decode_images,
+        decode_png,
         resize_images,
         sample_audio_frames,
         sample_video_frames,
         synthetic_media_table,
     )
 
-    table = synthetic_media_table(30)  # real BMP/WAV/GLRV payloads
+    table = synthetic_media_table(30)  # real BMP/PNG/WAV/GLRV payloads
     media = ray.data.from_pandas(table)
+
+    def _img(payload: bytes):
+        return (
+            decode_png(payload) if payload[:8] == PNG_MAGIC else decode_bmp(payload)
+        )
 
     imgs = media.filter(lambda r: r["media_type"] == "image")
     out = {r["media_id"]: r for r in decode_images(imgs).take_all()}
@@ -255,7 +262,7 @@ def test_multimodal_real_codecs():
         meta = json.loads(row["meta"])
         got = out[row["media_id"]]
         assert (got["height"], got["width"]) == (meta["h"], meta["w"])
-        assert got["pixels_sum"] == int(decode_bmp(row["payload"]).sum())
+        assert got["pixels_sum"] == int(_img(row["payload"]).sum())
 
     resized = resize_images(imgs, size=(16, 16)).take_all()
     for r in resized:
