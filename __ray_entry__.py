@@ -1116,6 +1116,63 @@ def _kcore_oracle_sql(edges_glob: str, k: int = 4) -> str:
     )
 
 
+def _simhash_oracle_sql() -> str:
+    """Full pure-SQL replication of the SimHash pipeline: FNV-1a-64 token
+    hashes (seed prefix 42, UTF-8 bytes derived arithmetically from
+    codepoints, HUGEINT mod-2^64 arithmetic, list_reduce), per-document
+    64-bit majority votes over token instances, then EXHAUSTIVE
+    Hamming<=3 pairs via bit_count(xor). This equals the pipeline's
+    banded output EXACTLY by pigeonhole: 3 differing bits touch at most
+    3 of the 4 16-bit bands, so every qualifying pair shares a band —
+    banding recall is 1, not data-dependent (stages/dedup.py:401-405)."""
+    M64 = "18446744073709551616::HUGEINT"
+    PRIME = "1099511628211::HUGEINT"
+    OFF = "14695981039346656037::HUGEINT"
+    HALF = "9223372036854775808::HUGEINT"
+    wrap = f"CAST(acc - CASE WHEN acc >= {HALF} THEN {M64} ELSE 0::HUGEINT END AS BIGINT)"
+    step = (
+        f"((xor({wrap}, CAST(byte AS BIGINT))::HUGEINT + "
+        f"CASE WHEN xor({wrap}, CAST(byte AS BIGINT)) < 0 THEN {M64} "
+        f"ELSE 0::HUGEINT END) * {PRIME}) % {M64}"
+    )
+    utf8 = (
+        "flatten(list_transform("
+        "list_transform(string_split(tok, ''), c -> unicode(c)), "
+        "cp -> CASE WHEN cp < 128 THEN [cp] "
+        "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] "
+        "ELSE [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] END))"
+    )
+    fnv = (
+        f"list_reduce(list_concat([{OFF}], "
+        f"list_transform(list_concat([42,0,0,0,0,0,0,0], {utf8}), x -> x::HUGEINT)), "
+        f"(acc, byte) -> {step})"
+    )
+    mask = "CASE WHEN j = 63 THEN (-9223372036854775808)::BIGINT ELSE (1::BIGINT << j) END"
+    bitval = f"CASE WHEN j = 63 THEN {HALF} ELSE (1::BIGINT << j)::HUGEINT END"
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok "
+        "FROM documents), "
+        f"th AS (SELECT doc_id, {fnv} AS hh FROM toks), "
+        "thb AS (SELECT doc_id, CAST(hh - CASE WHEN hh >= "
+        f"{HALF} THEN {M64} ELSE 0::HUGEINT END AS BIGINT) AS hb FROM th), "
+        "votes AS (SELECT doc_id, j, "
+        f"sum(CASE WHEN (hb & ({mask})) <> 0 THEN 1 ELSE -1 END) AS v "
+        "FROM thb, (SELECT unnest(generate_series(0, 63)) AS j) "
+        "GROUP BY doc_id, j), "
+        "sims0 AS (SELECT doc_id, "
+        f"sum(CASE WHEN v > 0 THEN {bitval} ELSE 0::HUGEINT END) AS simw "
+        "FROM votes GROUP BY doc_id), "
+        "sims AS (SELECT d.doc_id, coalesce(CAST(s.simw - CASE WHEN "
+        f"s.simw >= {HALF} THEN {M64} ELSE 0::HUGEINT END AS BIGINT), 0) AS sim "
+        "FROM (SELECT DISTINCT doc_id FROM documents) d "
+        "LEFT JOIN sims0 s USING (doc_id)) "
+        "SELECT a.doc_id AS a, b.doc_id AS b "
+        "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY a, b"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     edges_glob = _staged_edges_glob()
     host_glob = os.path.join(_host_edges_dir(_ORACLE_SF), "*.parquet")
@@ -1416,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": (
             _jaccard_pairs_sql(0.5) + " SELECT a, b FROM jpairs ORDER BY a, b"
         ),
+        "doc_simhash_pairs": _simhash_oracle_sql(),
         "doc_heavy_hitters": (
             "SELECT token, count(*) AS n FROM ("
             "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
@@ -1458,9 +1516,11 @@ def oracle_sql() -> dict[str, str]:
         #   distinct_users_approx — HyperLogLog estimate over our
         #     splitmix64 hash (not SQL-replicable); the exact counterpart
         #     `distinct_users` IS oracled, pytest bounds the sketch error
-        #   doc_fingerprint / doc_simhash_pairs — 64-bit rolling/FNV
-        #     hashing, not SQL-expressible (tests/test_stages.py planted
-        #     oracles)
+        #   doc_fingerprint — rolling-hash winnowing over raw UTF-8 BYTE
+        #     windows of the full text: the byte-window poly-hash would
+        #     need an O(text_len) per-row lambda reduce per WINDOW in SQL
+        #     (unlike simhash's per-token reduce, which IS oracled above);
+        #     pytest planted oracles in tests/test_stages.py instead
         #   emb_near_dup_lsh / emb_knn_ivf — approximate-by-design scale
         #     variants of the ORACLED exact queries (emb_near_dup /
         #     emb_knn); precision-1.0 / recall asserted in pytest (and
