@@ -1173,6 +1173,66 @@ def _simhash_oracle_sql() -> str:
     )
 
 
+def _fingerprint_oracle_sql() -> str:
+    """Pure-SQL replication of the rolling-window fingerprint
+    (stages/textstats.py::fingerprint): the 8-byte window poly hash has NO
+    xor inside, so each window hash is LINEAR in its bytes — computed as
+    sum(byte[i+k] * B^(7-k)) mod 2^64 with precomputed HUGEINT power
+    constants (one list_transform per doc, no per-window reduce). Then the
+    4 smallest distinct window hashes xor-fold with B^(i+1), masked to
+    63 bits exactly like the pipeline."""
+    B = 1099511628211
+    M = 1 << 64
+    POW = [pow(B, k, M) for k in range(9)]
+    FOLD = [pow(B, i + 1, M) for i in range(4)]
+    fold_list = ", ".join(str(x) + "::HUGEINT" for x in FOLD)
+    M64 = "18446744073709551616::HUGEINT"
+    HALF = "9223372036854775808::HUGEINT"
+    win = " + ".join(
+        "(b[i+%d]::HUGEINT * %d::HUGEINT) %% %s" % (k, POW[7 - k], M64)
+        for k in range(8)
+    )
+    win = ("((" + win + ") %% %s)" % M64).replace("%%", "%")
+    utf8 = (
+        "flatten(list_transform("
+        "list_transform(string_split(text, ''), c -> unicode(c)), "
+        "cp -> CASE WHEN cp < 128 THEN [cp] "
+        "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] "
+        "ELSE [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] END))"
+    )
+    term = "(mins[i] * ([" + fold_list + "][i])) % " + M64
+    wterm = (
+        "CAST(" + term + " - CASE WHEN " + term + " >= " + HALF
+        + " THEN " + M64 + " ELSE 0::HUGEINT END AS BIGINT)"
+    )
+    fold_terms = "list_transform(generate_series(1, len(mins)), i -> " + wterm + ")"
+    return (
+        """
+WITH by AS (
+  SELECT doc_id,
+    (SELECT CASE WHEN len(u) >= 8 THEN u
+            ELSE list_concat(u, list_transform(generate_series(1, 8 - len(u)), x -> 0)) END
+     FROM (SELECT UTF8 AS u)) AS b
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, list_transform(generate_series(1, len(b) - 7), i -> WIN) AS wh
+  FROM by
+),
+mins_t AS (SELECT doc_id, list_sort(list_distinct(wh))[:4] AS mins FROM wins),
+folded AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0::BIGINT, FOLDTERMS), (a, b2) -> xor(a, b2)) AS raw
+  FROM mins_t
+)
+SELECT doc_id, raw & 9223372036854775807 AS fp FROM folded ORDER BY doc_id
+"""
+        .replace("UTF8", utf8)
+        .replace("WIN", win)
+        .replace("FOLDTERMS", fold_terms)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     edges_glob = _staged_edges_glob()
     host_glob = os.path.join(_host_edges_dir(_ORACLE_SF), "*.parquet")
@@ -1474,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
             _jaccard_pairs_sql(0.5) + " SELECT a, b FROM jpairs ORDER BY a, b"
         ),
         "doc_simhash_pairs": _simhash_oracle_sql(),
+        "doc_fingerprint": _fingerprint_oracle_sql(),
         "doc_heavy_hitters": (
             "SELECT token, count(*) AS n FROM ("
             "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
@@ -1516,11 +1577,6 @@ def oracle_sql() -> dict[str, str]:
         #   distinct_users_approx — HyperLogLog estimate over our
         #     splitmix64 hash (not SQL-replicable); the exact counterpart
         #     `distinct_users` IS oracled, pytest bounds the sketch error
-        #   doc_fingerprint — rolling-hash winnowing over raw UTF-8 BYTE
-        #     windows of the full text: the byte-window poly-hash would
-        #     need an O(text_len) per-row lambda reduce per WINDOW in SQL
-        #     (unlike simhash's per-token reduce, which IS oracled above);
-        #     pytest planted oracles in tests/test_stages.py instead
         #   emb_near_dup_lsh / emb_knn_ivf — approximate-by-design scale
         #     variants of the ORACLED exact queries (emb_near_dup /
         #     emb_knn); precision-1.0 / recall asserted in pytest (and
