@@ -103,15 +103,16 @@ def _q_lpa(sf_dir: str):
     return res.values().select_columns(["vertex_id", "value"])
 
 
-def _q_weighted_pagerank(sf_dir: str):
-    """Weighted PageRank over the page graph with deterministic per-edge
-    weights derived from the endpoint ids (DuckDB-oracled: the xor5 weight
-    formula is inlined in the recursive-CTE oracle). Weight assignment is a
-    map_batches stage — the edge table streams into the CSR build without
-    ever touching the driver."""
+def _xor5_weighted_edges(sf_dir: str):
+    """The staged edge table with the xor5 deterministic weights
+    (w = (src ^ dst) % 5 + 1) — the SINGLE definition shared by every
+    weighted query AND kept in lockstep with the SQL oracles' inlined
+    formula. The weighted CSR cache under the shared work dir is keyed by
+    the 'xor5' tag: that tag IS the weighting-scheme identity, so any
+    change to this formula must rename the tag."""
     import ray.data
 
-    from graphlite_ray.pipelines.linkgraph import prepare_edges, run_on_edge_dataset
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
 
     pages, work = _graph_work(sf_dir)
     edges_dir = prepare_edges(pages, work, P=8)
@@ -122,9 +123,21 @@ def _q_weighted_pagerank(sf_dir: str):
         w = ((src ^ dst) % 5 + 1).astype(np.float64)
         return pa.table({"src": src, "dst": dst, "weight": w})
 
-    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+    return ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
         _with_weights, batch_format="pyarrow"
     )
+
+
+def _q_weighted_pagerank(sf_dir: str):
+    """Weighted PageRank over the page graph with deterministic per-edge
+    weights derived from the endpoint ids (DuckDB-oracled: the xor5 weight
+    formula is inlined in the recursive-CTE oracle). Weight assignment is a
+    map_batches stage — the edge table streams into the CSR build without
+    ever touching the driver."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+
+    _, work = _graph_work(sf_dir)
+    edges = _xor5_weighted_edges(sf_dir)
     res = run_on_edge_dataset(
         "weighted_pagerank", edges, os.path.join(work, "wpr"), P=8,
         tag="xor5", resume=True,
@@ -177,28 +190,20 @@ def _q_sssp(sf_dir: str):
 def _q_sssp_weighted(sf_dir: str):
     """Weighted shortest paths (per-edge xor5 weights — the reference's
     Edge.weight payload under a DRIVER oracle): recursive weighted-walk
-    CTE. Shares the wpr work dir so the weighted CSR build is reused."""
-    import ray.data
+    CTE. Shares the wpr work dir so the weighted CSR build is reused.
+    max_supersteps is raised to V-scale so Bellman-Ford always reaches its
+    EXACT fixpoint (it halts at the true hop depth, ~graph diameter, long
+    before the cap) — the oracle's distance bound (< 400) is then the
+    only approximation surface, with ~5x margin over this graph's max
+    finite weighted distance."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
 
-    from graphlite_ray.pipelines.linkgraph import prepare_edges, run_on_edge_dataset
-
-    pages, work = _graph_work(sf_dir)
-    edges_dir = prepare_edges(pages, work, P=8)
-    n = _pages_n(sf_dir)
+    _, work = _graph_work(sf_dir)
     source = _sssp_source(sf_dir)
-
-    def _with_weights(t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        w = ((src ^ dst) % 5 + 1).astype(np.float64)
-        return pa.table({"src": src, "dst": dst, "weight": w})
-
-    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
-        _with_weights, batch_format="pyarrow"
-    )
+    edges = _xor5_weighted_edges(sf_dir)
     res = run_on_edge_dataset(
         "sssp", edges, os.path.join(work, "wpr"), P=8,
-        tag="xor5", resume=True, source=source,
+        tag="xor5", resume=True, source=source, max_supersteps=5000,
     )
     ds = res.values().select_columns(["vertex_id", "value"])
 
@@ -656,6 +661,15 @@ def _q_media_image_stats(sf_dir: str):
     return decode_images(media).to_pandas().sort_values("media_id", ignore_index=True)
 
 
+def _round_half_away_pos(s: "pd.Series", nd: int) -> "pd.Series":
+    """Round positives half-AWAY-from-zero — DuckDB ROUND's tie rule.
+    pandas .round() is half-even; the two differ by a full ulp on exact
+    decimal ties, which small-denominator rationals (energy = S/1024,
+    mean = sum/288) genuinely hit."""
+    f = 10.0 ** nd
+    return np.floor(s * f + 0.5) / f
+
+
 def _q_media_audio_energy(sf_dir: str):
     """REAL PCM-WAV decode -> per-frame energies — DuckDB-oracled against
     the encoder's recorded per-frame energies (lossless PCM: decode-side
@@ -664,7 +678,7 @@ def _q_media_audio_energy(sf_dir: str):
 
     media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "audio")
     out = sample_audio_frames(media, every_n=4).to_pandas()
-    out["energy"] = out["energy"].round(4)
+    out["energy"] = _round_half_away_pos(out["energy"], 4)
     return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
 
 
@@ -675,7 +689,7 @@ def _q_media_video_frames(sf_dir: str):
 
     media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "video")
     out = sample_video_frames(media, every_n=2).to_pandas()
-    out["mean_intensity"] = out["mean_intensity"].round(4)
+    out["mean_intensity"] = _round_half_away_pos(out["mean_intensity"], 4)
     return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
 
 
@@ -955,9 +969,11 @@ def _jaccard_pairs_sql(threshold: float) -> str:
     fixed banded candidate set provably contains it — the score
     distribution is bimodal with nothing near the threshold."""
     return (
-        "WITH toks AS (SELECT doc_id, "
-        "regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
-        "FROM documents WHERE trim(text) <> ''), "
+        # list_filter: whitespace-kind-robust tokenization (matches
+        # Python's split(); DuckDB trim only strips spaces)
+        "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "x -> x <> '') AS t FROM documents) WHERE len(t) > 0), "
         "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
         "THEN [array_to_string(t, ' ')] "
         "ELSE list_transform(generate_series(1, len(t) - 2), "
@@ -1536,9 +1552,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _fingerprint_oracle_sql(),
         "doc_heavy_hitters": (
+            # list_filter (not trim) so leading tabs/newlines can't yield a
+            # phantom '' token Python's split() never produces
             "SELECT token, count(*) AS n FROM ("
-            "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
-            "FROM documents WHERE trim(text) <> '') "
+            "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'\\s+'), x -> x <> '')) AS token FROM documents) "
             "GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"
         ),
         "doc_sample": (
@@ -1558,9 +1576,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY k ORDER BY k"
         ),
         "doc_token_count": (
-            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
-            "FROM documents"
+            # len(list_filter(...)) is whitespace-kind-robust (DuckDB trim
+            # strips only spaces, not tabs/newlines)
+            "SELECT doc_id, len(list_filter(regexp_split_to_array(text, "
+            "'\\s+'), x -> x <> '')) AS n_tokens FROM documents"
         ),
         "doc_quality": (
             "SELECT doc_id, length(text) AS n_chars, "

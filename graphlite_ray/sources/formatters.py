@@ -23,8 +23,6 @@ tinygraph input contract and output line format).
 
 from __future__ import annotations
 
-import uuid
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -102,6 +100,12 @@ def read_edge_shards(
             lines = [
                 ln for ln in storage.read_text(p).splitlines() if ln.strip()
             ]
+            if len(lines) < formatter.header_lines:
+                raise ValueError(
+                    f"{p}: shard has {len(lines)} non-blank lines, fewer "
+                    f"than the {formatter.header_lines} header lines the "
+                    f"format requires (empty/truncated shard?)"
+                )
             hdr = formatter.parse_header(lines[: formatter.header_lines])
             t = formatter.parse_edges(lines[formatter.header_lines :])
             n_declared = hdr.get("n_edges")
@@ -152,15 +156,27 @@ def write_formatted(
     formatter: OutputFormatter | None = None,
 ) -> pd.DataFrame:
     """Render + write result lines as text shards (one file per block,
-    written by the task that formatted it — distributed, resumable by
-    re-running; the tiny (path, n_lines) manifest is the only driver
-    traffic)."""
+    written by the task that formatted it — distributed; the tiny
+    (path, n_lines) manifest is the only driver traffic).
+
+    Idempotent twice over: stale `part-*.txt` from a previous run are
+    cleared first (a re-run replaces, never appends), and shard names are
+    CONTENT hashes, so a Ray task retry that re-writes a block lands on
+    the same filename instead of duplicating output (blocks partition the
+    rows, so distinct blocks always hash differently)."""
+    import hashlib
+
     storage.makedirs(out_dir)
+    for name in storage.listdir(out_dir):
+        if name.startswith("part-") and name.endswith(".txt"):
+            fs, p = storage.resolve(storage.join(out_dir, name))
+            fs.delete_file(p)
 
     def _write(t: pa.Table) -> pa.Table:
-        name = f"part-{uuid.uuid4().hex[:12]}.txt"
         body = "\n".join(t["line"].to_pylist())
-        storage.write_text(storage.join(out_dir, name), body + ("\n" if body else ""))
+        data = body + ("\n" if body else "")
+        name = f"part-{hashlib.blake2b(data.encode(), digest_size=8).hexdigest()}.txt"
+        storage.write_text(storage.join(out_dir, name), data)
         return pa.table({"path": pa.array([name]), "n_lines": pa.array([t.num_rows])})
 
     return format_output(scores, formatter).map_batches(

@@ -187,14 +187,16 @@ def decode_png(payload: bytes) -> np.ndarray:
             recon = row
         elif f == 2:  # up
             recon = row + prior
-        else:  # sub / average / paeth need the left pixel: walk pixel cols
+        elif f == 1:  # sub: per-channel prefix sum mod 256, vectorized
+            recon = (
+                np.cumsum(row.reshape(-1, 3).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        else:  # average / paeth need the left RECON pixel: walk pixel cols
             recon = row
             left = np.zeros(3, np.uint8)
             for x in range(0, stride, 3):
                 pr = prior[x : x + 3]
-                if f == 1:
-                    recon[x : x + 3] += left
-                elif f == 3:
+                if f == 3:
                     recon[x : x + 3] += (
                         (left.astype(np.int16) + pr.astype(np.int16)) // 2
                     ).astype(np.uint8)

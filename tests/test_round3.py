@@ -504,6 +504,48 @@ def test_png_in_media_pipeline(ray_session):
         assert got["pixels_sum"] == meta["psum"]
 
 
+def test_write_formatted_rerun_is_idempotent(ray_session, tmp_path):
+    """Re-running write_formatted replaces shards instead of appending
+    duplicates (stale-part cleanup + content-hash names)."""
+    import ray.data
+
+    from graphlite_ray.sources.formatters import write_formatted
+
+    ds = ray.data.from_items(
+        [{"vertex_id": i, "value": float(i)} for i in range(50)]
+    )
+    out = tmp_path / "o"
+    write_formatted(ds, str(out))
+    first = sorted(ln for p in out.iterdir() for ln in p.read_text().splitlines())
+    write_formatted(ds, str(out))  # second run must not duplicate
+    second = sorted(ln for p in out.iterdir() for ln in p.read_text().splitlines())
+    assert first == second
+    assert len(first) == 50
+
+
+def test_token_oracles_survive_tab_newline_whitespace(ray_session):
+    """Heavy-hitters pipeline vs its SQL oracle on a corpus with leading
+    tabs/newlines — DuckDB trim() only strips spaces, so the oracle must
+    tokenize via list_filter (regression for the phantom-''-token bug)."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as entrymod
+    from graphlite_ray.stages.textstats import token_heavy_hitters
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["\tfoo bar foo", "\nbar\tbaz", "  foo\n"],
+        }
+    )
+    got = token_heavy_hitters(ray.data.from_pandas(docs), k=5)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(entrymod.oracle_sql()["doc_heavy_hitters"]).df()
+    assert list(zip(got["token"], got["n"])) == list(zip(want["token"], want["n"]))
+
+
 def test_staged_edges_failure_surfaces_cause(monkeypatch):
     import __ray_entry__ as entrymod
     import graphlite_ray.pipelines.linkgraph as lg
