@@ -148,6 +148,18 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     q["join_revenue"] = time.perf_counter() - t0
     join_strategy = dict(R.LAST_JOIN_STRATEGY)
 
+    # multimodal decode over real BMP/PNG payloads (actor pool, byte-sized
+    # batches)
+    from graphlite_ray.stages.multimodal import decode_images, synthetic_media_table
+
+    media_df = synthetic_media_table(1200)
+    media_imgs = ray.data.from_pandas(
+        media_df[media_df["media_type"] == "image"][["media_id", "payload"]]
+    )
+    t0 = time.perf_counter()
+    decode_images(media_imgs).count()
+    q["media_decode"] = time.perf_counter() - t0
+
     # host-graph collapse over the already-staged page edges
     from graphlite_ray.pipelines.linkgraph import host_edge_counts
 
