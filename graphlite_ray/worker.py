@@ -159,13 +159,13 @@ class PartitionWorker:
                 src = np.concatenate([b[1] for b in blocks])
                 val = np.concatenate([b[2] for b in blocks])
                 inbox = Inbox(idx=idx, val=val, src=src)
-                self.active[np.unique(idx)] = True
+                self.active[idx] = True  # duplicate indices are fine for a bool set
             elif combiner == "sum_by_key":
                 key = np.concatenate([b[1] for b in blocks])
                 cnt = np.concatenate([b[2] for b in blocks])
                 i2, k2, c2 = combine_sum_by_key(idx, key, cnt)
                 inbox = Inbox(idx=i2, val=c2, key=k2)
-                self.active[np.unique(i2)] = True
+                self.active[i2] = True  # duplicate indices are fine for a bool set
             elif combiner == "sum":
                 # local indices are dense [0, n): O(rows) bincount beats the
                 # sort-based combine for the delivery-side reduction
