@@ -30,15 +30,19 @@ class CrashOncePageRank(PageRank):
         return super().compute(ctx, shard, values, active, inbox)
 
 
-def test_actor_death_recovers_from_checkpoint(work_dir):
+@pytest.mark.parametrize("routing", ["grouped", "per_dest"])
+def test_actor_death_recovers_from_checkpoint(work_dir, routing):
     src, dst = random_digraph(150, 700, seed=55)
 
-    plain = run_on_edges("pagerank", src, dst, f"{work_dir}/plain", P=4)
+    plain = run_on_edges(
+        "pagerank", src, dst, f"{work_dir}/plain_{routing}", P=4, routing=routing
+    )
     want = {r["vertex_id"]: r["value"] for r in plain.values().take_all()}
 
-    marker = f"{work_dir}/crash_marker"
+    marker = f"{work_dir}/crash_marker_{routing}"
     res = run_on_edges(
-        CrashOncePageRank(marker), src, dst, f"{work_dir}/crash", P=4, ckpt_every=2
+        CrashOncePageRank(marker), src, dst, f"{work_dir}/crash_{routing}",
+        P=4, ckpt_every=2, routing=routing,
     )
     assert os.path.exists(marker)  # the crash really happened
     assert res.halted
