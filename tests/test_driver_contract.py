@@ -58,7 +58,11 @@ def test_query_matches_oracle(con, name):
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
         if np.issubdtype(np.asarray(g).dtype, np.floating):
-            assert np.allclose(g.astype(float), w.astype(float), atol=1e-9), c
+            # BIT-exact, not allclose: the driver compares value HASHES, so
+            # any float divergence the hash would catch must fail here
+            # first (all 50 oracled queries measured bit-exact; the
+            # rounding conventions in __ray_entry__ exist to keep it so)
+            assert np.array_equal(g.astype(float), w.astype(float)), c
         else:
             assert (g == w).all() if len(g) else True, c
 
