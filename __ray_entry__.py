@@ -1132,6 +1132,23 @@ def _kcore_oracle_sql(edges_glob: str, k: int = 4) -> str:
     )
 
 
+def _utf8_bytes_sql(strvar: str) -> str:
+    """SQL expression: string column/variable -> list of its UTF-8 bytes,
+    derived arithmetically from codepoints (full 1-4 byte coverage incl.
+    supplementary planes). Shared by the simhash and fingerprint
+    oracles so the encoding logic cannot drift between them."""
+    return (
+        "flatten(list_transform("
+        f"list_transform(string_split({strvar}, ''), c -> unicode(c)), "
+        "cp -> CASE WHEN cp < 128 THEN [cp] "
+        "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] "
+        "WHEN cp < 65536 THEN "
+        "[224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] "
+        "ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, "
+        "128 + (cp // 64) % 64, 128 + cp % 64] END))"
+    )
+
+
 def _simhash_oracle_sql() -> str:
     """Full pure-SQL replication of the SimHash pipeline: FNV-1a-64 token
     hashes (seed prefix 42, UTF-8 bytes derived arithmetically from
@@ -1151,13 +1168,7 @@ def _simhash_oracle_sql() -> str:
         f"CASE WHEN xor({wrap}, CAST(byte AS BIGINT)) < 0 THEN {M64} "
         f"ELSE 0::HUGEINT END) * {PRIME}) % {M64}"
     )
-    utf8 = (
-        "flatten(list_transform("
-        "list_transform(string_split(tok, ''), c -> unicode(c)), "
-        "cp -> CASE WHEN cp < 128 THEN [cp] "
-        "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] "
-        "ELSE [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] END))"
-    )
+    utf8 = _utf8_bytes_sql("tok")
     fnv = (
         f"list_reduce(list_concat([{OFF}], "
         f"list_transform(list_concat([42,0,0,0,0,0,0,0], {utf8}), x -> x::HUGEINT)), "
@@ -1209,13 +1220,7 @@ def _fingerprint_oracle_sql() -> str:
         for k in range(8)
     )
     win = ("((" + win + ") %% %s)" % M64).replace("%%", "%")
-    utf8 = (
-        "flatten(list_transform("
-        "list_transform(string_split(text, ''), c -> unicode(c)), "
-        "cp -> CASE WHEN cp < 128 THEN [cp] "
-        "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] "
-        "ELSE [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] END))"
-    )
+    utf8 = _utf8_bytes_sql("text")
     term = "(mins[i] * ([" + fold_list + "][i])) % " + M64
     wterm = (
         "CAST(" + term + " - CASE WHEN " + term + " >= " + HALF
