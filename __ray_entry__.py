@@ -41,6 +41,12 @@ if _REPO_DIR not in sys.path:
 _PAGES_FOR_SF = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 20000}
 _SEED = 42
 
+# The shared tokenization contract (graphlite_ray/functions/tokenize.py):
+# every token-splitting oracle uses this EXPLICIT ASCII class, identical to
+# the Python stages' TOKEN_RE — RE2's '\s' and Python's str.split() disagree
+# on non-ASCII whitespace, so neither appears in tokenizing SQL.
+from graphlite_ray.functions.tokenize import SQL_WS_SPLIT as _WS
+
 
 def _pages_n(sf_dir: str) -> int:
     return _PAGES_FOR_SF.get(os.path.basename(os.path.normpath(sf_dir)), 1000)
@@ -83,7 +89,7 @@ def _q_pagerank(sf_dir: str):
     pages, work = _graph_work(sf_dir)
     res = run_algorithm("pagerank", pages, work, P=8, resume=True)
     df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
-    df["value"] = df["value"].round(6)
+    df["value"] = _round_half_away(df["value"], 6)
     return df
 
 
@@ -143,7 +149,7 @@ def _q_weighted_pagerank(sf_dir: str):
         tag="xor5", resume=True,
     )
     df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
-    df["value"] = df["value"].round(6)
+    df["value"] = _round_half_away(df["value"], 6)
     return df
 
 
@@ -330,9 +336,18 @@ def _q_host_pagerank(sf_dir: str):
         hosts_ds.map_batches(_uniq, batch_format="pandas").to_pandas()["host"].to_numpy()
     )
     id2host = dict(zip(ids_from_urls(hosts).tolist(), hosts.tolist()))
+    # a 63-bit hash collision would silently merge two hosts into one
+    # vertex and corrupt every rank; cheap to rule out here since the host
+    # dictionary is already driver-side. The at-scale urlmap-join path
+    # carries the same no-collision assumption (birthday bound: ~2^31.5
+    # hosts for a 50% chance — beyond any real host count).
+    if len(id2host) != len(hosts):
+        raise RuntimeError(
+            f"host id hash collision: {len(hosts)} hosts -> {len(id2host)} ids"
+        )
     df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
     df["host"] = df["vertex_id"].map(id2host)
-    df["value"] = df["value"].round(6)
+    df["value"] = _round_half_away(df["value"], 6)
     return df[["host", "value"]].sort_values("host", ignore_index=True)
 
 
@@ -661,13 +676,16 @@ def _q_media_image_stats(sf_dir: str):
     return decode_images(media).to_pandas().sort_values("media_id", ignore_index=True)
 
 
-def _round_half_away_pos(s: "pd.Series", nd: int) -> "pd.Series":
-    """Round positives half-AWAY-from-zero — DuckDB ROUND's tie rule.
+def _round_half_away(s, nd: int) -> "pd.Series":
+    """Round half-AWAY-from-zero (signed) — DuckDB ROUND's tie rule.
     pandas .round() is half-even; the two differ by a full ulp on exact
     decimal ties, which small-denominator rationals (energy = S/1024,
-    mean = sum/288) genuinely hit."""
+    mean = sum/288) genuinely hit. The ONE rounding convention for every
+    oracled float column, so it cannot drift per query (ADVICE r3)."""
     f = 10.0 ** nd
-    return np.floor(s * f + 0.5) / f
+    v = np.asarray(s, np.float64)
+    out = np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f
+    return pd.Series(out, index=s.index) if isinstance(s, pd.Series) else out
 
 
 def _q_media_audio_energy(sf_dir: str):
@@ -678,7 +696,7 @@ def _q_media_audio_energy(sf_dir: str):
 
     media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "audio")
     out = sample_audio_frames(media, every_n=4).to_pandas()
-    out["energy"] = _round_half_away_pos(out["energy"], 4)
+    out["energy"] = _round_half_away(out["energy"], 4)
     return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
 
 
@@ -689,7 +707,7 @@ def _q_media_video_frames(sf_dir: str):
 
     media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "video")
     out = sample_video_frames(media, every_n=2).to_pandas()
-    out["mean_intensity"] = _round_half_away_pos(out["mean_intensity"], 4)
+    out["mean_intensity"] = _round_half_away(out["mean_intensity"], 4)
     return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
 
 
@@ -733,7 +751,7 @@ def _q_props_rollup(sf_dir: str):
         .map_groups(_final, batch_format="pandas")
         .to_pandas()
     )
-    out["sum_value"] = out["sum_value"].round(4)
+    out["sum_value"] = _round_half_away(out["sum_value"], 4)
     return out.sort_values("k", ignore_index=True)
 
 
@@ -747,8 +765,8 @@ def _q_event_percentiles_hist(sf_dir: str):
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     out = histogram_quantiles(ev, "event_type", "value", qs=(0.5, 0.95), bins=256)
-    out["p50_est"] = out["p50_est"].round(6)
-    out["p95_est"] = out["p95_est"].round(6)
+    out["p50_est"] = _round_half_away(out["p50_est"], 6)
+    out["p95_est"] = _round_half_away(out["p95_est"], 6)
     return out
 
 
@@ -818,7 +836,7 @@ def _q_doc_split(sf_dir: str):
 def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     df = df.copy()
     for c, nd in cols.items():
-        df[c] = df[c].round(nd)
+        df[c] = _round_half_away(df[c], nd)
     return df
 
 
@@ -972,7 +990,7 @@ def _jaccard_pairs_sql(threshold: float) -> str:
         # list_filter: whitespace-kind-robust tokenization (matches
         # Python's split(); DuckDB trim only strips spaces)
         "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
-        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"list_filter(regexp_split_to_array(lower(text), '{_WS}'), "
         "x -> x <> '') AS t FROM documents) WHERE len(t) > 0), "
         "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
         "THEN [array_to_string(t, ' ')] "
@@ -1178,7 +1196,7 @@ def _simhash_oracle_sql() -> str:
     bitval = f"CASE WHEN j = 63 THEN {HALF} ELSE (1::BIGINT << j)::HUGEINT END"
     return (
         "WITH toks AS (SELECT doc_id, unnest(list_filter("
-        "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok "
+        f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '')) AS tok "
         "FROM documents), "
         f"th AS (SELECT doc_id, {fnv} AS hh FROM toks), "
         "thb AS (SELECT doc_id, CAST(hh - CASE WHEN hh >= "
@@ -1537,7 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _langid_oracle_sql(),
         "doc_token_df": (
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
-            "SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
+            f"SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{_WS}')) AS token "
             "FROM documents) WHERE token <> '' GROUP BY token ORDER BY token"
         ),
         "doc_minhash_dedup": (
@@ -1561,7 +1579,7 @@ def oracle_sql() -> dict[str, str]:
             # phantom '' token Python's split() never produces
             "SELECT token, count(*) AS n FROM ("
             "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
-            "'\\s+'), x -> x <> '')) AS token FROM documents) "
+            f"'{_WS}'), x -> x <> '')) AS token FROM documents) "
             "GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"
         ),
         "doc_sample": (
@@ -1584,7 +1602,7 @@ def oracle_sql() -> dict[str, str]:
             # len(list_filter(...)) is whitespace-kind-robust (DuckDB trim
             # strips only spaces, not tabs/newlines)
             "SELECT doc_id, len(list_filter(regexp_split_to_array(text, "
-            "'\\s+'), x -> x <> '')) AS n_tokens FROM documents"
+            f"'{_WS}'), x -> x <> '')) AS n_tokens FROM documents"
         ),
         "doc_quality": (
             "SELECT doc_id, length(text) AS n_chars, "

@@ -33,6 +33,7 @@ import ray.data
 
 from graphlite_ray.functions.grouping import grouped_map_bucketed
 from graphlite_ray.functions.hashing import hash_strings
+from graphlite_ray.functions.tokenize import lower_tokens
 
 MERSENNE61 = np.uint64((1 << 61) - 1)
 
@@ -56,7 +57,7 @@ def exact_dedup(
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
-    toks = text.lower().split()
+    toks = lower_tokens(text)
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -405,7 +406,7 @@ class SimHasher:
         toks_all: list[str] = []
         counts = np.zeros(n, np.int64)
         for i, t in enumerate(texts):
-            tk = t.lower().split()
+            tk = lower_tokens(t)
             counts[i] = len(tk)
             toks_all.extend(tk)
         out = np.zeros(n, np.uint64)

@@ -148,9 +148,56 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
+def _unfilter_wavefront(
+    raw3: np.ndarray, filters: np.ndarray, prior: np.ndarray
+) -> np.ndarray:
+    """Unfilter a RUN of consecutive average/paeth rows vectorized.
+
+    Both filters make pixel (y, x) depend on (y, x-1), (y-1, x) and
+    (y-1, x-1) — a classic wavefront: every anti-diagonal y+x is
+    independent given the previous two. So instead of the H*W Python-loop
+    the run is solved in R+W-1 vectorized steps, each a fancy-indexed
+    gather/scatter over one diagonal (all 3 channels at once). A 512x512
+    all-paeth image drops from ~10^6 interpreter iterations to ~10^3 numpy
+    calls (<100 ms).
+
+    raw3: (R, W, 3) filtered bytes; filters: (R,) each 3 (avg) or 4
+    (paeth); prior: (W, 3) reconstructed row above the run (zeros at the
+    image top). Returns (R, W, 3) uint8.
+    """
+    R, W, _ = raw3.shape
+    rec = np.zeros((R + 1, W + 1, 3), np.int16)  # guard row above, col left
+    rec[0, 1:] = prior
+    raw_i = raw3.astype(np.int16)
+    is_paeth = filters == 4
+    all_paeth, all_avg = bool(is_paeth.all()), bool(~is_paeth.any())
+    ys_full = np.arange(1, R + 1)
+    for d in range(2, R + W + 1):
+        y_lo, y_hi = max(1, d - W), min(R, d - 1)
+        if y_lo > y_hi:
+            continue
+        ys = ys_full[y_lo - 1 : y_hi]
+        xs = d - ys  # in [1, W]
+        a = rec[ys, xs - 1]  # left
+        b = rec[ys - 1, xs]  # up
+        if all_avg:
+            pred = (a + b) >> 1
+        else:
+            c = rec[ys - 1, xs - 1]  # upper-left
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            if not all_paeth:  # mixed run: select per row
+                pred = np.where(is_paeth[ys - 1][:, None], pred, (a + b) >> 1)
+        rec[ys, xs] = (raw_i[ys - 1, xs - 1] + pred) & 255
+    return rec[1:, 1:].astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB. 8-bit truecolor only; all five
-    row filters (none/sub/up/average/paeth) are unfiltered."""
+    row filters (none/sub/up/average/paeth) are unfiltered — none/sub/up
+    per-row vectorized, average/paeth runs via the anti-diagonal wavefront
+    (`_unfilter_wavefront`)."""
     import zlib
 
     if payload[:8] != PNG_MAGIC:
@@ -159,6 +206,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = h = None
     idat = []
     while off < len(payload):
+        if off + 8 > len(payload):
+            raise ValueError("truncated PNG: chunk header past end of payload")
         (length,) = struct.unpack(">I", payload[off : off + 4])
         ctype = payload[off + 4 : off + 8]
         data = payload[off + 8 : off + 8 + length]
@@ -174,40 +223,49 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat.append(data)
         elif ctype == b"IEND":
             break
+    if w is None or h is None:
+        raise ValueError("corrupt PNG: no IHDR chunk before IDAT/IEND")
     raw = zlib.decompress(b"".join(idat))
     stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"corrupt PNG: inflated IDAT is {len(raw)} bytes, "
+            f"expected h*(stride+1) = {h * (stride + 1)}"
+        )
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    raw_rows = rows[:, 1:]
+    if (filters > 4).any():
+        raise ValueError(f"bad PNG filter {int(filters[filters > 4][0])}")
     out = np.zeros((h, stride), np.uint8)
     prior = np.zeros(stride, np.uint8)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
+    y = 0
+    while y < h:
+        f = int(filters[y])
+        if f in (3, 4):  # maximal avg/paeth run -> one wavefront solve
+            y_end = y
+            while y_end < h and int(filters[y_end]) in (3, 4):
+                y_end += 1
+            out[y:y_end] = _unfilter_wavefront(
+                raw_rows[y:y_end].reshape(y_end - y, w, 3),
+                filters[y:y_end],
+                prior.reshape(w, 3),
+            ).reshape(y_end - y, stride)
+            prior = out[y_end - 1]
+            y = y_end
+            continue
+        row = raw_rows[y].copy()
         if f == 0:
             recon = row
         elif f == 2:  # up
             recon = row + prior
-        elif f == 1:  # sub: per-channel prefix sum mod 256, vectorized
+        else:  # f == 1, sub: per-channel prefix sum mod 256, vectorized
             recon = (
                 np.cumsum(row.reshape(-1, 3).astype(np.int64), axis=0) % 256
             ).astype(np.uint8).reshape(-1)
-        else:  # average / paeth need the left RECON pixel: walk pixel cols
-            recon = row
-            left = np.zeros(3, np.uint8)
-            for x in range(0, stride, 3):
-                pr = prior[x : x + 3]
-                if f == 3:
-                    recon[x : x + 3] += (
-                        (left.astype(np.int16) + pr.astype(np.int16)) // 2
-                    ).astype(np.uint8)
-                elif f == 4:
-                    pl = prior[x - 3 : x] if x else np.zeros(3, np.uint8)
-                    recon[x : x + 3] += _paeth(left, pr, pl).astype(np.uint8)
-                else:
-                    raise ValueError(f"bad PNG filter {f}")
-                left = recon[x : x + 3]
         out[y] = recon
         prior = out[y]
+        y += 1
     return out.reshape(h, w, 3)
 
 

@@ -17,7 +17,8 @@ import pandas as pd
 
 import ray.data
 
-TOKEN_RE = re.compile(r"\S+")
+from graphlite_ray.functions.tokenize import TOKEN_RE, lower_tokens
+
 WORD_RE = re.compile(r"[A-Za-zÀ-ÿ']+")
 
 STOPWORDS = {
@@ -43,9 +44,11 @@ _CJK_RANGES = ((0x4E00, 0x9FFF), (0x3040, 0x30FF), (0xAC00, 0xD7AF))
 
 
 def token_count(text: str) -> int:
-    """Whitespace-token count; '' and all-whitespace -> 0.
-    SQL-equivalent: CASE WHEN trim(text)='' THEN 0 ELSE
-    length(regexp_split_to_array(trim(text), '\\s+')) END."""
+    """ASCII-whitespace token count; ''/all-whitespace/null -> 0.
+    SQL-equivalent (the shared contract, `functions.tokenize`):
+    len(list_filter(regexp_split_to_array(text, SQL_WS_SPLIT), x -> x <> ''))."""
+    if not isinstance(text, str):
+        return 0
     return len(TOKEN_RE.findall(text))
 
 
@@ -113,7 +116,7 @@ class QualityScorer:
         n_chars = texts.str.len().astype("int64")
         n_alpha = texts.str.count(r"[A-Za-z]").astype("int64")
         n_digit = texts.str.count(r"[0-9]").astype("int64")
-        n_space = texts.str.count(r"\s").astype("int64")
+        n_space = texts.str.count(r"[ \t\n\r\f\v]").astype("int64")
         toks = texts.map(lambda t: TOKEN_RE.findall(t))
         n_tokens = toks.map(len).astype("int64")
         safe_chars = n_chars.replace(0, 1)
@@ -200,7 +203,7 @@ def token_doc_frequency(
         toks: list[str] = []
         out_ids: list[np.ndarray] = []
         for i, text in enumerate(t["text"].to_pylist()):
-            u = sorted(set(text.lower().split()))
+            u = sorted(set(lower_tokens(text)))
             toks.extend(u)
             out_ids.append(np.full(len(u), ids[i], np.int64))
         return pa.table(
@@ -242,7 +245,7 @@ def token_heavy_hitters(
     def _counts(t: "pa.Table") -> "pa.Table":
         toks: list[str] = []
         for text in t["text"].to_pylist():
-            toks.extend(text.lower().split())
+            toks.extend(lower_tokens(text))
         if not toks:
             return pa.table(
                 {"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())}

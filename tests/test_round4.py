@@ -1,0 +1,162 @@
+"""Round-4 additions: shared tokenization contract, unified rounding,
+wavefront PNG unfiltering, distributed simhash verify, multi-table
+embedding LSH, auto-sized buckets, IVF recall, bulk k-NN merge."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ------------------------------------------------ tokenization contract
+
+
+def test_tokenize_contract_matches_duckdb_on_exotic_whitespace():
+    """The ONE tokenization definition (functions/tokenize.py) must agree
+    between the Python stages and the DuckDB oracles on every whitespace
+    kind — including the non-ASCII whitespace where str.split() and RE2
+    '\\s' historically diverged (ADVICE r3)."""
+    import duckdb
+
+    from graphlite_ray.functions.tokenize import SQL_WS_SPLIT, tokens
+
+    cases = [
+        "plain ascii words",
+        "tab\tand\nnewline\rand\fform\x0bvtab",
+        "nbsp\xa0joined",  # NBSP is NOT a separator under the contract
+        "line sep",  # U+2028 is NOT a separator either
+        "  leading and trailing  ",
+        "",
+        " \t\n ",
+        "one",
+    ]
+    con = duckdb.connect()
+    for t in cases:
+        got = con.execute(
+            f"SELECT list_filter(regexp_split_to_array(?, '{SQL_WS_SPLIT}'), "
+            "x -> x <> '')",
+            [t],
+        ).fetchone()[0]
+        assert got == tokens(t), t
+    assert tokens(None) == []
+
+
+def test_token_stages_null_safe():
+    from graphlite_ray.functions.tokenize import lower_tokens
+    from graphlite_ray.stages.textstats import token_count
+
+    assert token_count(None) == 0
+    assert lower_tokens(None) == []
+    assert lower_tokens("A\tB") == ["a", "b"]
+
+
+# ------------------------------------------------------- rounding helper
+
+
+def test_round_half_away_matches_duckdb_round():
+    import duckdb
+
+    import __ray_entry__ as E
+
+    vals = [0.5e-6, 1.5e-6, 2.5e-6, -0.5e-6, -1.5e-6, 0.1234565, -0.1234565,
+            1.0, 0.0, -2.0000005]
+    s = pd.Series(vals)
+    got = E._round_half_away(s, 6)
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        (want,) = con.execute("SELECT ROUND(?::DOUBLE, 6)", [v]).fetchone()
+        assert g == pytest.approx(want, abs=0), (v, g, want)
+
+
+# ------------------------------------------------------ PNG wavefront
+
+
+def _forward_filter_png(img: np.ndarray, filt_choice) -> bytes:
+    from graphlite_ray.stages.multimodal import PNG_MAGIC, _paeth, _png_chunk
+
+    h, w, _ = img.shape
+    flat = img.reshape(h, w * 3).astype(np.int16)
+    raw = b""
+    prior = np.zeros(w * 3, np.int16)
+    for y in range(h):
+        f = filt_choice(y)
+        row = flat[y]
+        left = np.concatenate([np.zeros(3, np.int16), row[:-3]])
+        pl = np.concatenate([np.zeros(3, np.int16), prior[:-3]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            filt = row - (left + prior) // 2
+        else:
+            filt = row - _paeth(
+                left.astype(np.uint8), prior.astype(np.uint8), pl.astype(np.uint8)
+            ).astype(np.int16)
+        raw += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "choice",
+    [lambda y: 4, lambda y: 3, lambda y: (3 if y % 2 else 4), lambda y: y % 5],
+    ids=["all_paeth", "all_avg", "mixed_run", "cycled"],
+)
+def test_png_wavefront_unfilter_exact(choice):
+    from graphlite_ray.stages.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(41, 29, 3)).astype(np.uint8)
+    assert (decode_png(_forward_filter_png(img, choice)) == img).all()
+
+
+def test_png_paeth_512_fast_and_exact():
+    """The r3 per-pixel Paeth loop was ~1M interpreter iterations on a
+    512^2 image; the wavefront does it in ~1k vectorized steps. Bound is
+    generous (5x the measured ~0.1 s) to stay green on a noisy VM while
+    still catching a fallback to per-pixel (~10 s)."""
+    import time
+
+    from graphlite_ray.stages.multimodal import decode_png
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(512, 512, 3)).astype(np.uint8)
+    payload = _forward_filter_png(img, lambda y: 4)
+    decode_png(payload)  # warm
+    t0 = time.perf_counter()
+    out = decode_png(payload)
+    dt = time.perf_counter() - t0
+    assert (out == img).all()
+    assert dt < 0.5, f"paeth unfilter took {dt:.2f}s — per-pixel loop regression?"
+
+
+def test_png_corrupt_payloads_raise_value_error():
+    from graphlite_ray.stages.multimodal import PNG_MAGIC, _png_chunk, decode_png
+
+    with pytest.raises(ValueError, match="no IHDR"):
+        decode_png(
+            PNG_MAGIC
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00abc"))
+            + _png_chunk(b"IEND", b"")
+        )
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="inflated IDAT"):
+        decode_png(
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00short"))
+            + _png_chunk(b"IEND", b"")
+        )
