@@ -440,11 +440,23 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
-def simhash_dedup(docs: "ray.data.Dataset", max_hamming: int = 3) -> DedupResult:
+def simhash_dedup(
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    max_band_pairs: int = 2_000_000,
+) -> DedupResult:
     """SimHash near-dedup: block on each of four 16-bit bands (any pair
     within Hamming<=3 of 64 bits shares at least one exact 16-bit band by
     pigeonhole... with 4 bands that guarantees Hamming<=3), verify
-    Hamming distance on the full signature."""
+    Hamming distance on the full signature.
+
+    The Hamming verify runs INSIDE the band-bucket tasks (both signatures
+    are already co-located there), so the driver only ever receives
+    verified duplicate pairs — never the raw candidate list. A corpus of
+    templated/boilerplate pages collides entire 16-bit bands and the
+    candidate count grows quadratically; `max_band_pairs` guards each
+    bucket task and raises (tune bands or pre-dedup exact copies) instead
+    of silently grinding."""
     sh = docs.map_batches(
         SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
     )
@@ -461,8 +473,26 @@ def simhash_dedup(docs: "ray.data.Dataset", max_hamming: int = 3) -> DedupResult
             )
         return pd.concat(rows, ignore_index=True)
 
-    def _pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
+    def _verified_frame(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket of band groups -> VERIFIED pairs (a, b, score) plus a
+        single marker row (a=b=-1) carrying this frame's candidate count,
+        so the driver can report n_candidates without holding candidates."""
         multi = g[g.duplicated(["band", "band_hash"], keep=False)]
+        # guard BEFORE enumerating: total pairs = sum C(n_g, 2) per group
+        sizes = (
+            multi.drop_duplicates(["band", "band_hash", "doc_id"])
+            .groupby(["band", "band_hash"], sort=False)
+            .size()
+            .to_numpy()
+        )
+        total_pairs = int((sizes * (sizes - 1) // 2).sum())
+        if total_pairs > max_band_pairs:
+            raise RuntimeError(
+                f"simhash band bucket would enumerate {total_pairs} candidate "
+                f"pairs (> max_band_pairs={max_band_pairs}): near-identical/"
+                "templated documents are colliding whole 16-bit bands — "
+                "exact-dedup first or raise the guard"
+            )
         outs = []
         for _, grp in multi.groupby(["band", "band_hash"], sort=False):
             grp = grp.drop_duplicates("doc_id")
@@ -473,41 +503,46 @@ def simhash_dedup(docs: "ray.data.Dataset", max_hamming: int = 3) -> DedupResult
             order = np.argsort(ids)
             ids, sims = ids[order], sims[order]
             i, j = np.triu_indices(len(ids), k=1)
-            outs.append(
-                pd.DataFrame({"a": ids[i], "b": ids[j], "ha": sims[i], "hb": sims[j]})
-            )
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "a": np.empty(0, np.int64),
-                    "b": np.empty(0, np.int64),
-                    "ha": np.empty(0, np.int64),
-                    "hb": np.empty(0, np.int64),
-                }
-            )
+            d = hamming64(sims[i], sims[j])
+            keep = d <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[i][keep],
+                            "b": ids[j][keep],
+                            "score": (64 - d[keep]) / 64.0,
+                        }
+                    )
+                )
+        marker = pd.DataFrame({"a": [-1], "b": [-1], "score": [float(total_pairs)]})
+        outs.append(marker)
         return pd.concat(outs, ignore_index=True)
 
-    cand = (
+    scored = (
         grouped_map_bucketed(
             sh.map_batches(_bands, batch_format="pandas"),
             ["band", "band_hash"],
-            _pairs_frame,
+            _verified_frame,
             B=32,
         )
         .to_pandas()
-        .drop_duplicates(["a", "b"], ignore_index=True)
     )
-    if not len(cand):
+    markers = scored[scored["a"] == -1]
+    n_candidates = int(markers["score"].sum())
+    dups = (
+        scored[scored["a"] != -1]
+        .drop_duplicates(["a", "b"], ignore_index=True)
+        .astype({"a": "int64", "b": "int64"})
+    )
+    if not len(dups):
         return DedupResult(
             pairs=pd.DataFrame({"a": [], "b": [], "score": []}),
             clusters=pd.DataFrame({"doc_id": [], "cluster_rep": []}),
-            n_candidates=0,
+            n_candidates=n_candidates,
         )
-    d = hamming64(cand["ha"].to_numpy(), cand["hb"].to_numpy())
-    dups = cand.loc[d <= max_hamming, ["a", "b"]].copy()
-    dups["score"] = (64 - d[d <= max_hamming]) / 64.0
-    dups = dups.reset_index(drop=True).astype({"a": "int64", "b": "int64"})
-    return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=len(cand))
+    dups = dups.sort_values(["a", "b"], ignore_index=True)
+    return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=n_candidates)
 
 
 # ------------------------------------------------- embedding cosine near-dup

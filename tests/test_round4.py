@@ -143,6 +143,59 @@ def test_png_paeth_512_fast_and_exact():
     assert dt < 0.5, f"paeth unfilter took {dt:.2f}s — per-pixel loop regression?"
 
 
+# ------------------------------------------- simhash distributed verify
+
+
+def _ray_docs(rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_simhash_verify_is_distributed_and_exact(ray_session):
+    """The Hamming verify now runs inside the band-bucket tasks; the
+    driver result must equal a brute-force all-pairs Hamming check."""
+    from graphlite_ray.stages.dedup import SimHasher, hamming64, simhash_dedup
+
+    rng = np.random.RandomState(5)
+    words = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(40):
+        toks = list(rng.choice(words, size=60))
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+        if i % 4 == 0:  # planted near-dup: small edit
+            edited = toks.copy()
+            edited[0] = "CHANGED"
+            rows.append({"doc_id": 1000 + i, "text": " ".join(edited)})
+    res = simhash_dedup(_ray_docs(rows), max_hamming=3)
+
+    # brute force over the same signatures
+    sh = SimHasher()(pd.DataFrame(rows))
+    sims = sh["simhash"].to_numpy()
+    ids = sh["doc_id"].to_numpy()
+    i, j = np.triu_indices(len(ids), k=1)
+    d = hamming64(sims[i], sims[j])
+    keep = d <= 3
+    want = {
+        tuple(sorted((int(a), int(b))))
+        for a, b in zip(ids[i][keep], ids[j][keep])
+    }
+    got = {tuple(sorted((int(a), int(b)))) for a, b in zip(res.pairs["a"], res.pairs["b"])}
+    assert got == want and len(want) >= 5
+    assert res.n_candidates >= len(want)
+
+
+def test_simhash_band_collision_guard_raises(ray_session):
+    """Templated pages collide whole 16-bit bands; the per-bucket pair
+    guard must raise instead of enumerating the quadratic pair list."""
+    from graphlite_ray.stages.dedup import simhash_dedup
+
+    # identical docs: every band collides, C(40,2)=780 pairs > guard of 100
+    rows = [{"doc_id": i, "text": "the same boilerplate page"} for i in range(40)]
+    with pytest.raises(RuntimeError, match="max_band_pairs"):
+        simhash_dedup(_ray_docs(rows), max_hamming=3, max_band_pairs=100)
+
+
 def test_png_corrupt_payloads_raise_value_error():
     from graphlite_ray.stages.multimodal import PNG_MAGIC, _png_chunk, decode_png
 
