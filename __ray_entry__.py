@@ -586,16 +586,56 @@ def _q_emb_near_dup(sf_dir: str):
     return out
 
 
-def _q_emb_near_dup_lsh(sf_dir: str):
-    """Hyperplane-LSH blocked near-dup (scale path; rows-only: recall is a
-    documented LSH tradeoff, precision-1.0 pairs verified in pytest)."""
+def _planted_near_dup_corpus(sf_dir: str, n_plant: int = 60, cos: float = 0.85):
+    """The embeddings table plus DETERMINISTIC planted near-duplicates:
+    for each of the first `n_plant` vectors v, a copy rotated to cosine
+    exactly `cos` (unit-orthogonal jitter, seeded), id +10_000_000. Shared
+    by the emb_near_dup_lsh query and its pytest subset-oracle so both see
+    the identical corpus."""
     import ray.data
 
-    from graphlite_ray.stages.dedup import embedding_near_dup
     from graphlite_ray.stages.similarity import read_embeddings
 
-    emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
-    res = embedding_near_dup(emb, tau=0.98, nbits=10)
+    emb = read_embeddings(f"{sf_dir}/embeddings.parquet").select_columns(
+        ["vec_id", "embedding"]
+    )
+    rows = emb.take(n_plant)
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    V = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    d = V.shape[1]
+    rng = np.random.RandomState(7)
+    planted = np.empty_like(V)
+    for i in range(len(V)):
+        v = V[i] / max(np.linalg.norm(V[i]), 1e-12)
+        r = rng.standard_normal(d)
+        r -= (r @ v) * v
+        r /= max(np.linalg.norm(r), 1e-12)
+        planted[i] = (cos * v + np.sqrt(1.0 - cos * cos) * r) * np.linalg.norm(V[i])
+    t = pa.table(
+        {
+            "vec_id": pa.array((ids + 10_000_000).astype(np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(planted.reshape(-1).astype(np.float32), pa.float32()), d
+            ),
+        }
+    )
+    return emb.union(ray.data.from_arrow(t))
+
+
+def _q_emb_near_dup_lsh(sf_dir: str):
+    """OR-amplified hyperplane-LSH near-dup (the scale path) at its
+    tau=0.7 design point (nbits=8, 16 independent tables), over the corpus
+    plus deterministic planted near-duplicates at cosine 0.85 — so the
+    query emits a NON-EMPTY verified pair set (the r3 version ran tau=0.98
+    on a near-uniform corpus and proved nothing with 0 rows). Rows-only:
+    LSH recall is approximate by design; every emitted pair is exact-
+    cosine-verified >= tau (precision 1.0), pytest asserts the pairs are a
+    subset of `embedding_near_dup_exact` on the identical corpus, and
+    bench.py quantifies recall per run."""
+    from graphlite_ray.stages.dedup import embedding_near_dup
+
+    ds = _planted_near_dup_corpus(sf_dir)
+    res = embedding_near_dup(ds, tau=0.7, nbits=8, n_tables=16)
     out = res.pairs[["a", "b"]].sort_values(["a", "b"], ignore_index=True)
     if not len(out):
         out = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})

@@ -224,9 +224,9 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     #   copies of 60 corpus vectors): the near-dup design point.
     from graphlite_ray.stages.dedup import embedding_near_dup, embedding_near_dup_exact
 
-    def _pair_recall(ds, tau):
+    def _pair_recall(ds, tau, nbits=10, n_tables=1):
         ex = embedding_near_dup_exact(ds, tau=tau)
-        lsh = embedding_near_dup(ds, tau=tau, nbits=10)
+        lsh = embedding_near_dup(ds, tau=tau, nbits=nbits, n_tables=n_tables)
         e = set(map(tuple, ex.pairs[["a", "b"]].to_numpy()))
         l = set(map(tuple, lsh.pairs[["a", "b"]].to_numpy()))
         return {
@@ -256,11 +256,39 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         }
     )
     high = _pair_recall(ray.data.from_arrow(planted), 0.95)
+
+    # the OR-amplified regime (r4): 16 independent hyperplane tables at
+    # nbits=8 make the tau~0.7 near-dedup band usable (single-table recall
+    # there was 0.01). Planted pairs at cosine 0.8 (orthogonal rotation).
+    ids7 = np.array([r["vec_id"] for r in rows], np.int64)
+    V7 = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    rot = np.empty_like(V7)
+    rng7 = np.random.RandomState(11)
+    for i in range(len(V7)):
+        v = V7[i] / max(np.linalg.norm(V7[i]), 1e-12)
+        r = rng7.standard_normal(V7.shape[1])
+        r -= (r @ v) * v
+        r /= max(np.linalg.norm(r), 1e-12)
+        rot[i] = (0.8 * v + 0.6 * r) * np.linalg.norm(V7[i])
+    planted7 = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids7, ids7 + 10_000_000])),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.concatenate([V7, rot]).reshape(-1).astype(np.float32),
+                    pa.float32(),
+                ),
+                V7.shape[1],
+            ),
+        }
+    )
+    amp = _pair_recall(ray.data.from_arrow(planted7), 0.7, nbits=8, n_tables=16)
     q["emb_near_dup"] = time.perf_counter() - t0
     lsh_recall = {
         "nbits": 10,
         "tau_0.4_raw": low,
         "tau_0.95_planted": high,
+        "tau_0.7_amplified_nbits8_L16": amp,
     }
 
     out = {

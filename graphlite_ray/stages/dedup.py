@@ -612,27 +612,51 @@ def embedding_near_dup_exact(
 
 
 class HyperplaneBucketer:
-    """embedding -> LSH bucket id from `nbits` random hyperplane signs.
+    """embedding -> LSH bucket id(s) from random hyperplane signs.
+
+    With `n_tables` > 1 this is OR-amplification: each vector is assigned
+    one bucket per INDEPENDENT hyperplane table (table index folded into
+    the bucket key's high bits), so a pair is a candidate if it collides
+    in ANY table — collision probability 1-(1-p^nbits)^L for angular
+    similarity p. Single-table hyperplane LSH is only usable near tau~1
+    (p^nbits collapses fast); L independent tables widen the usable range
+    to the tau 0.6-0.8 band real near-dedup uses, at the cost of emitting
+    L rows per vector into the bucket shuffle (the standard LSH trade).
+
     Arrow in/out: pandas blocks with tensor columns defeat Ray's schema
     dedup (schema-hash warning spam) and copy the vectors."""
 
-    def __init__(self, dim: int, nbits: int = 16, seed: int = 42):
+    def __init__(self, dim: int, nbits: int = 16, n_tables: int = 1, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, nbits))
+        self.planes = rng.standard_normal((dim, nbits * n_tables))
+        self.nbits, self.n_tables = nbits, n_tables
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from graphlite_ray.stages.similarity import list_col_to_matrix
 
         vecs = list_col_to_matrix(t["embedding"])
-        signs = (vecs @ self.planes) > 0
-        bucket = np.zeros(t.num_rows, np.int64)
-        for b in range(self.planes.shape[1]):
-            bucket |= signs[:, b].astype(np.int64) << b
+        signs = (vecs @ self.planes) > 0  # (n, nbits*L)
+        n = t.num_rows
+        keys = np.zeros((n, self.n_tables), np.int64)
+        for tbl in range(self.n_tables):
+            bucket = np.zeros(n, np.int64)
+            for b in range(self.nbits):
+                bucket |= signs[:, tbl * self.nbits + b].astype(np.int64) << b
+            keys[:, tbl] = (np.int64(tbl) << np.int64(self.nbits)) | bucket
+        if self.n_tables == 1:
+            return pa.table(
+                {"vec_id": t["vec_id"], "bucket": keys[:, 0], "embedding": t["embedding"]}
+            )
+        # explode: L rows per vector (table folded into the bucket key)
+        idx = np.repeat(np.arange(n), self.n_tables)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
         return pa.table(
             {
-                "vec_id": t["vec_id"],
-                "bucket": bucket,
-                "embedding": t["embedding"],
+                "vec_id": t["vec_id"].to_numpy(zero_copy_only=False)[idx],
+                "bucket": keys.reshape(-1),
+                "embedding": emb.take(pa.array(idx)),
             }
         )
 
@@ -641,18 +665,22 @@ def embedding_near_dup(
     emb: "ray.data.Dataset",
     tau: float = 0.95,
     nbits: int = 12,
+    n_tables: int = 1,
     dim: int | None = None,
 ) -> DedupResult:
     """Cosine near-duplicate pairs via hyperplane-LSH blocking + exact
-    within-bucket cosine. Recall depends on nbits vs tau (documented LSH
-    tradeoff); exact verification keeps precision 1.0."""
+    within-bucket cosine. Exact verification keeps precision 1.0; recall
+    is 1-(1-p^nbits)^n_tables for p = 1 - theta/pi. Defaults (one table,
+    nbits=12) suit tau~0.95; for the tau 0.6-0.8 near-dedup band use
+    OR-amplification, e.g. nbits=8, n_tables=16 -> ~0.8 recall at
+    tau=0.7 (measured in bench.py lsh_recall)."""
     if dim is None:
         first = emb.take(1)[0]
         dim = len(first["embedding"])
 
     bucketed = emb.map_batches(
         HyperplaneBucketer,
-        fn_constructor_kwargs={"dim": dim, "nbits": nbits},
+        fn_constructor_kwargs={"dim": dim, "nbits": nbits, "n_tables": n_tables},
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=(1, 8),

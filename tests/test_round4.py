@@ -196,6 +196,71 @@ def test_simhash_band_collision_guard_raises(ray_session):
         simhash_dedup(_ray_docs(rows), max_hamming=3, max_band_pairs=100)
 
 
+# ------------------------------------- multi-table LSH OR-amplification
+
+
+def _planted_emb_ds(n=800, d=64, n_pairs=60, cos=0.75, seed=0):
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    V = rng.standard_normal((n, d)).astype(np.float64)
+    extra = []
+    for i in range(n_pairs):
+        v = V[i] / np.linalg.norm(V[i])
+        r = rng.standard_normal(d)
+        r -= (r @ v) * v
+        r /= np.linalg.norm(r)
+        extra.append((cos * v + np.sqrt(1 - cos * cos) * r) * np.linalg.norm(V[i]))
+    Vall = np.vstack([V, np.array(extra)]).astype(np.float32)
+    ids = np.concatenate([np.arange(n), np.arange(n_pairs) + 1_000_000]).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(Vall.reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_lsh_amplification_recall_and_precision(ray_session):
+    """Single-table hyperplane LSH is unusable at tau=0.7 (measured ~0.01
+    recall in r3); 16 OR-combined tables at nbits=8 must reach >=0.8
+    recall on planted cos-0.75 pairs while exact verification keeps
+    precision 1.0."""
+    from graphlite_ray.stages.dedup import embedding_near_dup, embedding_near_dup_exact
+
+    ds = _planted_emb_ds()
+    e = set(map(tuple, embedding_near_dup_exact(ds, tau=0.7).pairs[["a", "b"]].to_numpy()))
+    lsh = embedding_near_dup(ds, tau=0.7, nbits=8, n_tables=16)
+    l = set(map(tuple, lsh.pairs[["a", "b"]].to_numpy()))
+    assert len(e) >= 60
+    assert len(l & e) / len(e) >= 0.8, f"recall {len(l & e) / len(e):.3f}"
+    assert l <= e  # exact within-bucket verify -> precision 1.0
+    assert (lsh.pairs["score"] >= 0.7).all()
+
+
+def test_lsh_query_pairs_nonempty_subset_of_exact(ray_session):
+    """The driver query emb_near_dup_lsh must emit verified rows (the r3
+    version returned 0 rows at tau=0.98 — zero evidential value) and be a
+    subset of the exact pairs over the identical planted corpus."""
+    import __ray_entry__ as E
+    from graphlite_ray.stages.dedup import embedding_near_dup_exact
+
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["emb_near_dup_lsh"](sf)
+    assert len(got) > 0, "LSH query returned 0 rows again"
+    exact = embedding_near_dup_exact(E._planted_near_dup_corpus(sf), tau=0.7)
+    e = set(map(tuple, exact.pairs[["a", "b"]].to_numpy()))
+    g = set(map(tuple, got[["a", "b"]].to_numpy()))
+    assert g and g <= e
+    # the planted pairs give a known recall floor for the amplified regime
+    planted = {p for p in e if p[1] - p[0] == 10_000_000}
+    assert len(g & planted) / max(len(planted), 1) >= 0.8
+
+
 def test_png_corrupt_payloads_raise_value_error():
     from graphlite_ray.stages.multimodal import PNG_MAGIC, _png_chunk, decode_png
 
