@@ -559,8 +559,10 @@ def _q_emb_knn_ivf(sf_dir: str):
     )
 
     emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
+    # v2: kmeans++ + replicas=2 index layout; versioned dir so a stale
+    # pre-r4 index can't be silently reused
     index_dir = os.path.join(
-        tempfile.gettempdir(), f"glr_ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+        tempfile.gettempdir(), f"glr_ivf_v2_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         build_ivf_index(emb, index_dir, n_clusters=16)

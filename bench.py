@@ -193,7 +193,9 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     from graphlite_ray.stages.similarity import build_ivf_index, knn_ivf_indexed
 
     t0 = time.perf_counter()
-    ivf_dir = f"/tmp/glr_bench/ivf_{sf_name}"
+    # v2: kmeans++ seeding + replicas=2 (dir is versioned so a stale
+    # pre-r4 index in /tmp can't shadow the new build)
+    ivf_dir = f"/tmp/glr_bench/ivf_v2_{sf_name}"
     if not os.path.exists(os.path.join(ivf_dir, "centroids.npy")):
         build_ivf_index(emb, ivf_dir, n_clusters=16)
     def _ivf_recall_at(nprobe: int) -> float:

@@ -42,15 +42,28 @@ MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
 def exact_dedup(
-    docs: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    B: int | None = None,
+    target_bytes_per_bucket: int = 64 << 20,
 ) -> "ray.data.Dataset":
     """Keep the min-id row per distinct text. Hash-partitioned shuffle on a
-    64-bit content hash; groups verify exact text equality (collisions)."""
+    64-bit content hash; groups verify exact text equality (collisions).
+
+    B=None sizes the bucket count from the corpus byte estimate
+    (`auto_bucket_count`: 64 at small scale, grows so one bucket holds
+    ~`target_bytes_per_bucket`) — pass `docs` as a fresh source read so
+    the estimate is metadata-cheap, or give an explicit B."""
+    from graphlite_ray.functions.grouping import auto_bucket_count
+
+    if B is None:
+        B = auto_bucket_count(docs, target_bytes_per_bucket, default_B=64)
 
     def _min_per_text(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col).groupby(text_col, sort=False).head(1)
 
-    return grouped_map_bucketed(docs, [text_col], _min_per_text, B=64)
+    return grouped_map_bucketed(docs, [text_col], _min_per_text, B=B)
 
 
 # ------------------------------------------------------------- shingling

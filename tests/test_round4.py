@@ -261,6 +261,142 @@ def test_lsh_query_pairs_nonempty_subset_of_exact(ray_session):
     assert len(g & planted) / max(len(planted), 1) >= 0.8
 
 
+# ----------------------------------------------------- auto bucket count
+
+
+def test_auto_bucket_count_grows_with_data(ray_session, tmp_path):
+    """Small corpus keeps today's default B; an oversized one must pick
+    B > 64 automatically (target bytes per bucket scaled down so the test
+    corpus counts as 'oversized' without writing gigabytes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from graphlite_ray.functions.grouping import auto_bucket_count
+
+    t = pa.table(
+        {
+            "doc_id": np.arange(5000, dtype=np.int64),
+            "text": ["x" * 200 for _ in range(5000)],
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(t, path)
+    ds = ray.data.read_parquet(path)
+    assert auto_bucket_count(ds) == 64  # ~1 MB corpus: default unchanged
+    B = auto_bucket_count(ds, target_bytes_per_bucket=4096)
+    assert B > 64
+    assert auto_bucket_count(ds, target_bytes_per_bucket=1) == 4096  # capped
+
+
+def test_exact_dedup_auto_B_still_exact(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from graphlite_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [f"doc {i % 50}" for i in range(200)],  # 50 distinct
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(t, path)
+    ds = ray.data.read_parquet(path)
+    out = exact_dedup(ds, target_bytes_per_bucket=2048).to_pandas()
+    assert len(out) == 50
+    assert sorted(out["doc_id"]) == list(range(50))  # min id per text
+
+
+# -------------------------------------- IVF v2 (kmeans++ / replicas) + bulk k-NN
+
+
+def _rand_emb_ds(n=3000, d=32, seed=0):
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    V = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(V.reshape(-1)), d),
+        }
+    )
+    return ray.data.from_arrow(t), V
+
+
+def test_replicated_ivf_index_exact_at_full_probe(ray_session, tmp_path):
+    """With every cluster probed, the replicas=2 disk index must return
+    EXACTLY the brute-force result — duplicates from multi-assignment are
+    deduped per block and in the final merge, never costing top-k slots."""
+    from graphlite_ray.stages.similarity import (
+        build_ivf_index,
+        knn_bruteforce,
+        knn_ivf_indexed,
+    )
+
+    ds, V = _rand_emb_ds()
+    Q = V[:5].astype(np.float64)
+    exact = knn_bruteforce(ds, Q, k=10)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_clusters=8, replicas=2)
+    ivf = knn_ivf_indexed(idx, Q, k=10, nprobe=8)
+    for qid in range(5):
+        e = exact[exact["query_id"] == qid]["vec_id"].tolist()
+        i = ivf[ivf["query_id"] == qid]["vec_id"].tolist()
+        assert e == i  # same ids, same rank order
+
+
+def test_ivf_recall_at_low_nprobe(ray_session, tmp_path):
+    """The r4 target: recall@10 >= 0.8 at nprobe=4 of 16 clusters on a
+    near-uniform corpus (kmeans++ seeding + replicas=2; r3 measured 0.67
+    with random seeding and single assignment)."""
+    from graphlite_ray.stages.similarity import (
+        build_ivf_index,
+        knn_bruteforce,
+        knn_ivf_indexed,
+    )
+
+    ds, V = _rand_emb_ds(n=4000, d=32, seed=3)
+    Q = V[10:16].astype(np.float64)
+    exact = knn_bruteforce(ds, Q, k=10)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_clusters=16, replicas=2)
+    ivf = knn_ivf_indexed(idx, Q, k=10, nprobe=4)
+    hits = total = 0
+    for qid in range(6):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        i = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        hits, total = hits + len(e & i), total + len(e)
+    assert hits / total >= 0.8, f"recall {hits / total:.3f}"
+
+
+def test_knn_bruteforce_bulk_queries_bucketed_merge(ray_session):
+    """10k queries through the bucketed final merge (the r3 per-key
+    map_groups would make 10k interpreter calls); spot-check exactness
+    against numpy on a sample of queries."""
+    from graphlite_ray.stages.similarity import knn_bruteforce
+
+    ds, V = _rand_emb_ds(n=2000, d=16, seed=7)
+    rng = np.random.RandomState(8)
+    Q = rng.standard_normal((10_000, 16))
+    out = knn_bruteforce(ds, Q, k=5)
+    assert len(out) == 10_000 * 5
+    assert out.groupby("query_id")["rank"].apply(list).map(
+        lambda r: r == [1, 2, 3, 4, 5]
+    ).all()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    for qid in [0, 137, 9999]:
+        S = Vn.astype(np.float64) @ Qn[qid]
+        want = np.lexsort((np.arange(len(S)), -S))[:5]
+        got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].to_numpy()
+        assert list(got) == list(want)
+
+
 def test_png_corrupt_payloads_raise_value_error():
     from graphlite_ray.stages.multimodal import PNG_MAGIC, _png_chunk, decode_png
 
