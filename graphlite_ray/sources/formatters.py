@@ -160,11 +160,15 @@ def write_formatted(
     (path, n_lines) manifest is the only driver traffic).
 
     Idempotent twice over: stale `part-*.txt` from a previous run are
-    cleared first (a re-run replaces, never appends), and shard names are
-    CONTENT hashes, so a Ray task retry that re-writes a block lands on
-    the same filename instead of duplicating output (blocks partition the
-    rows, so distinct blocks always hash differently)."""
+    cleared first (a re-run replaces, never appends), and after execution
+    any file NOT in the returned manifest is deleted — so a Ray task retry
+    that wrote twice leaves exactly one file (the attempt whose manifest
+    row won). Shard names carry a per-attempt nonce + content hash, which
+    also keeps two DISTINCT blocks that happen to render identical text as
+    two files (pure content-hash names silently merged them — a duplicate-
+    row dataset lost rows while the manifest counted both; ADVICE r3)."""
     import hashlib
+    import uuid
 
     storage.makedirs(out_dir)
     for name in storage.listdir(out_dir):
@@ -175,10 +179,19 @@ def write_formatted(
     def _write(t: pa.Table) -> pa.Table:
         body = "\n".join(t["line"].to_pylist())
         data = body + ("\n" if body else "")
-        name = f"part-{hashlib.blake2b(data.encode(), digest_size=8).hexdigest()}.txt"
+        h = hashlib.blake2b(data.encode(), digest_size=8).hexdigest()
+        name = f"part-{uuid.uuid4().hex[:8]}-{h}.txt"
         storage.write_text(storage.join(out_dir, name), data)
         return pa.table({"path": pa.array([name]), "n_lines": pa.array([t.num_rows])})
 
-    return format_output(scores, formatter).map_batches(
-        _write, batch_format="pyarrow"
-    ).to_pandas()
+    manifest = (
+        format_output(scores, formatter)
+        .map_batches(_write, batch_format="pyarrow")
+        .to_pandas()
+    )
+    keep = set(manifest["path"]) if len(manifest) else set()
+    for name in storage.listdir(out_dir):
+        if name.startswith("part-") and name.endswith(".txt") and name not in keep:
+            fs, p = storage.resolve(storage.join(out_dir, name))
+            fs.delete_file(p)
+    return manifest

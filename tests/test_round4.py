@@ -397,6 +397,36 @@ def test_knn_bruteforce_bulk_queries_bucketed_merge(ray_session):
         assert list(got) == list(want)
 
 
+# ------------------------------------------- write_formatted collision
+
+
+def test_write_formatted_keeps_duplicate_content_blocks(ray_session, tmp_path):
+    """Two distinct blocks rendering identical text must both land on
+    disk (pure content-hash names silently merged them), and the manifest
+    line count must equal the lines actually on disk."""
+    import ray.data
+
+    from graphlite_ray.sources.formatters import write_formatted
+    from graphlite_ray.state import storage
+
+    # two single-row blocks with identical content
+    dfs = [pd.DataFrame({"vertex_id": [7], "value": [0.5]}) for _ in range(2)]
+    ds = ray.data.from_pandas(dfs)  # one block per frame
+    out = str(tmp_path / "shards")
+    manifest = write_formatted(ds, out)
+    assert int(manifest["n_lines"].sum()) == 2
+    files = [n for n in storage.listdir(out) if n.startswith("part-")]
+    on_disk = sum(
+        len(storage.read_text(storage.join(out, n)).splitlines()) for n in files
+    )
+    assert on_disk == 2, f"{on_disk} lines on disk, manifest says 2"
+    # orphan reconciliation: a leftover file not in the manifest is removed
+    storage.write_text(storage.join(out, "part-deadbeef-orphan.txt"), "junk\n")
+    manifest2 = write_formatted(ds, out)
+    files2 = [n for n in storage.listdir(out) if n.startswith("part-")]
+    assert sorted(files2) == sorted(manifest2["path"])
+
+
 def test_png_corrupt_payloads_raise_value_error():
     from graphlite_ray.stages.multimodal import PNG_MAGIC, _png_chunk, decode_png
 
