@@ -62,17 +62,29 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     ctx.enable_progress_bars = False
     _quiet()
 
+    import statistics
+
     import numpy as np
     import ray.data
 
-    from graphlite_ray.pipelines.linkgraph import prepare_edges, prepare_graph, run_algorithm
+    from graphlite_ray.pipelines.linkgraph import (
+        host_edge_counts,
+        prepare_edges,
+        prepare_graph,
+        run_algorithm,
+    )
     from graphlite_ray.pipelines.triangles import triangle_count
     from graphlite_ray.pipelines import relational as R
     from graphlite_ray.sources.io import read_parquet_clean
     from graphlite_ray.sources.pages import pages_path
     from graphlite_ray.stages.dedup import minhash_dedup, simhash_dedup
+    from graphlite_ray.stages.multimodal import decode_images, synthetic_media_table
     from graphlite_ray.stages.similarity import knn_bruteforce, read_embeddings
     from graphlite_ray.stages.textstats import QualityScorer
+    from graphlite_ray.functions.sketches import (
+        approx_distinct_per_group,
+        histogram_quantiles,
+    )
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_pages = int(os.environ.get("GLR_BENCH_PAGES", _PAGES_FOR_SF.get(sf_name, 20000)))
@@ -81,113 +93,109 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     # whatever cores this job got — tiny shards pay pure RPC overhead
     P = max(4, min(num_cpus, n_pages // 2500))
 
+    # n>=3 runs per stage with median + spread recorded: a single shared-VM
+    # run cannot distinguish a regression from noise (the r3 verdict's
+    # minhash/simhash question). Medians are the headline numbers;
+    # per-stage min/max go to "spread".
+    reps = max(1, int(os.environ.get("GLR_BENCH_REPS", 3)))
+    runs: dict[str, list[float]] = {}
+
+    def _timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        runs.setdefault(name, []).append(time.perf_counter() - t0)
+        return out
+
     pages = pages_path(n_pages, seed=42)  # cached: generation cost excluded
     # warm the page cache with one untimed read so we measure compute+shuffle
     ray.data.read_parquet(pages).count()
 
-    work = f"/tmp/glr_bench/n{n_pages}_c{num_cpus}_{os.getpid()}"
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work, exist_ok=True)
+    base_work = f"/tmp/glr_bench/n{n_pages}_c{num_cpus}_{os.getpid()}"
+    shutil.rmtree(base_work, ignore_errors=True)
 
-    q: dict[str, float] = {}
-
-    t0 = time.perf_counter()
-    edges_dir = prepare_edges(pages, work, P)
-    q["extract_edges"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    prepare_graph(pages, work, P)
-    q["csr_build"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    res = run_algorithm("pagerank", pages, work, P=P)
-    q["pagerank"] = time.perf_counter() - t0
-    superstep_wall = sum(m["wall_s"] for m in res.metrics)
-    pr = {
-        "supersteps": res.supersteps_run,
-        "halted": res.halted,
-        "messages": res.total_messages,
-        "superstep_wall_s": round(superstep_wall, 3),
-        "edges_per_s": round(res.total_messages / max(superstep_wall, 1e-9)),
-        "supersteps_per_hour": round(res.supersteps_run / max(superstep_wall, 1e-9) * 3600),
-    }
-
-    t0 = time.perf_counter()
-    run_algorithm("connected_components", pages, work, P=P)
-    q["connected_components"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    triangle_count(
-        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
-        work_dir=f"{work}/tri",
-        B=num_cpus,  # shuffle buckets scale with compute, unlike BSP P
-    )
-    q["triangles"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    R.q_pricing_summary(sf_dir)
-    q["pricing_summary"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    docs.map_batches(
-        QualityScorer, batch_format="pandas", batch_size=2048, concurrency=(1, max(2, num_cpus // 4))
-    ).count()
-    q["doc_quality"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    minhash_dedup(docs, threshold=0.8)
-    q["minhash_dedup"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    simhash_dedup(docs, max_hamming=3)
-    q["simhash_dedup"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    R.q_native_join_revenue(sf_dir)
-    q["join_revenue"] = time.perf_counter() - t0
-    join_strategy = dict(R.LAST_JOIN_STRATEGY)
-
-    # multimodal decode over real BMP/PNG payloads (actor pool, byte-sized
-    # batches)
-    from graphlite_ray.stages.multimodal import decode_images, synthetic_media_table
-
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    evu = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     media_df = synthetic_media_table(1200)
     media_imgs = ray.data.from_pandas(
         media_df[media_df["media_type"] == "image"][["media_id", "payload"]]
     )
-    t0 = time.perf_counter()
-    decode_images(media_imgs).count()
-    q["media_decode"] = time.perf_counter() - t0
-
-    # host-graph collapse over the already-staged page edges
-    from graphlite_ray.pipelines.linkgraph import host_edge_counts
-
-    t0 = time.perf_counter()
-    host_edge_counts(work).count()
-    q["host_edge_counts"] = time.perf_counter() - t0
-
-    # sketch aggregations over the events table
-    from graphlite_ray.functions.sketches import (
-        approx_distinct_per_group,
-        histogram_quantiles,
-    )
-
-    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    t0 = time.perf_counter()
-    histogram_quantiles(ev, "event_type", "value", qs=(0.5, 0.95), bins=256)
-    q["hist_quantiles"] = time.perf_counter() - t0
-
-    evu = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    t0 = time.perf_counter()
-    approx_distinct_per_group(evu, "event_type", "user_id", p=12)
-    q["hll_distinct"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
     emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
     Q3 = np.stack([r["embedding"] for r in emb.take(3)]).astype(np.float64)
-    exact_knn = knn_bruteforce(emb, Q3, k=10)
-    q["emb_knn"] = time.perf_counter() - t0
+
+    pr = {}
+    join_strategy = {}
+    exact_knn = None
+    work = base_work
+    for rep in range(reps):
+        # fresh work dir per rep: the staging/graph stages are resumable by
+        # design (_SUCCESS markers), so re-running in the same dir would
+        # time a no-op skip instead of the work
+        work = f"{base_work}/rep{rep}"
+        os.makedirs(work, exist_ok=True)
+
+        edges_dir = _timed("extract_edges", lambda: prepare_edges(pages, work, P))
+        _timed("csr_build", lambda: prepare_graph(pages, work, P))
+        res = _timed("pagerank", lambda: run_algorithm("pagerank", pages, work, P=P))
+        superstep_wall = sum(m["wall_s"] for m in res.metrics)
+        pr = {
+            "supersteps": res.supersteps_run,
+            "halted": res.halted,
+            "messages": res.total_messages,
+            "superstep_wall_s": round(superstep_wall, 3),
+            "edges_per_s": round(res.total_messages / max(superstep_wall, 1e-9)),
+            "supersteps_per_hour": round(
+                res.supersteps_run / max(superstep_wall, 1e-9) * 3600
+            ),
+        }
+        _timed(
+            "connected_components",
+            lambda: run_algorithm("connected_components", pages, work, P=P),
+        )
+        _timed(
+            "triangles",
+            lambda: triangle_count(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                work_dir=f"{work}/tri",
+                B=num_cpus,  # shuffle buckets scale with compute, unlike BSP P
+            ),
+        )
+        _timed("pricing_summary", lambda: R.q_pricing_summary(sf_dir))
+        _timed(
+            "doc_quality",
+            lambda: docs.map_batches(
+                QualityScorer,
+                batch_format="pandas",
+                batch_size=2048,
+                concurrency=(1, max(2, num_cpus // 4)),
+            ).count(),
+        )
+        _timed("minhash_dedup", lambda: minhash_dedup(docs, threshold=0.8))
+        _timed("simhash_dedup", lambda: simhash_dedup(docs, max_hamming=3))
+        _timed("join_revenue", lambda: R.q_native_join_revenue(sf_dir))
+        join_strategy = dict(R.LAST_JOIN_STRATEGY)
+        _timed("media_decode", lambda: decode_images(media_imgs).count())
+        # host-graph collapse over this rep's staged page edges
+        _timed("host_edge_counts", lambda: host_edge_counts(work).count())
+        _timed(
+            "hist_quantiles",
+            lambda: histogram_quantiles(
+                ev, "event_type", "value", qs=(0.5, 0.95), bins=256
+            ),
+        )
+        _timed(
+            "hll_distinct",
+            lambda: approx_distinct_per_group(evu, "event_type", "user_id", p=12),
+        )
+        exact_knn = _timed("emb_knn", lambda: knn_bruteforce(emb, Q3, k=10))
+        if rep < reps - 1:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q = {name: statistics.median(v) for name, v in runs.items()}
+    spread = {
+        name: {"n": len(v), "min": round(min(v), 3), "max": round(max(v), 3)}
+        for name, v in runs.items()
+    }
 
     # measured recall@10 of the IVF disk index vs exact brute force
     from graphlite_ray.stages.similarity import build_ivf_index, knn_ivf_indexed
@@ -298,6 +306,11 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "value": round(q["extract_edges"] + q["csr_build"] + q["pagerank"], 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in q.items()},
+        # per-stage repetition spread: medians above are from `n` runs each
+        # (the recall/ivf blocks run once — they quantify accuracy, not
+        # wall time)
+        "reps": reps,
+        "spread": spread,
         "sf": sf_name,
         "n_pages": n_pages,
         "num_cpus": num_cpus,
@@ -306,7 +319,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "lsh_recall": lsh_recall,
         "ivf_recall": ivf_recall,
     }
-    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(base_work, ignore_errors=True)
     ray.shutdown()
     return out
 
@@ -383,18 +396,37 @@ def _routing_compare(num_cpus: int) -> dict:
     """Superstep throughput under BOTH message-routing layouts on the same
     prebuilt shards: grouped (P objects/superstep, single-node optimum) vs
     per_dest (P^2 objects, each shipped to exactly one consumer — the
-    multi-node layout, reference Sender.cc analog). Same session, same
-    graph; results are bit-identical (tested), only transport differs."""
-    out: dict = {"mode": "routing", "num_cpus": num_cpus}
-    for r in ("grouped", "per_dest"):
-        res = _engine_bench(num_cpus, routing=r)
-        out[r] = {
-            k: res[k]
-            for k in ("edges_per_s", "superstep_wall_s", "supersteps", "P")
-        }
-    out["grouped_over_per_dest"] = round(
-        out["grouped"]["edges_per_s"] / max(out["per_dest"]["edges_per_s"], 1), 3
-    )
+    multi-node layout, reference Sender.cc analog). Results are
+    bit-identical (tested), only transport differs.
+
+    Swept over partition counts (default 32,64,128 — override with
+    GLR_ROUTING_PARTS="32,64") to characterize the per_dest layout's
+    O(P^2) object-count overhead BEFORE it matters on a real cluster:
+    the summary names the P level where grouped/per_dest diverges most."""
+    p_levels = [
+        int(x)
+        for x in os.environ.get("GLR_ROUTING_PARTS", "32,64,128").split(",")
+        if x.strip()
+    ]
+    out: dict = {"mode": "routing", "num_cpus": num_cpus, "P_levels": p_levels}
+    ratios = {}
+    for p in p_levels:
+        os.environ["GLR_SCALE_PARTS"] = str(p)
+        row: dict = {}
+        for r in ("grouped", "per_dest"):
+            res = _engine_bench(num_cpus, routing=r)
+            row[r] = {
+                k: res[k]
+                for k in ("edges_per_s", "superstep_wall_s", "supersteps")
+            }
+        row["grouped_over_per_dest"] = round(
+            row["grouped"]["edges_per_s"] / max(row["per_dest"]["edges_per_s"], 1), 3
+        )
+        ratios[p] = row["grouped_over_per_dest"]
+        out[f"P{p}"] = row
+    worst = max(ratios, key=lambda p: ratios[p])
+    out["per_dest_overhead_worst_at_P"] = worst
+    out["per_dest_overhead_worst_ratio"] = ratios[worst]
     return out
 
 
