@@ -824,6 +824,38 @@ def _q_distinct_users_approx(sf_dir: str):
     return approx_distinct_per_group(ev, "event_type", "user_id", p=12)
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition/boilerplate signals per document
+    (dup-token fraction, top-bigram fraction) — DuckDB-oracled: both are
+    single ratios of integer counts over the shared tokenization
+    contract, bit-exact with no rounding."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import RepetitionScorer
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(RepetitionScorer, batch_format="pandas", concurrency=(1, 4))
+
+
+def _q_doc_contamination(sf_dir: str):
+    """Benchmark decontamination scores: every training doc's 5-gram
+    shingle overlap with the (broadcast) pseudo-benchmark slice
+    (doc_id % 97 == 0). DuckDB-oracled by EXACT string intersection of
+    the same shingle definition; the pipeline runs on 64-bit shingle
+    hashes (the scale path) — collision probability ~1e-10 documented in
+    stages/contamination.py."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.contamination import (
+        benchmark_shingle_hashes,
+        contamination_scores,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = docs.filter(lambda r: r["doc_id"] % 97 == 0)
+    train = docs.filter(lambda r: r["doc_id"] % 97 != 0)
+    out = contamination_scores(train, benchmark_shingle_hashes(bench, k=5), k=5)
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 def _q_doc_heavy_hitters(sf_dir: str):
     """Top-20 most frequent tokens (vocabulary heavy hitters) — exact:
     per-batch producer combine, bucketed token sums, per-bucket top-k,
@@ -932,6 +964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_df": _q_doc_token_df,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
+        "doc_repetition": _q_doc_repetition,
+        "doc_contamination": _q_doc_contamination,
         "doc_sample": _q_doc_sample,
         "doc_split_counts": _q_doc_split,
         "props_rollup": _q_props_rollup,
@@ -1616,6 +1650,53 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _fingerprint_oracle_sql(),
+        "doc_repetition": (
+            # dup_token_frac = 1 - distinct/n; top_bigram_frac = max bigram
+            # count / (n-1). Single integer-ratio divisions — bit-exact vs
+            # the pipeline with no rounding. Same tokenization contract.
+            f"WITH toks AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '') AS t "
+            "FROM documents), "
+            "base AS (SELECT doc_id, t, len(t) AS n FROM toks), "
+            "dup AS (SELECT doc_id, CASE WHEN n = 0 THEN 0.0 ELSE "
+            "1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n END AS dup_token_frac "
+            "FROM base), "
+            "bi AS (SELECT doc_id, n, unnest(list_transform("
+            "generate_series(1, n - 1), i -> t[i] || ' ' || t[i+1])) AS bg "
+            "FROM base WHERE n >= 2), "
+            "bc AS (SELECT doc_id, max(c) AS mx, any_value(n) AS n FROM ("
+            "SELECT doc_id, bg, any_value(n) AS n, count(*) AS c "
+            "FROM bi GROUP BY doc_id, bg) GROUP BY doc_id), "
+            "top AS (SELECT b.doc_id, COALESCE("
+            "CAST(bc.mx AS DOUBLE) / (bc.n - 1), 0.0) AS top_bigram_frac "
+            "FROM base b LEFT JOIN bc ON b.doc_id = bc.doc_id) "
+            "SELECT d.doc_id, d.dup_token_frac, top.top_bigram_frac "
+            "FROM dup d JOIN top ON d.doc_id = top.doc_id ORDER BY d.doc_id"
+        ),
+        "doc_contamination": (
+            # exact string-intersection replay of the 5-gram contamination
+            # fraction (pipeline runs on 64-bit shingle hashes; collision
+            # bound documented in stages/contamination.py)
+            f"WITH toks AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) < 5 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(generate_series(1, len(t) - 4), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] "
+            "|| ' ' || t[i+4]) END AS shingles FROM toks WHERE len(t) > 0), "
+            "ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh), "
+            "bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0), "
+            "train AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0), "
+            "tot AS (SELECT doc_id, count(*) AS n FROM train GROUP BY doc_id), "
+            "hit AS (SELECT t.doc_id, count(*) AS h FROM train t "
+            "JOIN bench b ON t.s = b.s GROUP BY t.doc_id) "
+            "SELECT d.doc_id, COALESCE(CAST(h.h AS DOUBLE) / tot.n, 0.0) "
+            "AS contaminated_frac "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d "
+            "LEFT JOIN tot ON d.doc_id = tot.doc_id "
+            "LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
+        ),
         "doc_heavy_hitters": (
             # list_filter (not trim) so leading tabs/newlines can't yield a
             # phantom '' token Python's split() never produces

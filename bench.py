@@ -5,13 +5,21 @@ Default mode: runs the headline pipelines over $GRAFT_SF_DIR (default
 /root/testdata/sf0.1) in one Ray session with num_cpus=$RAY_GRAFT_CPUS
 (default 32) and prints ONE JSON line:
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
-   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
-   "pagerank": {...engine counters incl. edges/sec...}}
+   "queries": {...per-stage MEDIAN seconds over GLR_BENCH_REPS (default 3)
+   runs...}, "reps": N, "spread": {stage: {n, min, max}}, "sf": ...,
+   "num_cpus": N, "pagerank": {...engine counters incl. edges/sec...},
+   "lsh_recall"/"ivf_recall": measured approximation quality}
+Each timed stage runs in a fresh per-rep work dir (the staging pipelines
+are resumable, so reuse would time a no-op); a single shared-VM outlier
+cannot read as a regression.
 
 --scaling: runs the headline PageRank job twice in FRESH processes at
-num_cpus=8 and num_cpus=32 over the SAME input (sandbox proxy for the
-north rule's N vs 4N cluster sizes), prints both throughputs + the scaling
-efficiency, and records the result in BASELINE.md between the marker lines.
+two cpuset-enforced CPU budgets over the SAME input (sandbox proxy for
+the north rule's N vs 4N cluster sizes), prints both throughputs + the
+scaling efficiency, and records the result in BASELINE.md markers.
+
+--routing: grouped vs per_dest message layouts swept over partition
+counts (GLR_ROUTING_PARTS, default 32,64,128).
 
 The graph workload is the deterministic synthetic page table (seeded; no
 external data): sf0.1 -> 20k pages, ~70k edges extracted from html.
@@ -123,6 +131,101 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
     Q3 = np.stack([r["embedding"] for r in emb.take(3)]).astype(np.float64)
 
+    # measured recall@10 of the IVF disk index vs exact brute force
+    from graphlite_ray.stages.dedup import embedding_near_dup, embedding_near_dup_exact
+    from graphlite_ray.stages.similarity import build_ivf_index, knn_ivf_indexed
+
+    # v2: kmeans++ seeding + replicas=2 (dir is versioned so a stale
+    # pre-r4 index in /tmp can't shadow the new build)
+    ivf_dir = f"/tmp/glr_bench/ivf_v2_{sf_name}"
+
+    def _ivf_block(exact_knn):
+        if not os.path.exists(os.path.join(ivf_dir, "centroids.npy")):
+            build_ivf_index(emb, ivf_dir, n_clusters=16)
+
+        def _recall_at(nprobe: int) -> float:
+            ivf_knn = knn_ivf_indexed(ivf_dir, Q3, k=10, nprobe=nprobe)
+            hits = 0
+            for qid in range(3):
+                e = set(exact_knn[exact_knn["query_id"] == qid]["vec_id"])
+                i = set(ivf_knn[ivf_knn["query_id"] == qid]["vec_id"])
+                hits += len(e & i)
+            return round(hits / 30, 4)
+
+        # recall at two probe levels: the accuracy/IO knob (synthetic
+        # vectors are near-uniform on the sphere — the hard case for IVF)
+        return {
+            "k": 10,
+            "recall_at_10_nprobe4": _recall_at(4),
+            "recall_at_10_nprobe8": _recall_at(8),
+        }
+
+    def _pair_recall(ds, tau, nbits=10, n_tables=1):
+        ex = embedding_near_dup_exact(ds, tau=tau)
+        lsh = embedding_near_dup(ds, tau=tau, nbits=nbits, n_tables=n_tables)
+        e = set(map(tuple, ex.pairs[["a", "b"]].to_numpy()))
+        l = set(map(tuple, lsh.pairs[["a", "b"]].to_numpy()))
+        return {
+            "exact_pairs": len(e),
+            "lsh_pairs": len(l),
+            "recall": round(len(l & e) / max(len(e), 1), 4),
+            "precision": round(len(l & e) / max(len(l), 1), 4),
+        }
+
+    import pyarrow as pa
+
+    rows = emb.take(60)  # deterministic head; tiny
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    V = np.stack([r["embedding"] for r in rows]).astype(np.float32)
+    rng = np.random.RandomState(7)
+    Vj = V + 0.02 * rng.standard_normal(V.shape).astype(np.float32) * np.abs(V).mean()
+    dim = V.shape[1]
+    planted = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, ids + 10_000_000])),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate([V, Vj]).reshape(-1), pa.float32()), dim
+            ),
+        }
+    )
+    # the OR-amplified regime (r4): 16 independent hyperplane tables at
+    # nbits=8 make the tau~0.7 near-dedup band usable (single-table recall
+    # there was 0.01). Planted pairs at cosine 0.8 (orthogonal rotation).
+    V7 = V.astype(np.float64)
+    rot = np.empty_like(V7)
+    rng7 = np.random.RandomState(11)
+    for i in range(len(V7)):
+        v = V7[i] / max(np.linalg.norm(V7[i]), 1e-12)
+        r = rng7.standard_normal(V7.shape[1])
+        r -= (r @ v) * v
+        r /= max(np.linalg.norm(r), 1e-12)
+        rot[i] = (0.8 * v + 0.6 * r) * np.linalg.norm(V7[i])
+    planted7 = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, ids + 10_000_000])),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.concatenate([V7, rot]).reshape(-1).astype(np.float32),
+                    pa.float32(),
+                ),
+                V7.shape[1],
+            ),
+        }
+    )
+
+    def _lsh_block():
+        # three regimes: honest out-of-design boundary (tau=0.4 raw),
+        # single-table design point (tau=0.95 planted), amplified
+        # near-dedup band (tau=0.7 planted, nbits=8 L=16)
+        return {
+            "nbits": 10,
+            "tau_0.4_raw": _pair_recall(emb, 0.4),
+            "tau_0.95_planted": _pair_recall(ray.data.from_arrow(planted), 0.95),
+            "tau_0.7_amplified_nbits8_L16": _pair_recall(
+                ray.data.from_arrow(planted7), 0.7, nbits=8, n_tables=16
+            ),
+        }
+
     pr = {}
     join_strategy = {}
     exact_knn = None
@@ -188,6 +291,8 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             lambda: approx_distinct_per_group(evu, "event_type", "user_id", p=12),
         )
         exact_knn = _timed("emb_knn", lambda: knn_bruteforce(emb, Q3, k=10))
+        ivf_recall = _timed("emb_knn_ivf", lambda: _ivf_block(exact_knn))
+        lsh_recall = _timed("emb_near_dup", lambda: _lsh_block())
         if rep < reps - 1:
             shutil.rmtree(work, ignore_errors=True)
 
@@ -195,110 +300,6 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     spread = {
         name: {"n": len(v), "min": round(min(v), 3), "max": round(max(v), 3)}
         for name, v in runs.items()
-    }
-
-    # measured recall@10 of the IVF disk index vs exact brute force
-    from graphlite_ray.stages.similarity import build_ivf_index, knn_ivf_indexed
-
-    t0 = time.perf_counter()
-    # v2: kmeans++ seeding + replicas=2 (dir is versioned so a stale
-    # pre-r4 index in /tmp can't shadow the new build)
-    ivf_dir = f"/tmp/glr_bench/ivf_v2_{sf_name}"
-    if not os.path.exists(os.path.join(ivf_dir, "centroids.npy")):
-        build_ivf_index(emb, ivf_dir, n_clusters=16)
-    def _ivf_recall_at(nprobe: int) -> float:
-        ivf_knn = knn_ivf_indexed(ivf_dir, Q3, k=10, nprobe=nprobe)
-        hits = 0
-        for qid in range(3):
-            e = set(exact_knn[exact_knn["query_id"] == qid]["vec_id"])
-            i = set(ivf_knn[ivf_knn["query_id"] == qid]["vec_id"])
-            hits += len(e & i)
-        return round(hits / 30, 4)
-
-    # recall at two probe levels: the accuracy/IO knob (synthetic vectors
-    # are near-uniform on the sphere — the hard case for IVF; clustered
-    # real-world embeddings concentrate neighbors into fewer probes)
-    ivf_recall = {
-        "k": 10,
-        "recall_at_10_nprobe4": _ivf_recall_at(4),
-        "recall_at_10_nprobe8": _ivf_recall_at(8),
-    }
-    q["emb_knn_ivf"] = time.perf_counter() - t0
-
-    # measured recall of the LSH near-dup scale path vs the exact oracle
-    # (the documented approximation, quantified per run). Two regimes:
-    # - tau=0.4 on the raw corpus: OUT of the hyperplane-LSH design regime
-    #   (low-similarity pairs rarely share all nbits signs) — reported to
-    #   show the honest boundary of the scale path;
-    # - tau=0.95 with planted near-duplicates (deterministic jittered
-    #   copies of 60 corpus vectors): the near-dup design point.
-    from graphlite_ray.stages.dedup import embedding_near_dup, embedding_near_dup_exact
-
-    def _pair_recall(ds, tau, nbits=10, n_tables=1):
-        ex = embedding_near_dup_exact(ds, tau=tau)
-        lsh = embedding_near_dup(ds, tau=tau, nbits=nbits, n_tables=n_tables)
-        e = set(map(tuple, ex.pairs[["a", "b"]].to_numpy()))
-        l = set(map(tuple, lsh.pairs[["a", "b"]].to_numpy()))
-        return {
-            "exact_pairs": len(e),
-            "lsh_pairs": len(l),
-            "recall": round(len(l & e) / max(len(e), 1), 4),
-            "precision": round(len(l & e) / max(len(l), 1), 4),
-        }
-
-    t0 = time.perf_counter()
-    low = _pair_recall(emb, 0.4)
-
-    import pyarrow as pa
-
-    rows = emb.take(60)  # deterministic head; tiny
-    ids = np.array([r["vec_id"] for r in rows], np.int64)
-    V = np.stack([r["embedding"] for r in rows]).astype(np.float32)
-    rng = np.random.RandomState(7)
-    Vj = V + 0.02 * rng.standard_normal(V.shape).astype(np.float32) * np.abs(V).mean()
-    dim = V.shape[1]
-    planted = pa.table(
-        {
-            "vec_id": pa.array(np.concatenate([ids, ids + 10_000_000])),
-            "embedding": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate([V, Vj]).reshape(-1), pa.float32()), dim
-            ),
-        }
-    )
-    high = _pair_recall(ray.data.from_arrow(planted), 0.95)
-
-    # the OR-amplified regime (r4): 16 independent hyperplane tables at
-    # nbits=8 make the tau~0.7 near-dedup band usable (single-table recall
-    # there was 0.01). Planted pairs at cosine 0.8 (orthogonal rotation).
-    ids7 = np.array([r["vec_id"] for r in rows], np.int64)
-    V7 = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
-    rot = np.empty_like(V7)
-    rng7 = np.random.RandomState(11)
-    for i in range(len(V7)):
-        v = V7[i] / max(np.linalg.norm(V7[i]), 1e-12)
-        r = rng7.standard_normal(V7.shape[1])
-        r -= (r @ v) * v
-        r /= max(np.linalg.norm(r), 1e-12)
-        rot[i] = (0.8 * v + 0.6 * r) * np.linalg.norm(V7[i])
-    planted7 = pa.table(
-        {
-            "vec_id": pa.array(np.concatenate([ids7, ids7 + 10_000_000])),
-            "embedding": pa.FixedSizeListArray.from_arrays(
-                pa.array(
-                    np.concatenate([V7, rot]).reshape(-1).astype(np.float32),
-                    pa.float32(),
-                ),
-                V7.shape[1],
-            ),
-        }
-    )
-    amp = _pair_recall(ray.data.from_arrow(planted7), 0.7, nbits=8, n_tables=16)
-    q["emb_near_dup"] = time.perf_counter() - t0
-    lsh_recall = {
-        "nbits": 10,
-        "tau_0.4_raw": low,
-        "tau_0.95_planted": high,
-        "tau_0.7_amplified_nbits8_L16": amp,
     }
 
     out = {

@@ -1,0 +1,108 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation/benchmark set by shared word n-grams — the standard hygiene
+step before LLM training (no reference analog; SURVEY.md north-rule
+training-data family).
+
+Shape: the benchmark corpus is SMALL by nature (eval sets), so its
+distinct shingle hashes are collected once and broadcast via `ray.put`;
+every training batch then computes its per-document overlap with one
+vectorized `np.isin` against the sorted hash array. One pass over the
+training corpus, no shuffle.
+
+The operator works on 64-bit shingle hashes (`hash_strings`), the scale
+path; the DuckDB oracle intersects the shingle STRINGS exactly. A hash
+collision could diverge the two — probability ~n_shingles^2 / 2^65
+(~1e-10 at millions of shingles), accepted and documented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from graphlite_ray.stages.dedup import _batch_shingle_hashes
+
+
+def benchmark_shingle_hashes(
+    bench_docs: "ray.data.Dataset", k: int = 5, text_col: str = "text"
+) -> np.ndarray:
+    """Distinct k-gram shingle hashes of the benchmark corpus (sorted
+    uint64, ready for searchsorted/isin)."""
+
+    def _hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        h, _, _ = _batch_shingle_hashes(batch[text_col].tolist(), k)
+        return pd.DataFrame({"h": np.unique(h)})
+
+    parts = bench_docs.map_batches(_hashes, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return np.empty(0, np.uint64)
+    return np.unique(parts["h"].to_numpy().astype(np.uint64))
+
+
+def contamination_scores(
+    docs: "ray.data.Dataset",
+    bench_hashes: np.ndarray,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_id, contaminated_frac): per document, the fraction of its
+    DISTINCT k-gram shingles that appear in the benchmark set. A single
+    ratio of integer counts — bit-exact vs the string-intersection SQL
+    oracle (modulo the documented hash-collision bound). Documents with
+    no shingles score 0.0."""
+    ref = ray.put(np.sort(bench_hashes.astype(np.uint64)))
+
+    class _Score:
+        def __init__(self):
+            self.bench = ray.get(ref)  # zero-copy plasma view
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            texts = batch[text_col].tolist()
+            h, starts, counts = _batch_shingle_hashes(texts, k)
+            fracs = np.zeros(len(texts), np.float64)
+            for i in range(len(texts)):
+                if not counts[i]:
+                    continue
+                d = np.unique(h[starts[i] : starts[i] + counts[i]])
+                if self.bench.size:
+                    pos = np.searchsorted(self.bench, d)
+                    pos_c = np.minimum(pos, len(self.bench) - 1)
+                    hits = int(((pos < len(self.bench)) & (self.bench[pos_c] == d)).sum())
+                else:
+                    hits = 0
+                fracs[i] = hits / len(d)
+            return pd.DataFrame({id_col: batch[id_col], "contaminated_frac": fracs})
+
+    return docs.map_batches(
+        _Score, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+    )
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    bench_docs: "ray.data.Dataset",
+    threshold: float = 0.1,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Drop training docs whose benchmark-shingle overlap >= threshold
+    (streaming filter; the kept corpus is the output)."""
+    bench = benchmark_shingle_hashes(bench_docs, k=k, text_col=text_col)
+    scored = contamination_scores(docs, bench, k=k, id_col=id_col, text_col=text_col)
+    drop_ds = scored.filter(lambda r: r["contaminated_frac"] >= threshold)
+    drop = {r[id_col] for r in drop_ds.take_all()}
+    ref = ray.put(drop)
+
+    class _Keep:
+        def __init__(self):
+            self.drop = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch[id_col].isin(self.drop)]
+
+    return docs.map_batches(_Keep, batch_format="pandas", concurrency=(1, 8))

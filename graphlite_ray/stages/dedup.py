@@ -160,15 +160,24 @@ def _pairs_from_bucket_frame(
     g: pd.DataFrame, key_cols: list[str], id_col: str, max_group: int = 200
 ) -> pd.DataFrame:
     """All LSH buckets in one frame -> candidate pairs, vectorized: drop
-    singleton buckets first, then enumerate pairs per surviving bucket."""
+    singleton buckets first, then enumerate pairs per surviving bucket.
+
+    A bucket larger than `max_group` RAISES (r4; it used to silently
+    truncate, losing pairs — silent under-dedup): a band bucket that big
+    means near-identical/templated documents, which exact-dedup should
+    remove before LSH, or the banding needs more rows per band."""
     multi = g[g.duplicated(key_cols, keep=False)]
     outs_a, outs_b = [], []
     for _, grp in multi.groupby(key_cols, sort=False):
         ids = np.unique(grp[id_col].to_numpy())
         if len(ids) < 2:
             continue
-        if len(ids) > max_group:  # pathological bucket: keep bounded work
-            ids = ids[:max_group]
+        if len(ids) > max_group:
+            raise RuntimeError(
+                f"LSH band bucket holds {len(ids)} docs (> max_group="
+                f"{max_group}): exact-dedup the corpus first or increase "
+                "rows-per-band selectivity"
+            )
         i, j = np.triu_indices(len(ids), k=1)
         outs_a.append(ids[i])
         outs_b.append(ids[j])
@@ -541,6 +550,8 @@ def simhash_dedup(
         )
         .to_pandas()
     )
+    if not {"a", "b", "score"} <= set(scored.columns):  # empty corpus
+        scored = pd.DataFrame({"a": [], "b": [], "score": []})
     markers = scored[scored["a"] == -1]
     n_candidates = int(markers["score"].sum())
     dups = (

@@ -309,6 +309,44 @@ class PropsExtractor:
         return out
 
 
+class RepetitionScorer:
+    """(doc_id, text) -> Gopher-style repetition signals over the token
+    stream (the boilerplate/low-quality filter a Common-Crawl pipeline
+    runs before training):
+
+      dup_token_frac  = 1 - distinct_tokens / n_tokens   (0 if empty)
+      top_bigram_frac = count(most frequent bigram) / n_bigrams (0 if <2)
+
+    Both are single ratios of integer counts — bit-exact against the SQL
+    oracle with no rounding. Vectorized per batch: one token explode, one
+    np.unique per doc segment."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        dup, top = [], []
+        for text in batch["text"]:
+            toks = lower_tokens(text)
+            n = len(toks)
+            if n == 0:
+                dup.append(0.0)
+                top.append(0.0)
+                continue
+            arr = np.asarray(toks, object)
+            dup.append(1.0 - len(np.unique(arr)) / n)
+            if n < 2:
+                top.append(0.0)
+                continue
+            big = np.char.add(np.char.add(arr[:-1].astype(str), " "), arr[1:].astype(str))
+            _, counts = np.unique(big, return_counts=True)
+            top.append(int(counts.max()) / (n - 1))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "dup_token_frac": np.asarray(dup, np.float64),
+                "top_bigram_frac": np.asarray(top, np.float64),
+            }
+        )
+
+
 _SPLIT_MULT = 2654435761  # Knuth multiplicative hash (SQL-replicable)
 
 

@@ -185,6 +185,41 @@ def test_simhash_verify_is_distributed_and_exact(ray_session):
     assert res.n_candidates >= len(want)
 
 
+def test_minhash_bucket_guard_raises_not_truncates(ray_session):
+    """A band bucket over max_group used to be silently truncated (silent
+    under-dedup); it must raise with actionable guidance now."""
+    from graphlite_ray.stages.dedup import minhash_dedup
+
+    # 30 identical docs collide in every band; guard set below that
+    rows = [
+        {"doc_id": i, "text": "identical boilerplate words " * 5} for i in range(30)
+    ]
+    import ray.data
+
+    docs = ray.data.from_pandas(pd.DataFrame(rows))
+    with pytest.raises(RuntimeError, match="max_group"):
+        # reach into the bucket stage via a tiny max through the pipeline:
+        # minhash_dedup exposes no max_group knob, so patch the default
+        from graphlite_ray.stages import dedup as D
+
+        band_rows = docs.map_batches(
+            D.MinHashBander,
+            fn_constructor_kwargs={"num_perm": 64, "bands": 16, "k": 3},
+            batch_format="pandas",
+            concurrency=1,
+        )
+        from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+        grouped_map_bucketed(
+            band_rows,
+            ["band", "band_hash"],
+            lambda g: D._pairs_from_bucket_frame(
+                g, ["band", "band_hash"], "doc_id", max_group=10
+            ),
+            B=4,
+        ).to_pandas()
+
+
 def test_simhash_band_collision_guard_raises(ray_session):
     """Templated pages collide whole 16-bit bands; the per-bucket pair
     guard must raise instead of enumerating the quadratic pair list."""
@@ -425,6 +460,69 @@ def test_write_formatted_keeps_duplicate_content_blocks(ray_session, tmp_path):
     manifest2 = write_formatted(ds, out)
     files2 = [n for n in storage.listdir(out) if n.startswith("part-")]
     assert sorted(files2) == sorted(manifest2["path"])
+
+
+# -------------------------------- repetition signals + decontamination
+
+
+def test_repetition_scorer_known_values():
+    from graphlite_ray.stages.textstats import RepetitionScorer
+
+    out = RepetitionScorer()(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a a a a",          # 1 distinct of 4; bigram 'a a' 3/3
+                    "w x y z",          # all distinct; every bigram once 1/3
+                    "",                 # empty -> 0, 0
+                    "solo",             # 1 token -> dup 0, no bigrams
+                ],
+            }
+        )
+    )
+    assert out["dup_token_frac"].tolist() == [0.75, 0.0, 0.0, 0.0]
+    assert out["top_bigram_frac"].tolist() == [1.0, 1.0 / 3.0, 0.0, 0.0]
+
+
+def test_decontaminate_drops_planted_overlap(ray_session):
+    """A training doc sharing most 5-grams with a benchmark doc must be
+    dropped; unrelated docs must survive."""
+    import ray.data
+
+    from graphlite_ray.stages.contamination import decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        {"doc_id": 1, "text": bench_text + " extra tail words here"},  # contaminated
+        {"doc_id": 2, "text": "completely different tokens about graphs and rays"},
+        {"doc_id": 3, "text": "another clean document with its own vocabulary set"},
+    ]
+    docs = ray.data.from_pandas(pd.DataFrame(rows))
+    bench = ray.data.from_pandas(pd.DataFrame([{"doc_id": 100, "text": bench_text}]))
+    kept = decontaminate(docs, bench, threshold=0.3, k=5).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3]
+
+
+def test_contamination_scores_exact_fraction(ray_session):
+    import ray.data
+
+    from graphlite_ray.stages.contamination import (
+        benchmark_shingle_hashes,
+        contamination_scores,
+    )
+    from graphlite_ray.stages.dedup import word_shingles
+
+    bench_text = "b1 b2 b3 b4 b5 b6"
+    doc_text = "b1 b2 b3 b4 b5 x1 x2 x3 x4 x5"
+    bench = ray.data.from_pandas(pd.DataFrame([{"doc_id": 0, "text": bench_text}]))
+    docs = ray.data.from_pandas(pd.DataFrame([{"doc_id": 1, "text": doc_text}]))
+    h = benchmark_shingle_hashes(bench, k=5)
+    out = contamination_scores(docs, h, k=5).to_pandas()
+    doc_sh = set(word_shingles(doc_text, 5))
+    bench_sh = set(word_shingles(bench_text, 5))
+    want = len(doc_sh & bench_sh) / len(doc_sh)
+    assert out["contaminated_frac"].iloc[0] == want > 0
 
 
 def test_png_corrupt_payloads_raise_value_error():
