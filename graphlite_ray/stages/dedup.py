@@ -585,16 +585,17 @@ def embedding_near_dup_exact(
     the exhaustive baseline the LSH variant (`embedding_near_dup`) trades
     recall against; the corpus matrix must fit in the object store, so the
     guard raises beyond `max_rows` (default 2M) — use the LSH/IVF paths
-    there. The guard is a streaming limit-probe (executes only until
-    max_rows+1 rows exist), not a full count pass."""
-    n_rows = emb.limit(max_rows + 1).count()
-    if n_rows > max_rows:
+    there. The guard is FUSED into the materialization (r4): one limited
+    take_all both collects the broadcast matrix and proves the corpus
+    fits (a max_rows+1-th row raises), so the upstream pipeline executes
+    twice total (collect + score) instead of three times."""
+    mat_rows = emb.select_columns([id_col, emb_col]).limit(max_rows + 1).take_all()
+    if len(mat_rows) > max_rows:
         raise RuntimeError(
             f"embedding_near_dup_exact is the broadcast-exact baseline "
             f"(corpus matrix must fit in the object store); > {max_rows} "
             f"rows — use embedding_near_dup (LSH) instead or raise max_rows"
         )
-    mat_rows = emb.select_columns([id_col, emb_col]).take_all()
     ids_all = np.array([r[id_col] for r in mat_rows], np.int64)
     M = np.stack([r[emb_col] for r in mat_rows]).astype(np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)

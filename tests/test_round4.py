@@ -277,6 +277,16 @@ def test_lsh_amplification_recall_and_precision(ray_session):
     assert (lsh.pairs["score"] >= 0.7).all()
 
 
+def test_emb_exact_guard_raises_over_max_rows(ray_session):
+    """The fused guard (limited take_all) must still raise on an
+    oversized corpus without materializing more than max_rows+1 rows."""
+    from graphlite_ray.stages.dedup import embedding_near_dup_exact
+
+    ds = _planted_emb_ds(n=50, d=8, n_pairs=2)
+    with pytest.raises(RuntimeError, match="broadcast-exact baseline"):
+        embedding_near_dup_exact(ds, tau=0.9, max_rows=10)
+
+
 def test_lsh_query_pairs_nonempty_subset_of_exact(ray_session):
     """The driver query emb_near_dup_lsh must emit verified rows (the r3
     version returned 0 rows at tau=0.98 — zero evidential value) and be a
