@@ -824,6 +824,30 @@ def _q_distinct_users_approx(sf_dir: str):
     return approx_distinct_per_group(ev, "event_type", "user_id", p=12)
 
 
+def _pii_oracle_sql() -> str:
+    """regexp_extract_all replay of the PII scan: same explicit-ASCII
+    patterns (graphlite_ray/stages/pii.py), same planted-text formula."""
+    from graphlite_ray.stages.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    planted_text = (
+        "'contact a' || doc_id || '@mail' || (doc_id % 7) || '.com or a' "
+        "|| doc_id || '@x.org call 555-123-4567 and +1 555 987 6543 "
+        "from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) "
+        "|| ' end'"
+    )
+    return (
+        "WITH planted AS (SELECT doc_id + 20000000 AS doc_id, "
+        f"{planted_text} AS text FROM documents WHERE doc_id % 41 = 0), "
+        "corpus AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id, text FROM planted) "
+        f"SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email, "
+        f"len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone, "
+        f"len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ipv4 "
+        "FROM corpus ORDER BY doc_id"
+    )
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style repetition/boilerplate signals per document
     (dup-token fraction, top-bigram fraction) — DuckDB-oracled: both are
@@ -854,6 +878,41 @@ def _q_doc_contamination(sf_dir: str):
     train = docs.filter(lambda r: r["doc_id"] % 97 != 0)
     out = contamination_scores(train, benchmark_shingle_hashes(bench, k=5), k=5)
     return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+def _pii_planted_text(d: int) -> str:
+    """Deterministic PII-bearing text derived from doc_id — constructed
+    with the IDENTICAL formula in the SQL oracle so both sides scan the
+    same strings (the synthetic corpus itself contains no PII, which
+    would make the query zero-evidence)."""
+    return (
+        f"contact a{d}@mail{d % 7}.com or a{d}@x.org call 555-123-4567 "
+        f"and +1 555 987 6543 from 192.168.{d % 256}.{(d * 7) % 256} end"
+    )
+
+
+def _q_doc_pii_scan(sf_dir: str):
+    """PII audit counts (emails / phones / IPv4) per document over the
+    corpus plus deterministic planted PII docs (ids +20M, doc_id % 41
+    slice) — DuckDB-oracled: explicit-ASCII regexes with identical
+    semantics in Python re and RE2, counts via regexp_extract_all."""
+    import ray.data
+
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.pii import scan_pii
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base_ids = [r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()]
+    ids = [d for d in base_ids if d % 41 == 0]
+    planted = pa.table(
+        {
+            "doc_id": pa.array([d + 20_000_000 for d in ids], pa.int64()),
+            "text": pa.array([_pii_planted_text(d) for d in ids], pa.string()),
+        }
+    )
+    corpus = docs.union(ray.data.from_arrow(planted))
+    out = scan_pii(corpus).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 def _q_doc_heavy_hitters(sf_dir: str):
@@ -966,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
         "doc_contamination": _q_doc_contamination,
+        "doc_pii_scan": _q_doc_pii_scan,
         "doc_sample": _q_doc_sample,
         "doc_split_counts": _q_doc_split,
         "props_rollup": _q_props_rollup,
@@ -1697,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN tot ON d.doc_id = tot.doc_id "
             "LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
         ),
+        "doc_pii_scan": _pii_oracle_sql(),
         "doc_heavy_hitters": (
             # list_filter (not trim) so leading tabs/newlines can't yield a
             # phantom '' token Python's split() never produces

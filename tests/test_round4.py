@@ -535,6 +535,45 @@ def test_contamination_scores_exact_fraction(ray_session):
     assert out["contaminated_frac"].iloc[0] == want > 0
 
 
+# ------------------------------------------------------ PII scrubbing
+
+
+def test_pii_scan_and_redact_roundtrip(ray_session):
+    import ray.data
+
+    from graphlite_ray.stages.pii import redact_pii, scan_pii
+
+    rows = [
+        {
+            "doc_id": 1,
+            "text": "mail me at jo.doe+x@sub.example.org or 555-123-4567 "
+            "from 10.0.0.1 thanks",
+        },
+        {"doc_id": 2, "text": "no personal data in this one at all"},
+        {"doc_id": 3, "text": "two mails a@b.co c@d.io and ip 192.168.1.255"},
+    ]
+    docs = ray.data.from_arrow(
+        __import__("pyarrow").table(
+            {
+                "doc_id": [r["doc_id"] for r in rows],
+                "text": [r["text"] for r in rows],
+            }
+        )
+    )
+    scan = scan_pii(docs).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert scan["n_email"].tolist() == [1, 0, 2]
+    assert scan["n_phone"].tolist() == [1, 0, 0]
+    assert scan["n_ipv4"].tolist() == [1, 0, 1]
+    red = redact_pii(docs).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert red["n_redactions"].tolist() == [3, 0, 3]
+    assert "<EMAIL>" in red["text"].iloc[0] and "<PHONE>" in red["text"].iloc[0]
+    assert "jo.doe" not in red["text"].iloc[0]
+    assert "10.0.0.1" not in red["text"].iloc[0]
+    # scrubbed corpus has no remaining matches
+    assert (scan_pii(ray.data.from_pandas(red[["doc_id", "text"]]))
+            .to_pandas()[["n_email", "n_phone", "n_ipv4"]].to_numpy().sum() == 0)
+
+
 def test_png_corrupt_payloads_raise_value_error():
     from graphlite_ray.stages.multimodal import PNG_MAGIC, _png_chunk, decode_png
 
