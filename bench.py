@@ -63,6 +63,8 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # raylet warnings must not interleave with
+        # the single JSON line this process prints on stdout
     )
     from ray.data import DataContext
 
@@ -339,6 +341,8 @@ def _engine_bench(num_cpus: int, routing: str | None = None) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # raylet warnings must not interleave with
+        # the single JSON line this process prints on stdout
     )
     from ray.data import DataContext
 
