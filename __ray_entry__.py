@@ -406,6 +406,111 @@ def _q_degrees(sf_dir: str):
     )
 
 
+def _ppr_seeds(sf_dir: str) -> list[int]:
+    """Deterministic seed set for personalized PageRank: the vertex ids of
+    synthetic pages 0..4 (same id-assignment as the engine)."""
+    from graphlite_ray.functions.hashing import ids_from_urls
+    from graphlite_ray.sources.pages import url_of
+
+    n = _pages_n(sf_dir)
+    return [int(v) for v in ids_from_urls([url_of(i, n) for i in range(5)])]
+
+
+def _q_ppr(sf_dir: str):
+    """Personalized PageRank restarted to the 5-page seed set — oracled by
+    the same recursive-CTE recurrence replay as PageRank with the restart
+    term confined to the seeds (`_pagerank_oracle_sql(seeds=...)`)."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm(
+        "personalized_pagerank", pages, work, P=8, resume=True,
+        seeds=_ppr_seeds(sf_dir),
+    )
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    df["value"] = _round_half_away(df["value"], 6)
+    return df
+
+
+_HITS_ITERS = 4
+
+
+def _q_hits(sf_dir: str):
+    """HITS authority scores (L1-normalized, 4 iterations) over the page
+    graph. The engine runs on the direction-tagged edge multiset (forward +
+    reverse rows, the per-edge weight as direction tag); the oracle replays
+    the exact alternating normalize-by-previous-layer recurrence
+    (`_hits_oracle_sql`)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import (
+        hits_tagged_edges,
+        prepare_edges,
+        run_on_edge_dataset,
+    )
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"])
+    res = run_on_edge_dataset(
+        "hits", hits_tagged_edges(edges), work, P=8, tag="hitsdir",
+        resume=True, iters=_HITS_ITERS,
+    )
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    df["value"] = _round_half_away(df["value"], 6)
+    return df
+
+
+def _q_vertex_triangles(sf_dir: str):
+    """Per-vertex triangle counts + local clustering coefficient over the
+    simple undirected page graph (DuckDB oracle: 3-way self-join on the
+    id-oriented distinct edge set, credits to all three corners)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.triangles import vertex_triangle_counts
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    df = vertex_triangle_counts(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work_dir=os.path.join(work, "vtri"),
+        B=16,
+    ).to_pandas()
+    df["clustering"] = _round_half_away(df["clustering"], 6)
+    return df.sort_values("vertex_id", ignore_index=True)
+
+
+def _q_reciprocity(sf_dir: str):
+    """Edge reciprocity of the page graph (distinct non-loop directed
+    edges) — one bucketed shuffle on the unordered pair key."""
+    import ray.data
+
+    from graphlite_ray.pipelines.graphstats import reciprocity
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    df = reciprocity(ray.data.read_parquet(edges_dir, columns=["src", "dst"]))
+    df["reciprocity"] = _round_half_away(df["reciprocity"], 6)
+    return df
+
+
+def _q_degree_histogram(sf_dir: str):
+    """Out-degree distribution of the page multigraph (dst-only vertices
+    at degree 0)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.graphstats import degree_histogram
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return degree_histogram(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"])
+    )
+
+
 def _edges_glob(sf_dir: str) -> str:
     _, work = _graph_work(sf_dir)
     return os.path.join(work, "edges", "*.parquet")
@@ -985,6 +1090,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "sssp": _q_sssp,
         "sssp_weighted": _q_sssp_weighted,
+        "personalized_pagerank": _q_ppr,
+        "hits_authority": _q_hits,
+        "vertex_triangles": _q_vertex_triangles,
+        "graph_reciprocity": _q_reciprocity,
+        "degree_histogram": _q_degree_histogram,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
         "host_pagerank": _q_host_pagerank,
@@ -1165,6 +1275,7 @@ def _pagerank_oracle_sql(
     src: str = "src",
     dst: str = "dst",
     out_name: str = "vertex_id",
+    seeds: list[int] | None = None,
 ) -> str:
     """Replays the reference recurrence (0.15 + 0.85 * sum of incoming
     val/outdeg; dangling vertices receive but never send) and the engine's
@@ -1174,7 +1285,9 @@ def _pagerank_oracle_sql(
     variant inlines the xor5 weight formula: w = xor(src,dst) % 5 + 1,
     each sender distributing val * w_e / W_total (programs.py:242-268).
     `src`/`dst` parametrize the edge table's columns (BIGINT vertex ids or
-    host STRINGS — PageRank is relabeling-invariant)."""
+    host STRINGS — PageRank is relabeling-invariant). `seeds` switches to
+    the PERSONALIZED recurrence (programs.py PersonalizedPageRank): initial
+    mass and the 0.15 restart term land only on the seed vertices."""
     rp = f"read_parquet('{edges_glob}')"
     if weighted:
         denom = (
@@ -1185,15 +1298,22 @@ def _pagerank_oracle_sql(
     else:
         denom = f"(SELECT {src} AS v, count(*) AS d FROM {rp} GROUP BY {src})"
         contrib = "p2.val / p2.d"
+    if seeds is None:
+        init_val = "CAST(1.0 AS DOUBLE)"
+        restart = "0.15"
+    else:
+        in_seeds = ", ".join(str(int(s)) for s in sorted(seeds))
+        init_val = f"CAST(CASE WHEN v IN ({in_seeds}) THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+        restart = f"0.15 * (CASE WHEN p.v IN ({in_seeds}) THEN 1.0 ELSE 0.0 END)"
     return (
         "WITH RECURSIVE pr(iter, v, val, delta) AS ("
-        "SELECT 0, v, CAST(1.0 AS DOUBLE), CAST(1e18 AS DOUBLE) "
+        f"SELECT 0, v, {init_val}, CAST(1e18 AS DOUBLE) "
         f"FROM (SELECT DISTINCT {src} AS v FROM {rp} "
         f"UNION SELECT DISTINCT {dst} FROM {rp}) "
         "UNION ALL "
         "SELECT iter + 1, v, newval, sum(abs(newval - val)) OVER () "
         "FROM ("
-        "SELECT p.iter, p.v, p.val, 0.15 + 0.85 * coalesce(m.s, 0.0) AS newval "
+        f"SELECT p.iter, p.v, p.val, {restart} + 0.85 * coalesce(m.s, 0.0) AS newval "
         "FROM pr p "
         f"LEFT JOIN (SELECT e.{dst} AS v, sum({contrib}) AS s "
         f"FROM (SELECT pr.v, pr.val, od.d FROM pr JOIN {denom} od USING (v)) p2 "
@@ -1202,6 +1322,45 @@ def _pagerank_oracle_sql(
         "WHERE p.delta >= 1e-6 AND p.iter < 199)) "
         f"SELECT v AS {out_name}, ROUND(val, 6) AS value FROM pr "
         f"WHERE iter = (SELECT max(iter) FROM pr) ORDER BY {out_name}"
+    )
+
+
+def _hits_oracle_sql(edges_glob: str, iters: int) -> str:
+    """Replays the HITS program's exact schedule (programs.py HITS): layer
+    0 = all-ones hub; layer k = (incoming sums along forward edges for odd
+    k / reverse edges for even k) divided by the SENDING layer's L1 norm
+    (the aggregator's k->k+1 visibility); final step divides the last auth
+    layer by its own norm. The direction-tagged edge multiset is the CTE
+    `te` (fwd=1 original orientation, fwd=0 reversed); hub layers (even
+    iter) send forward."""
+    rp = f"read_parquet('{edges_glob}')"
+    F = 2 * int(iters)
+    return (
+        "WITH RECURSIVE "
+        f"te AS (SELECT src AS f, dst AS t, 1 AS fwd FROM {rp} "
+        f"UNION ALL SELECT dst, src, 0 FROM {rp}), "
+        # NB: inside a WITH RECURSIVE list DuckDB gives a named CTE's UNION
+        # recursive-iteration treatment (observed: both branches appended
+        # un-deduplicated), so the dedup must be an explicit outer DISTINCT
+        f"verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM {rp} "
+        f"UNION ALL SELECT dst FROM {rp})), "
+        "h(iter, v, val, nrm) AS ("
+        "SELECT 0, v, CAST(1.0 AS DOUBLE), "
+        "CAST((SELECT count(*) FROM verts) AS DOUBLE) FROM verts "
+        "UNION ALL "
+        "SELECT iter + 1, v, newval, sum(newval) OVER () "
+        "FROM ("
+        f"SELECT p.iter, p.v, CASE WHEN p.iter + 1 < {F} THEN "
+        "(CASE WHEN p.nrm > 0 THEN coalesce(m.s, 0.0) / p.nrm ELSE 0.0 END) "
+        "ELSE (CASE WHEN p.nrm > 0 THEN p.val / p.nrm ELSE 0.0 END) END AS newval "
+        "FROM h p "
+        "LEFT JOIN (SELECT e.t AS v, sum(p2.val) AS s "
+        "FROM h p2 JOIN te e ON e.f = p2.v "
+        "AND e.fwd = (CASE WHEN p2.iter % 2 = 0 THEN 1 ELSE 0 END) "
+        "GROUP BY e.t) m ON m.v = p.v "
+        f"WHERE p.iter < {F})) "
+        "SELECT v AS vertex_id, ROUND(val, 6) AS value FROM h "
+        "WHERE iter = (SELECT max(iter) FROM h) ORDER BY vertex_id"
     )
 
 
@@ -1497,6 +1656,55 @@ def oracle_sql() -> dict[str, str]:
             # shuffle moved every edge exactly once
             f"SELECT src, count(*) AS out_degree "
             f"FROM read_parquet('{edges_glob}') GROUP BY src ORDER BY src"
+        ),
+        "personalized_pagerank": _pagerank_oracle_sql(
+            edges_glob, weighted=False, seeds=_ppr_seeds(_ORACLE_SF)
+        ),
+        "hits_authority": _hits_oracle_sql(edges_glob, iters=_HITS_ITERS),
+        "vertex_triangles": (
+            # independent 3-way self-join on the id-oriented distinct edge
+            # set (a<b<c); each triangle credits all three corners;
+            # clustering = 2t / (d(d-1)) over the simple-graph degree
+            f"WITH e AS (SELECT DISTINCT least(src, dst) AS lo, "
+            f"greatest(src, dst) AS hi FROM read_parquet('{edges_glob}') "
+            "WHERE src <> dst), "
+            "tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c "
+            "FROM e e1 JOIN e e2 ON e2.lo = e1.hi "
+            "JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi), "
+            "credits AS (SELECT a AS v FROM tri UNION ALL "
+            "SELECT b FROM tri UNION ALL SELECT c FROM tri), "
+            "verts AS (SELECT lo AS v FROM e UNION SELECT hi FROM e), "
+            "deg AS (SELECT v, count(*) AS d FROM "
+            "(SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) GROUP BY v) "
+            "SELECT vt.v AS vertex_id, "
+            "CAST(coalesce(t.n, 0) AS BIGINT) AS triangles, "
+            "ROUND(CASE WHEN dg.d >= 2 THEN "
+            "2.0 * coalesce(t.n, 0) / (dg.d * (dg.d - 1.0)) "
+            "ELSE 0.0 END, 6) AS clustering "
+            "FROM verts vt "
+            "LEFT JOIN (SELECT v, count(*) AS n FROM credits GROUP BY v) t "
+            "ON t.v = vt.v JOIN deg dg ON dg.v = vt.v ORDER BY vertex_id"
+        ),
+        "graph_reciprocity": (
+            f"WITH d AS (SELECT DISTINCT src, dst "
+            f"FROM read_parquet('{edges_glob}') WHERE src <> dst) "
+            "SELECT CAST(count(*) AS BIGINT) AS total_edges, "
+            "CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS reciprocal_edges, "
+            "ROUND(sum(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END) "
+            "/ count(*), 6) AS reciprocity "
+            "FROM d LEFT JOIN d r ON r.src = d.dst AND r.dst = d.src"
+        ),
+        "degree_histogram": (
+            f"WITH verts AS (SELECT DISTINCT src AS v "
+            f"FROM read_parquet('{edges_glob}') "
+            f"UNION SELECT DISTINCT dst FROM read_parquet('{edges_glob}')), "
+            f"od AS (SELECT src AS v, count(*) AS d "
+            f"FROM read_parquet('{edges_glob}') GROUP BY src) "
+            "SELECT CAST(coalesce(od.d, 0) AS BIGINT) AS out_degree, "
+            "CAST(count(*) AS BIGINT) AS n_vertices "
+            "FROM verts LEFT JOIN od ON od.v = verts.v "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # --- embedding oracles (independent: list_cosine_similarity) -----
         "emb_knn": (

@@ -254,6 +254,30 @@ def run_on_edge_dataset(
     )
 
 
+def hits_tagged_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(src, dst) edge Dataset -> the direction-tagged multiset HITS runs
+    on: each edge contributes (src, dst, w=HITS.FWD) and (dst, src, w=REV).
+    A streaming map — doubles edge rows, never touches the driver."""
+    from graphlite_ray.programs import HITS
+
+    def _tag(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        w = np.empty(2 * n, np.float64)
+        w[:n] = HITS.FWD
+        w[n:] = HITS.REV
+        return pa.table(
+            {
+                "src": np.concatenate([s, d]),
+                "dst": np.concatenate([d, s]),
+                "weight": w,
+            }
+        )
+
+    return edges.map_batches(_tag, batch_format="pyarrow")
+
+
 HOST_RE = r"^[a-z]+://([^/]+)"
 
 

@@ -64,28 +64,29 @@ def _canonical_simple_edges(edges: "ray.data.Dataset", B: int = 32) -> "ray.data
 PAIR_DTYPE = np.dtype([("lo", "<i8"), ("hi", "<i8")])
 
 
-def _triangle_count_broadcast(simple: "ray.data.Dataset") -> int:
-    """Small/medium graphs: degrees and the edge set fit in the object
-    store, so both joins become broadcast lookups — 2 small jobs instead of
-    8 shuffles. The edge list is pulled ONCE (<= broadcast_limit rows by
-    contract); degrees come from that same pull (np.unique over both
-    endpoint columns), saving the degree groupby shuffle entirely. Exact
-    membership via a sorted structured (lo, hi) array (no hash-collision
-    risk)."""
-    pair_rows = simple.to_pandas()  # <= broadcast_limit rows by contract
-    ends = np.concatenate(
-        [pair_rows["lo"].to_numpy(), pair_rows["hi"].to_numpy()]
-    )
+def _broadcast_refs(simple: "ray.data.Dataset"):
+    """Pull the simple edge set ONCE (<= broadcast_limit rows by contract)
+    and put the sorted structured (lo, hi) pair array + the degree arrays
+    in the object store — both joins become broadcast lookups. Degrees come
+    from the same pull (np.unique over both endpoint columns), saving the
+    degree groupby shuffle entirely. Exact membership via the sorted pair
+    array (no hash-collision risk)."""
+    pair_rows = simple.to_pandas()
+    ends = np.concatenate([pair_rows["lo"].to_numpy(), pair_rows["hi"].to_numpy()])
     deg_vids, deg_vals = np.unique(ends, return_counts=True)  # sorted vids
     epairs = np.empty(len(pair_rows), PAIR_DTYPE)
     epairs["lo"] = pair_rows["lo"].to_numpy()
     epairs["hi"] = pair_rows["hi"].to_numpy()
     epairs.sort(order=["lo", "hi"])
-    e_ref = ray.put(epairs)
-    d_ref = ray.put((deg_vids, deg_vals))
+    return ray.put(epairs), ray.put((deg_vids, deg_vals))
+
+
+def _orient_broadcast(simple: "ray.data.Dataset", d_ref) -> "ray.data.Dataset":
+    """Orient each edge from the (degree, id)-smaller endpoint, degrees
+    read from the broadcast arrays (zero-copy plasma view per task)."""
 
     def _orient_batch(t: pa.Table) -> pa.Table:
-        vids, deg = ray.get(d_ref)  # zero-copy plasma view per task
+        vids, deg = ray.get(d_ref)
         lo = t["lo"].to_numpy(zero_copy_only=False)
         hi = t["hi"].to_numpy(zero_copy_only=False)
         dlo = deg[np.searchsorted(vids, lo)]
@@ -98,40 +99,106 @@ def _triangle_count_broadcast(simple: "ray.data.Dataset") -> int:
             }
         )
 
-    oriented = simple.map_batches(_orient_batch, batch_format="pyarrow")
+    return simple.map_batches(_orient_batch, batch_format="pyarrow")
 
-    def make_closer():
-        cache = {}
 
-        def _close_frame(g: pd.DataFrame) -> pd.DataFrame:
-            """All sources of one bucket: vectorized per-source wedge
-            enumeration + exact membership against the broadcast edge set."""
-            if "e" not in cache:
-                cache["e"] = ray.get(e_ref)
-            e = cache["e"]
-            arr = g[["a", "b"]].to_numpy()
-            order = np.lexsort((arr[:, 1], arr[:, 0]))
-            a_s, b_s = arr[order, 0], arr[order, 1]
-            starts = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
-            ends = np.concatenate((starts[1:], [len(a_s)]))
-            total = 0
-            for s, t in zip(starts, ends):
-                k = t - s
-                if k < 2:
-                    continue
-                nbrs = b_s[s:t]
-                i, j = np.triu_indices(k, k=1)
-                w = np.empty(len(i), PAIR_DTYPE)
-                w["lo"], w["hi"] = nbrs[i], nbrs[j]
-                pos = np.clip(np.searchsorted(e, w), 0, len(e) - 1)
-                total += int((e[pos] == w).sum())
+def _wedge_spans(g: pd.DataFrame):
+    """Bucket frame of oriented edges -> (a_sorted, b_sorted, starts, ends)
+    per-source neighbor runs for vectorized wedge enumeration."""
+    arr = g[["a", "b"]].to_numpy()
+    order = np.lexsort((arr[:, 1], arr[:, 0]))
+    a_s, b_s = arr[order, 0], arr[order, 1]
+    starts = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
+    ends = np.concatenate((starts[1:], [len(a_s)]))
+    return a_s, b_s, starts, ends
+
+
+def _make_broadcast_closer(e_ref, per_vertex: bool):
+    """Bucket closure against the broadcast edge set. per_vertex=False
+    returns one total per bucket; per_vertex=True returns partial
+    per-vertex triangle credits (each matched wedge (a; b, c) credits all
+    three corners)."""
+    cache = {}
+
+    def _close_frame(g: pd.DataFrame) -> pd.DataFrame:
+        if "e" not in cache:
+            cache["e"] = ray.get(e_ref)
+        e = cache["e"]
+        a_s, b_s, starts, ends = _wedge_spans(g)
+        total = 0
+        credits = []
+        for s, t in zip(starts, ends):
+            k = t - s
+            if k < 2:
+                continue
+            nbrs = b_s[s:t]
+            i, j = np.triu_indices(k, k=1)
+            w = np.empty(len(i), PAIR_DTYPE)
+            w["lo"], w["hi"] = nbrs[i], nbrs[j]
+            pos = np.clip(np.searchsorted(e, w), 0, len(e) - 1)
+            hit = e[pos] == w
+            if per_vertex:
+                nh = int(hit.sum())
+                if nh:
+                    credits.append(np.full(nh, a_s[s]))
+                    credits.append(w["lo"][hit])
+                    credits.append(w["hi"][hit])
+            else:
+                total += int(hit.sum())
+        if not per_vertex:
             return pd.DataFrame({"n": [total]})
+        if not credits:
+            return pd.DataFrame({"v": np.empty(0, np.int64), "t": np.empty(0, np.int64)})
+        u, c = np.unique(np.concatenate(credits), return_counts=True)
+        return pd.DataFrame({"v": u, "t": c})
 
-        return _close_frame
+    return _close_frame
 
-    counts = grouped_map_bucketed(oriented, ["a"], make_closer(), B=16)
+
+def _triangle_count_broadcast(simple: "ray.data.Dataset") -> int:
+    e_ref, d_ref = _broadcast_refs(simple)
+    oriented = _orient_broadcast(simple, d_ref)
+    counts = grouped_map_bucketed(oriented, ["a"], _make_broadcast_closer(e_ref, False), B=16)
     total = counts.sum("n")
     return int(total if not isinstance(total, dict) else total["sum(n)"])
+
+
+def _clustering_attach(d_ref):
+    """Batch fn: (v, t) -> (vertex_id, triangles, clustering) with
+    clustering = 2t / (d(d-1)) over the simple-graph degree (0 when d<2),
+    degrees read from the broadcast arrays."""
+
+    def _attach(t: pa.Table) -> pa.Table:
+        vids, deg = ray.get(d_ref)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        tri = t["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = deg[np.searchsorted(vids, v)].astype(np.float64)
+        denom = d * (d - 1.0)
+        clust = np.divide(2.0 * tri, denom, out=np.zeros(len(v)), where=denom > 0)
+        return pa.table({"vertex_id": v, "triangles": tri, "clustering": clust})
+
+    return _attach
+
+
+def _vertex_triangles_broadcast(simple: "ray.data.Dataset") -> "ray.data.Dataset":
+    e_ref, d_ref = _broadcast_refs(simple)
+    oriented = _orient_broadcast(simple, d_ref)
+    credits = grouped_map_bucketed(
+        oriented, ["a"], _make_broadcast_closer(e_ref, True), B=16
+    )
+    # zero row per vertex so triangle-free vertices appear in the output
+    deg_vids, _ = ray.get(d_ref)
+    zeros = ray.data.from_arrow(
+        pa.table({"v": deg_vids, "t": np.zeros(len(deg_vids), np.int64)})
+    )
+
+    def _sum_credits(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("v", as_index=False)["t"].sum()
+        out["t"] = out["t"].astype("int64")
+        return out
+
+    totals = grouped_map_bucketed(credits.union(zeros), ["v"], _sum_credits, B=16)
+    return totals.map_batches(_clustering_attach(d_ref), batch_format="pyarrow")
 
 
 def triangle_count(
@@ -144,11 +211,38 @@ def triangle_count(
     undirected graph. `B` = hash-join bucket count (choose ~cluster cores)
     for the large-graph bucketed path; graphs with <= `broadcast_limit`
     distinct edges use the broadcast path."""
+    return _triangles_impl(edges, work_dir, B, broadcast_limit, per_vertex=False)
+
+
+def vertex_triangle_counts(
+    edges: "ray.data.Dataset",
+    work_dir: str | None = None,
+    B: int = 32,
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """edges (src:int64, dst:int64) -> Dataset (vertex_id, triangles:int64,
+    clustering:float64): per-vertex triangle counts of the simple undirected
+    graph and the local clustering coefficient 2t / (d(d-1)) (0 when the
+    simple degree d < 2). Same two execution paths as `triangle_count`; the
+    per-vertex variant additionally credits each closed wedge (a; b, c) to
+    all three corners and sums credits per vertex in bucketed shuffles."""
+    return _triangles_impl(edges, work_dir, B, broadcast_limit, per_vertex=True)
+
+
+def _triangles_impl(
+    edges: "ray.data.Dataset",
+    work_dir: str | None,
+    B: int,
+    broadcast_limit: int,
+    per_vertex: bool,
+):
     work_dir = work_dir or tempfile.mkdtemp(prefix="glr_tri_")
     os.makedirs(work_dir, exist_ok=True)
 
     simple = _canonical_simple_edges(edges).materialize()  # reused below
     if simple.count() <= broadcast_limit:
+        if per_vertex:
+            return _vertex_triangles_broadcast(simple)
         return _triangle_count_broadcast(simple)
 
     # degrees over the simple graph
@@ -208,46 +302,97 @@ def triangle_count(
     )
 
     # wedges per oriented source: each triangle appears as exactly one wedge
-    # at its (deg, id)-minimum vertex; emit pairs id-canonicalized (lo, hi)
+    # at its (deg, id)-minimum vertex `a`; emit (a, lo, hi) with the far
+    # pair id-canonicalized
     def _wedges_frame(g: pd.DataFrame) -> pd.DataFrame:
-        arr = g[["a", "b"]].to_numpy()
-        order = np.lexsort((arr[:, 1], arr[:, 0]))
-        a_s, b_s = arr[order, 0], arr[order, 1]
-        starts = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
-        ends = np.concatenate((starts[1:], [len(a_s)]))
-        los, his = [], []
+        a_s, b_s, starts, ends = _wedge_spans(g)
+        srcs, los, his = [], [], []
         for s, t in zip(starts, ends):
             k = t - s
             if k < 2:
                 continue
             nbrs = b_s[s:t]
             i, j = np.triu_indices(k, k=1)
+            srcs.append(np.full(len(i), a_s[s]))
             los.append(nbrs[i])
             his.append(nbrs[j])
         if not los:
-            return pd.DataFrame({"lo": np.empty(0, np.int64), "hi": np.empty(0, np.int64)})
-        return pd.DataFrame({"lo": np.concatenate(los), "hi": np.concatenate(his)})
+            e = np.empty(0, np.int64)
+            return pd.DataFrame({"a": e, "lo": e.copy(), "hi": e.copy()})
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(srcs),
+                "lo": np.concatenate(los),
+                "hi": np.concatenate(his),
+            }
+        )
 
     wedges = grouped_map_bucketed(oriented, ["a"], _wedges_frame, B)
 
     def _tag_wedge(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
         hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"lo": lo, "hi": hi, "pb": pair_bucket(lo, hi, B)})
+        return pa.table({"a": a, "lo": lo, "hi": hi, "pb": pair_bucket(lo, hi, B)})
 
     def _close(g: pd.DataFrame) -> pd.DataFrame:
         pb = int(g["pb"].iloc[0])
         path = os.path.join(edge_dir, f"bucket_{pb}.parquet")
         if not os.path.exists(path):
+            if per_vertex:
+                e = np.empty(0, np.int64)
+                return pd.DataFrame({"v": e, "t": e.copy()})
             return pd.DataFrame({"n": [0]})
         e = pq.read_table(path, columns=["lo", "hi"]).to_pandas()
-        n = len(g.merge(e, on=["lo", "hi"], how="inner"))
-        return pd.DataFrame({"n": [n]})
+        m = g.merge(e, on=["lo", "hi"], how="inner")
+        if not per_vertex:
+            return pd.DataFrame({"n": [len(m)]})
+        u, c = np.unique(
+            np.concatenate(
+                [m["a"].to_numpy(), m["lo"].to_numpy(), m["hi"].to_numpy()]
+            ),
+            return_counts=True,
+        )
+        return pd.DataFrame({"v": u, "t": c.astype(np.int64)})
 
     counts = (
         wedges.map_batches(_tag_wedge, batch_format="pyarrow")
         .groupby("pb")
         .map_groups(_close, batch_format="pandas")
     )
-    total = counts.sum("n")
-    return int(total if not isinstance(total, dict) else total["sum(n)"])
+    if not per_vertex:
+        total = counts.sum("n")
+        return int(total if not isinstance(total, dict) else total["sum(n)"])
+
+    # per-vertex: credits + a zero row per vertex (from the bucketed degree
+    # files, which cover every simple-graph vertex) -> bucketed sum ->
+    # degree attach for the clustering coefficient — all wide steps stay
+    # bucketed shuffles, nothing graph-sized touches the driver.
+    zeros = ray.data.read_parquet(deg_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "v": t["vid"].to_numpy(zero_copy_only=False),
+                "t": np.zeros(t.num_rows, np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _sum_credits(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("v", as_index=False)["t"].sum()
+        out["t"] = out["t"].astype("int64")
+        return out
+
+    totals = grouped_map_bucketed(counts.union(zeros), ["v"], _sum_credits, B)
+    with_deg = attach_from_bucketed(totals, "v", deg_dir, B, "vid")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["deg"].to_numpy(np.float64)
+        tri = df["t"].to_numpy(np.int64)
+        denom = d * (d - 1.0)
+        clust = np.divide(2.0 * tri, denom, out=np.zeros(len(d)), where=denom > 0)
+        return pd.DataFrame(
+            {"vertex_id": df["v"].to_numpy(), "triangles": tri, "clustering": clust}
+        )
+
+    return with_deg.map_batches(_final, batch_format="pandas")

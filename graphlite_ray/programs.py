@@ -268,6 +268,146 @@ class WeightedPageRank(PageRank):
         out.sent = len(out.out_dst)
 
 
+class PersonalizedPageRank(PageRank):
+    """Personalized PageRank (random walk with restart to a seed set): the
+    restart mass 0.15 lands ONLY on seed vertices (1.0 each — the same
+    unnormalized scale as the reference program's uniform 0.15,
+    `example/PageRankVertex.cc:163`), so values concentrate around the
+    seeds:
+
+      ss0:   val = 1.0 for seeds, 0 elsewhere; senders with mass send
+             val/outdeg to out-neighbors
+      ss>=1: val = 0.15*[v in seeds] + 0.85 * sum(msgs)
+    Halt rule identical to PageRank (summed |delta| < eps from ss>=2).
+    Only vertices holding mass send — at web scale a localized seed set
+    touches a small neighborhood per superstep instead of every edge."""
+
+    name = "personalized_pagerank"
+
+    def __init__(self, seeds, eps: float = PAGERANK_EPS):
+        super().__init__(eps)
+        self.seeds = np.asarray(sorted({int(s) for s in seeds}), np.int64)
+        if len(self.seeds) == 0:
+            raise ValueError("personalized_pagerank needs >=1 seed vertex")
+        self._seed_mask: np.ndarray | None = None  # per-shard static, cached
+
+    def _smask(self, shard):
+        if self._seed_mask is None:
+            self._seed_mask = np.isin(shard.vids, self.seeds)
+        return self._seed_mask
+
+    def compute(self, ctx, shard, values, active, inbox):
+        mask = active
+        out = ComputeOut(aggr={"delta": 0.0})
+        sm = self._smask(shard)
+        if ctx.superstep == 0:
+            values[mask & sm] = 1.0
+        else:
+            if ctx.superstep >= 2 and ctx.aggr_global["delta"] < self.eps:
+                out.halted = mask.copy()
+                return out
+            sums = np.zeros(shard.n, np.float64)
+            if not inbox.empty:
+                sums[inbox.idx] = inbox.val
+            new = 0.15 * sm.astype(np.float64) + 0.85 * sums
+            out.aggr["delta"] = float(np.abs(values[mask] - new[mask]).sum())
+            values[mask] = new[mask]
+        self._send(out, shard, values, mask)
+        return out
+
+    def _send(self, out, shard, values, mask):
+        send_val = np.divide(
+            values, shard.out_deg, out=np.zeros(shard.n), where=shard.out_deg > 0
+        )
+        # zero-mass vertices contribute nothing — skip their messages
+        out.out_dst, out.out_val = _scatter_to_neighbors(
+            shard, send_val, mask & (send_val != 0.0)
+        )
+        out.sent = len(out.out_dst)
+
+
+class HITS(VertexProgram):
+    """HITS hubs-and-authorities (Kleinberg), L1-normalized, fixed
+    iteration count. The CSR is built over a DIRECTION-TAGGED edge
+    multiset — each input edge (u, v) contributes a forward edge
+    (u, v, w=1) and a reverse edge (v, u, w=2) — so one CSR serves both
+    the A^T (auth) and A (hub) products; the per-edge weight payload is
+    the direction tag (the reference's `Edge.weight` slot,
+    `include/Node.h:46-54`, used as metadata rather than a scalar factor).
+
+    Layer schedule (`values` alternates meaning by superstep parity):
+      ss0:            hub_0 = 1.0 everywhere; send raw values forward
+      ss k, 0<k<2T:   values = inbox_sums / norm  where `norm` is the
+                      SENDING layer's sum, delivered via the aggregator's
+                      k->k+1 visibility (A1 off-by-one); odd k holds
+                      auth_t (received forward), even k holds hub_t
+                      (received reverse); send raw values along the
+                      opposite tag (skipped at k = 2T-1 — nothing
+                      consumes a hub computed after the last auth layer)
+      ss 2T:          final normalize-only step: values /= norm, so the
+                      output is auth_T with sum exactly 1; halt.
+    Each layer is therefore normalized by its predecessor's L1 mass —
+    algebraically identical to normalizing every layer in place."""
+
+    name = "hits"
+    combiner = "sum"
+
+    FWD, REV = 1.0, 2.0
+
+    def __init__(self, iters: int = 4):
+        self.iters = int(iters)
+        if self.iters < 1:
+            raise ValueError("hits needs >=1 iteration")
+        self.max_supersteps = 2 * self.iters + 1
+        self._fwd: np.ndarray | None = None  # per-shard static, cached
+
+    def aggregators(self):
+        return {"norm": AggregatorSpec(init=0.0, op="sum")}
+
+    def init_values(self, shard):
+        return np.zeros(shard.n, np.float64)
+
+    def _fwd_mask(self, shard):
+        if self._fwd is None:
+            if shard.edge_weights is None:
+                raise ValueError(
+                    "HITS requires the direction-tagged edge build "
+                    "(weight 1=forward, 2=reverse); see hits_tagged_edges()"
+                )
+            self._fwd = shard.edge_weights == self.FWD
+        return self._fwd
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut(aggr={"norm": 0.0})
+        k = ctx.superstep
+        final_ss = 2 * self.iters
+        if k == 0:
+            values[:] = 1.0
+        else:
+            norm = ctx.aggr_global["norm"]
+            if k < final_ss:
+                sums = np.zeros(shard.n, np.float64)
+                if not inbox.empty:
+                    sums[inbox.idx] = inbox.val
+                values[:] = sums / norm if norm > 0 else 0.0
+            else:
+                values[:] = values / norm if norm > 0 else 0.0
+                out.halted = active.copy()
+                return out
+        out.aggr["norm"] = float(values.sum())
+        if k < final_ss - 1:
+            fwd = self._fwd_mask(shard)
+            dir_mask = fwd if k % 2 == 0 else ~fwd  # hub layers send forward
+            emask = dir_mask & active[shard.edge_src_local]
+            out.out_dst = shard.indices[emask]
+            out.out_val = values[shard.edge_src_local[emask]]
+            out.sent = len(out.out_dst)
+        return out
+
+    def master_halt(self, superstep, aggr_global, totals):
+        return superstep >= 2 * self.iters
+
+
 class ConnectedComponents(VertexProgram):
     """Weakly-connected components by min-label flood (our documented spec —
     the reference ships no CC program; SURVEY.md §7.1 step 7). Exact:
@@ -447,6 +587,8 @@ class KCore(VertexProgram):
 BUILTIN_PROGRAMS = {
     "pagerank": PageRank,
     "weighted_pagerank": WeightedPageRank,
+    "personalized_pagerank": PersonalizedPageRank,
+    "hits": HITS,
     "connected_components": ConnectedComponents,
     "label_propagation": LabelPropagation,
     "sssp": SSSP,
