@@ -530,6 +530,28 @@ def _q_doc_exact_dedup(sf_dir: str):
     return exact_dedup(docs).select_columns(["doc_id"])
 
 
+def _q_corpus_clean(sf_dir: str):
+    """The composite corpus-cleanup chain (langid -> quality -> exact
+    dedup -> token count) over the documents table AUGMENTED with planted
+    exact duplicates (a re-keyed copy of every 5th doc, id + 1e6) so the
+    dedup stage does real removal work — the oracle replays the same
+    augmentation, filters, group-min dedup and token count in SQL, so a
+    broken stage (filter letting copies through, dedup keeping them, or
+    the wrong survivor id) hash-mismatches."""
+    from graphlite_ray.pipelines.corpus import corpus_clean
+    from graphlite_ray.sources.io import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _with_planted_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = batch[batch["doc_id"] % 5 == 0].copy()
+        dup["doc_id"] = dup["doc_id"] + 1_000_000
+        return pd.concat([batch, dup], ignore_index=True)
+
+    aug = docs.map_batches(_with_planted_dups, batch_format="pandas")
+    return corpus_clean(aug)
+
+
 def _q_doc_tokens(sf_dir: str):
     import ray.data
 
@@ -1131,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # training-data operators over documents/embeddings
         "doc_exact_dedup": _q_doc_exact_dedup,
+        "corpus_clean": _q_corpus_clean,
         "doc_token_df": _q_doc_token_df,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
@@ -1895,6 +1918,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "corpus_clean": (
+            # full SQL replay of the composite chain over the SAME planted-
+            # duplicate augmentation as the query (every 5th doc re-keyed
+            # at id + 1e6): langid == 'en', n_chars >= 120, alpha_ratio >=
+            # 0.8, min-id per distinct text, token count
+            f"WITH lang AS ({_langid_oracle_sql()}), "
+            "aug AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 5 = 0), "
+            "lang_aug AS (SELECT a.doc_id, a.text, l.lang_pred "
+            "FROM aug a JOIN lang l ON l.doc_id = a.doc_id % 1000000), "
+            "keep AS (SELECT doc_id, text FROM lang_aug "
+            "WHERE lang_pred = 'en' AND length(text) >= 120 AND "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+            "/ CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END >= 0.8), "
+            "ded AS (SELECT min(doc_id) AS doc_id, text FROM keep GROUP BY text) "
+            "SELECT doc_id, len(list_filter(regexp_split_to_array(text, "
+            f"'{_WS}'), x -> x <> '')) AS n_tokens FROM ded ORDER BY doc_id"
         ),
         "doc_langid": _langid_oracle_sql(),
         "doc_token_df": (
