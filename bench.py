@@ -77,13 +77,16 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     import numpy as np
     import ray.data
 
+    from graphlite_ray.pipelines.corpus import corpus_clean
     from graphlite_ray.pipelines.linkgraph import (
+        hits_tagged_edges,
         host_edge_counts,
         prepare_edges,
         prepare_graph,
         run_algorithm,
+        run_on_edge_dataset,
     )
-    from graphlite_ray.pipelines.triangles import triangle_count
+    from graphlite_ray.pipelines.triangles import triangle_count, vertex_triangle_counts
     from graphlite_ray.pipelines import relational as R
     from graphlite_ray.sources.io import read_parquet_clean
     from graphlite_ray.sources.pages import pages_path
@@ -117,6 +120,10 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         return out
 
     pages = pages_path(n_pages, seed=42)  # cached: generation cost excluded
+    from graphlite_ray.functions.hashing import ids_from_urls
+    from graphlite_ray.sources.pages import url_of
+
+    ppr_seeds = [int(v) for v in ids_from_urls([url_of(i, n_pages) for i in range(5)])]
     # warm the page cache with one untimed read so we measure compute+shuffle
     ray.data.read_parquet(pages).count()
 
@@ -265,6 +272,34 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
                 B=num_cpus,  # shuffle buckets scale with compute, unlike BSP P
             ),
         )
+        _timed(
+            "vertex_triangles",
+            lambda: vertex_triangle_counts(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                work_dir=f"{work}/vtri",
+                B=num_cpus,
+            ).count(),
+        )
+        _timed(
+            "hits",
+            lambda: run_on_edge_dataset(
+                "hits",
+                hits_tagged_edges(
+                    ray.data.read_parquet(edges_dir, columns=["src", "dst"])
+                ),
+                work,
+                P=P,
+                tag="hitsdir",
+                iters=4,
+            ),
+        )
+        _timed(
+            "personalized_pagerank",
+            lambda: run_algorithm(
+                "personalized_pagerank", pages, work, P=P, seeds=ppr_seeds
+            ),
+        )
+        _timed("corpus_clean", lambda: corpus_clean(docs).count())
         _timed("pricing_summary", lambda: R.q_pricing_summary(sf_dir))
         _timed(
             "doc_quality",
