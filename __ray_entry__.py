@@ -552,6 +552,32 @@ def _q_corpus_clean(sf_dir: str):
     return corpus_clean(aug)
 
 
+def _q_doc_sequence_pack(sf_dir: str):
+    """Streaming sequence packing into 512-token windows (distributed
+    two-pass prefix scan in doc_id order) — oracled by a SQL window
+    running-sum replay; integer arithmetic, bit-exact."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.curation import sequence_pack
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sequence_pack(docs, capacity=512)
+
+
+def _q_doc_stratified_sample(sf_dir: str):
+    """Deterministic 10-per-language sample (Knuth id hash, the shared
+    sampling-hash contract) over LangId predictions — oracled by the
+    langid CTE + a row_number window."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.curation import stratified_sample
+    from graphlite_ray.stages.textstats import LangId
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lang = docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return stratified_sample(
+        lang.select_columns(["doc_id", "lang_pred"]), "lang_pred", k=10
+    )
+
+
 def _q_doc_tokens(sf_dir: str):
     import ray.data
 
@@ -1160,6 +1186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": _q_doc_contamination,
         "doc_pii_scan": _q_doc_pii_scan,
         "doc_sample": _q_doc_sample,
+        "doc_sequence_pack": _q_doc_sequence_pack,
+        "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_split_counts": _q_doc_split,
         "props_rollup": _q_props_rollup,
         "doc_token_count": _q_doc_tokens,
@@ -2019,6 +2047,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id FROM documents "
             "WHERE (doc_id * 2654435761) % 4294967296 % 100 < 5"
+        ),
+        "doc_sequence_pack": (
+            # window running-sum replay of the distributed prefix scan;
+            # capacity 512 matches the query
+            "WITH tc AS (SELECT doc_id, len(list_filter("
+            f"regexp_split_to_array(text, '{_WS}'), x -> x <> '')) AS n_tokens "
+            "FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            ") - n_tokens AS p FROM tc) "
+            "SELECT doc_id, n_tokens, CAST(p // 512 AS BIGINT) AS bin_id, "
+            "CAST(p % 512 AS BIGINT) AS bin_offset FROM s ORDER BY doc_id"
+        ),
+        "doc_stratified_sample": (
+            # 10 per language by the shared Knuth sampling hash, id tiebreak
+            f"WITH lang AS ({_langid_oracle_sql()}), "
+            "h AS (SELECT doc_id, lang_pred, "
+            "(doc_id * 2654435761) % 4294967296 AS hh FROM lang), "
+            "r AS (SELECT doc_id, lang_pred, row_number() OVER ("
+            "PARTITION BY lang_pred ORDER BY hh, doc_id) AS rn FROM h) "
+            "SELECT doc_id, lang_pred FROM r WHERE rn <= 10 ORDER BY doc_id"
         ),
         "doc_split_counts": (
             "SELECT split, count(*) AS n FROM ("

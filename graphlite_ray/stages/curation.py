@@ -1,0 +1,89 @@
+"""Training-data curation operators: sequence packing and stratified
+sampling — the selection/layout steps that run between corpus cleanup and
+tokenized shard writing in an LLM data pipeline. No reference analog
+(GraphLite has no text surface at all); both are north-rule training-data
+operators with exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from graphlite_ray.functions.scan import exclusive_prefix_sum
+from graphlite_ray.stages.textstats import TokenCounter
+
+# doc_sample's Knuth multiplicative hash (stages/textstats.py HashSampler):
+# one sampling-hash definition shared by every curation operator
+KNUTH = 2654435761
+KNUTH_MOD = 1 << 32
+
+
+def sequence_pack(
+    docs: "ray.data.Dataset", capacity: int = 2048
+) -> "ray.data.Dataset":
+    """GPT-style streaming sequence packing: documents are concatenated in
+    doc_id order into fixed `capacity`-token windows; each doc is assigned
+    the window its FIRST token lands in (docs may straddle a boundary).
+
+      (doc_id, text) -> (doc_id, n_tokens, bin_id, bin_offset)
+
+    bin_id = floor(prefix / capacity), bin_offset = prefix % capacity,
+    where prefix = exclusive running token sum in doc_id order — computed
+    with the two-pass distributed scan (`functions.scan`): per-block
+    totals -> driver exclusive-prefix over block metadata -> per-block
+    rescan. The global sort is the only wide step; everything else
+    streams."""
+    counted = docs.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4))
+    ordered = counted.sort("doc_id").materialize()  # scan contract: sorted + stable blocks
+    scanned = exclusive_prefix_sum(ordered, "doc_id", "n_tokens", out_col="prefix")
+
+    def _bins(t: pa.Table) -> pa.Table:
+        p = t["prefix"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "bin_id": p // capacity,
+                "bin_offset": p % capacity,
+            }
+        )
+
+    return scanned.map_batches(_bins, batch_format="pyarrow")
+
+
+def stratified_sample(
+    docs: "ray.data.Dataset",
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic k-per-stratum sample: within each stratum keep the k
+    rows with the smallest Knuth hash of the id (ties -> smaller id).
+    Skew-safe at scale: each batch pre-prunes to its local top-k per
+    stratum, so the final per-stratum groupby sees at most k * n_blocks
+    rows regardless of stratum size."""
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):  # same wrap as HashSampler/SplitAssigner
+            h = (ids * np.uint64(KNUTH)) % np.uint64(KNUTH_MOD)
+        out = df.assign(__h=h).sort_values(["__h", id_col])
+        return out.groupby(strata_col, sort=False).head(k)
+
+    pruned = docs.map_batches(_local_topk, batch_format="pandas")
+
+    def _final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["__h", id_col])
+            .groupby(strata_col, sort=False)
+            .head(k)
+            .drop(columns="__h")
+        )
+
+    # strata cardinality is small (languages, splits, buckets): a per-key
+    # groupby is a handful of groups, not a per-row loop
+    return pruned.groupby(strata_col).map_groups(_final_topk, batch_format="pandas")
