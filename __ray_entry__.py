@@ -496,6 +496,28 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _q_link_prediction(sf_dir: str):
+    """Common-neighbor link-prediction scores (CN / Adamic-Adar / Jaccard)
+    for distance-2 non-edge pairs of the simple page graph with >= 2
+    common neighbors — wedge emit bucketed by center, pair-sum bucketed by
+    the unordered pair. CN and Jaccard (one int division) are bit-exact;
+    Adamic-Adar is a float SUM of 1/ln(deg) terms, rounded to 6 on both
+    sides (same convention as the PageRank value columns)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.linkpred import link_prediction_scores
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    df = link_prediction_scores(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]), min_common=2
+    ).to_pandas()
+    df["adamic_adar"] = _round_half_away(df["adamic_adar"], 6)
+    df["jaccard"] = _round_half_away(df["jaccard"], 6)
+    return df.sort_values(["u", "v"], ignore_index=True)
+
+
 def _q_degree_histogram(sf_dir: str):
     """Out-degree distribution of the page multigraph (dst-only vertices
     at degree 0)."""
@@ -1143,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_triangles": _q_vertex_triangles,
         "graph_reciprocity": _q_reciprocity,
         "degree_histogram": _q_degree_histogram,
+        "link_prediction": _q_link_prediction,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
         "host_pagerank": _q_host_pagerank,
@@ -1756,6 +1779,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_vertices "
             "FROM verts LEFT JOIN od ON od.v = verts.v "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "link_prediction": (
+            # independent replay: undirected adjacency self-join wedges,
+            # per-pair CN/AA sums, degree join for Jaccard, existing-edge
+            # anti-join — vs the pipeline's bucketed wedge shuffle
+            f"WITH d AS (SELECT DISTINCT least(src, dst) AS lo, "
+            f"greatest(src, dst) AS hi FROM read_parquet('{edges_glob}') "
+            "WHERE src <> dst), "
+            "und AS (SELECT lo AS v, hi AS n FROM d "
+            "UNION ALL SELECT hi, lo FROM d), "
+            "deg AS (SELECT v, count(*) AS dg FROM und GROUP BY v), "
+            "wed AS (SELECT a.n AS u, b.n AS w, a.v AS c "
+            "FROM und a JOIN und b ON a.v = b.v AND a.n < b.n), "
+            "pairs AS (SELECT u, w, count(*) AS cn, "
+            "sum(1.0 / ln(dc.dg)) AS aa "
+            "FROM wed JOIN deg dc ON dc.v = wed.c GROUP BY u, w) "
+            "SELECT p.u AS u, p.w AS v, "
+            "CAST(p.cn AS BIGINT) AS common_neighbors, "
+            "ROUND(p.aa, 6) AS adamic_adar, "
+            "ROUND(p.cn / (du.dg + dw.dg - p.cn), 6) AS jaccard "
+            "FROM pairs p JOIN deg du ON du.v = p.u "
+            "JOIN deg dw ON dw.v = p.w "
+            "WHERE p.cn >= 2 AND NOT EXISTS "
+            "(SELECT 1 FROM d WHERE d.lo = p.u AND d.hi = p.w) "
+            "ORDER BY u, v"
         ),
         # --- embedding oracles (independent: list_cosine_similarity) -----
         "emb_knn": (
