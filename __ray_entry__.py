@@ -496,6 +496,47 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+_NF_RADIUS = 4
+_NF_SOURCE_MOD = 8  # sources = vertices with vid % 8 == 0 (uniform over hashed ids)
+
+
+def _q_graph_neighborhood(sf_dir: str):
+    """EXACT neighborhood function N(t): ordered pairs (u in sources, v)
+    with d(u -> v) <= t over the directed page graph, t = 0..4, from the
+    deterministic vid%8 source set — multi-source BFS wavefronts in the
+    BSP engine, DuckDB-oracled by a recursive-walk min-distance CTE.
+    The exact sibling of `graph_neighborhood_approx`."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+    from graphlite_ray.pipelines.neighborhood import neighborhood_table
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm(
+        "neighborhood_exact", pages, work, P=8, resume=True,
+        radius=_NF_RADIUS, source_mod=_NF_SOURCE_MOD,
+    )
+    return neighborhood_table(res, exact=True)
+
+
+def _q_graph_neighborhood_approx(sf_dir: str):
+    """HyperBall estimate of the same neighborhood function (p=6 -> 64
+    registers/vertex, fixed memory per vertex at any graph size) — the
+    scale path. Approximate by design: rows-only driver check; accuracy
+    vs the exact sibling is asserted in pytest (rel err < 0.2) and
+    quantified per bench run."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+    from graphlite_ray.pipelines.neighborhood import neighborhood_table
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm(
+        "hyperball", pages, work, P=8, resume=True,
+        p=6, radius=_NF_RADIUS, source_mod=_NF_SOURCE_MOD,
+    )
+    df = neighborhood_table(res, exact=False)
+    df["new_pairs"] = _round_half_away(df["new_pairs"], 3)
+    df["cum_pairs"] = _round_half_away(df["cum_pairs"], 3)
+    return df
+
+
 def _q_link_prediction(sf_dir: str):
     """Common-neighbor link-prediction scores (CN / Adamic-Adar / Jaccard)
     for distance-2 non-edge pairs of the simple page graph with >= 2
@@ -1166,6 +1207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reciprocity": _q_reciprocity,
         "degree_histogram": _q_degree_histogram,
         "link_prediction": _q_link_prediction,
+        "graph_neighborhood": _q_graph_neighborhood,
+        "graph_neighborhood_approx": _q_graph_neighborhood_approx,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
         "host_pagerank": _q_host_pagerank,
@@ -1780,6 +1823,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM verts LEFT JOIN od ON od.v = verts.v "
             "GROUP BY 1 ORDER BY 1"
         ),
+        "graph_neighborhood": (
+            # exact neighborhood function from the vid%8 source set:
+            # min-distance per (seed, vertex) pair via the same
+            # recursive-walk pattern as the sssp oracle, multi-source
+            f"WITH RECURSIVE e AS (SELECT DISTINCT src, dst "
+            f"FROM read_parquet('{edges_glob}') WHERE src <> dst), "
+            f"verts AS (SELECT DISTINCT src AS v FROM read_parquet('{edges_glob}') "
+            f"UNION SELECT DISTINCT dst FROM read_parquet('{edges_glob}')), "
+            f"seeds AS (SELECT v FROM verts WHERE v % {_NF_SOURCE_MOD} = 0), "
+            "walk(s, v, d) AS ("
+            "SELECT v, v, 0 FROM seeds "
+            "UNION "
+            "SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v "
+            f"WHERE w.d < {_NF_RADIUS}), "
+            "md AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v) "
+            "SELECT d AS t, CAST(count(*) AS BIGINT) AS new_pairs, "
+            "CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_pairs "
+            "FROM md GROUP BY d ORDER BY d"
+        ),
+        # graph_neighborhood_approx: OMITTED on purpose — HyperBall is
+        # approximate by design (HLL registers); its accuracy is asserted
+        # against the ORACLED exact sibling in pytest (rel err < 0.2) and
+        # quantified per bench run, same pattern as distinct_users_approx.
         "link_prediction": (
             # independent replay: undirected adjacency self-join wedges,
             # per-pair CN/AA sums, degree join for Jaccard, existing-edge

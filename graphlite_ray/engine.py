@@ -221,6 +221,15 @@ def _run_bsp_attempt(
             if m.get("halted"):  # already complete: no actors needed
                 result.final_superstep = m["superstep"]
                 result.halted = True
+                # final aggregator state (decoded) so history-bearing
+                # aggregators (e.g. the neighborhood `hist`) survive the
+                # early return exactly like a fresh run's last superstep
+                result.aggr_history = [
+                    {
+                        k: (specs[k].from_json(v) if k in specs else v)
+                        for k, v in m.get("aggr_global", {}).items()
+                    }
+                ]
                 return result
             restore_from = m
 

@@ -39,6 +39,63 @@ def mix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (0 -> 0). Branchless
+    shift cascade — 6 numpy passes, exact for the FULL 64-bit range
+    (unlike the frexp trick, which float64 rounding limits to <= 53-bit
+    suffixes; see `HyperLogLog.add_hashes`)."""
+    x = x.astype(np.uint64)
+    n = np.zeros(x.shape, np.uint8)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        big = x >= (np.uint64(1) << s)
+        n[big] += np.uint8(shift)
+        x = np.where(big, x >> s, x)
+    return n + (x > 0).astype(np.uint8)
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constants (Flajolet et al. 2007) — the small-m
+    table the closed-form approximation replaces at m >= 128."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def init_registers(ids: np.ndarray, p: int) -> np.ndarray:
+    """Per-row dense HLL registers (n, 2^p) uint8 for SINGLE-element sets
+    {mix64(id)} — the HyperBall counter seed. Any 4 <= p <= 18 (rho uses
+    the exact `bit_length_u64`, not the frexp trick)."""
+    assert 4 <= p <= 18
+    m = 1 << p
+    h = mix64(np.asarray(ids, np.int64))
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - p)) - 1)
+    rho = ((64 - p) - bit_length_u64(rem) + 1).astype(np.uint8)
+    regs = np.zeros((len(h), m), np.uint8)
+    regs[np.arange(len(h)), bucket] = rho
+    return regs
+
+
+def estimate_registers(regs: np.ndarray) -> np.ndarray:
+    """Vectorized bias-corrected HLL estimate per ROW of an (n, m) uint8
+    register matrix (same estimator as `HyperLogLog.estimate`, including
+    the linear-counting small-range correction)."""
+    n, m = regs.shape
+    inv = np.power(2.0, -regs.astype(np.float64))
+    E = _hll_alpha(m) * m * m / inv.sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (E <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        with np.errstate(divide="ignore"):
+            E = np.where(small, m * np.log(m / np.maximum(zeros, 1)), E)
+    return E
+
+
 class HyperLogLog:
     """Dense HLL with 2^p uint8 registers (p=12 -> 4 KiB partials).
 

@@ -162,6 +162,21 @@ class VertexProgram:
         `BSPResult` after termination (including a resume that finds the
         run already complete)."""
 
+    def extra_state(self) -> Optional[dict]:
+        """Opaque per-partition program state to persist alongside each
+        checkpoint (dict of equal-length 1-D numpy columns -> one parquet
+        per partition), restored via `load_extra` on resume. Programs
+        whose state is not fully captured by (values, active, in-flight
+        messages) — e.g. `NeighborhoodExact`'s reached-pair set — MUST
+        round-trip it here or mid-run resume silently corrupts them."""
+        return None
+
+    def load_extra(self, state: dict) -> None:
+        raise NotImplementedError(
+            f"{self.name}: checkpoint has extra state but the program "
+            "defines no load_extra()"
+        )
+
 
 def _scatter_to_neighbors(shard: CSRShard, per_vertex_val: np.ndarray, sender_mask: np.ndarray):
     """sendMessageToAllNeighbors, vectorized (`engine/Node.cc:139-145`):
@@ -584,6 +599,250 @@ class KCore(VertexProgram):
         return out
 
 
+def _gather_out_edges(shard: CSRShard, rows: np.ndarray):
+    """All out-edges of the given local rows: (dst_global, row_map) where
+    row_map[i] indexes back into `rows` — vectorized variable-run gather
+    over the CSR row structure."""
+    starts = shard.indptr[rows]
+    counts = shard.indptr[rows + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    base = np.repeat(starts, counts)
+    offsets = np.repeat(np.cumsum(counts) - counts, counts)
+    pos = base + (np.arange(total, dtype=np.int64) - offsets)
+    return shard.indices[pos], np.repeat(np.arange(len(rows), dtype=np.int64), counts)
+
+
+_REACH_DTYPE = np.dtype([("v", "<i8"), ("s", "<i8")])
+
+
+def _dict_sum(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return out
+
+
+def _hist_aggr() -> AggregatorSpec:
+    """{superstep -> value} accumulated ACROSS supersteps: every partition
+    emits its own superstep's contribution and partition 0 re-emits the
+    accumulated past from `aggr_global` (the k -> k+1 visibility), so the
+    FINAL aggregator value is the full per-superstep history. Because it
+    lives in `aggr_global`, it rides every checkpoint manifest — resume
+    (and the already-complete early return) reconstructs the whole curve,
+    which a plain per-superstep scalar cannot (`result.aggr_history` only
+    covers the supersteps of the LAST attempt)."""
+    return AggregatorSpec(
+        init={},
+        merge_fn=_dict_sum,
+        encode=lambda d: {str(k): v for k, v in d.items()},
+        decode=lambda d: {int(k): v for k, v in d.items()},
+    )
+
+
+class NeighborhoodExact(VertexProgram):
+    """EXACT neighborhood function: per-superstep counts of ordered pairs
+    (u in sources, v) with shortest distance d(u -> v) = t, via multi-source
+    BFS wavefronts — source ids propagate along edges; a vertex records a
+    source the first superstep it arrives (= the exact distance) and
+    forwards only NEW sources. `aggr_history[t]["new_pairs"]` is the t-th
+    wavefront size; the per-vertex value is |{u in sources: d(u, v) <=
+    radius}| (the in-ball ∩ sources, self included for source vertices).
+
+    This is the exact sibling of `HyperBall` (same pairing as
+    distinct_users / distinct_users_approx): message volume is
+    O(reached pairs x out-degree), which is the quadratic cost HyperBall's
+    fixed-size counters remove at web scale — run it with a restricted
+    source set (or small radius) on big graphs.
+
+    Reference analog: none (the reference ships no distance analytics);
+    built on the same BSP surface as `example/sssp.cc`-style programs.
+    The reached-pair set is per-partition extra state, round-tripped
+    through checkpoints via `extra_state`/`load_extra` so mid-run resume
+    stays exact (tested)."""
+
+    name = "neighborhood_exact"
+    combiner = "max_by_key"
+
+    def __init__(self, radius: int = 4, source_mod: int | None = None):
+        self.radius = int(radius)
+        if self.radius < 1:
+            raise ValueError("radius must be >= 1")
+        self.max_supersteps = self.radius + 1
+        # sources = vertices with vid % source_mod == 0 (None = all):
+        # deterministic, uniform over hashed ids, SQL-replicable
+        self.source_mod = source_mod
+        # aggregator-schema version: folded into config_hash so manifests
+        # written before the `hist` aggregator existed are never resumed
+        self.aggr_schema = 1
+        self._reached: np.ndarray | None = None  # sorted (_REACH_DTYPE)
+
+    def aggregators(self):
+        return {"new_pairs": AggregatorSpec(init=0, op="sum"), "hist": _hist_aggr()}
+
+    def init_values(self, shard):
+        return np.zeros(shard.n, np.float64)
+
+    def extra_state(self):
+        if self._reached is None:
+            return None
+        return {"v": self._reached["v"].copy(), "s": self._reached["s"].copy()}
+
+    def load_extra(self, state):
+        r = np.empty(len(state["v"]), _REACH_DTYPE)
+        r["v"], r["s"] = state["v"], state["s"]
+        r.sort(order=["v", "s"])
+        self._reached = r
+
+    def _source_rows(self, shard):
+        if self.source_mod is None:
+            return np.arange(shard.n, dtype=np.int64)
+        return np.flatnonzero(shard.vids % self.source_mod == 0)
+
+    def _emit_hist(self, out, ctx, contribution):
+        hist = {ctx.superstep: contribution}
+        if ctx.part_id == 0:  # carry the accumulated past forward
+            hist = _dict_sum(ctx.aggr_global.get("hist", {}), hist)
+        out.aggr["hist"] = hist
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut(aggr={"new_pairs": 0})
+        if ctx.superstep == 0:
+            srows = self._source_rows(shard)
+            reached = np.empty(len(srows), _REACH_DTYPE)
+            reached["v"] = shard.vids[srows]
+            reached["s"] = shard.vids[srows]
+            reached.sort(order=["v", "s"])
+            self._reached = reached
+            values[srows] += 1.0  # d(u, u) = 0: source in its own ball
+            out.aggr["new_pairs"] = len(srows)  # the t=0 self pairs
+            dsts, row_map = _gather_out_edges(shard, srows)
+            out.out_dst = dsts
+            out.out_key = shard.vids[srows][row_map]
+            out.out_val = np.ones(len(dsts), np.int64)
+            out.sent = len(dsts)
+            out.halted = active.copy()  # reactivate-on-message wavefronts
+            self._emit_hist(out, ctx, len(srows))
+            return out
+        if not inbox.empty:
+            cand = np.empty(len(inbox.idx), _REACH_DTYPE)
+            cand["v"] = shard.vids[inbox.idx]
+            cand["s"] = inbox.key
+            if len(self._reached):
+                pos = np.clip(
+                    np.searchsorted(self._reached, cand), 0, len(self._reached) - 1
+                )
+                new = self._reached[pos] != cand
+            else:
+                new = np.ones(len(cand), bool)
+            n_new = int(new.sum())
+            if n_new:
+                self._reached = np.sort(
+                    np.concatenate([self._reached, cand[new]]), order=["v", "s"]
+                )
+                np.add.at(values, inbox.idx[new], 1.0)
+                out.aggr["new_pairs"] = n_new
+                if ctx.superstep < self.radius:  # last wave is never consumed
+                    rows = inbox.idx[new]
+                    dsts, row_map = _gather_out_edges(shard, rows)
+                    out.out_dst = dsts
+                    out.out_key = inbox.key[new][row_map]
+                    out.out_val = np.ones(len(dsts), np.int64)
+                    out.sent = len(dsts)
+        out.halted = active.copy()
+        self._emit_hist(out, ctx, out.aggr["new_pairs"])
+        return out
+
+
+class HyperBall(VertexProgram):
+    """HyperBall (Boldi & Vigna, "HyperBall: a system for computing the
+    neighborhood function") re-expressed as a vertex program: every vertex
+    holds a dense HLL counter of its in-ball-so-far; one superstep unions
+    each counter into its out-neighbors' counters (elementwise register
+    max = the `max_by_key` combiner, commutative/associative, so producer
+    combining and delivery order cannot change the result). Only registers
+    that INCREASED are forwarded (the standard changed-counter
+    optimization); a vertex with no register growth stays halted until a
+    message reactivates it, so the run terminates at the (effective)
+    radius cap or when every ball is stable.
+
+    `aggr_history[t]["nf_delta"]` sums per-vertex estimate growth, so the
+    cumulative sum is the neighborhood-function estimate N_hat(t) =
+    sum_v |ball(v, t)|_est (telescoping; N_hat(0) = superstep 0's delta).
+    Per-vertex state is the (n, 2^p) uint8 register matrix — vector-valued
+    vertex values, checkpointed as a fixed-size-list column (resume-safe
+    with NO extra state, unlike `NeighborhoodExact`).
+
+    At 10^12 vertices this is THE neighborhood-function shape: counters
+    are fixed 2^p bytes per vertex, messages are (dst, register, value)
+    triples pre-combined per partition pair — volume O(changed registers),
+    never O(pairs)."""
+
+    name = "hyperball"
+    combiner = "max_by_key"
+
+    def __init__(self, p: int = 6, radius: int = 8, source_mod: int | None = None):
+        from graphlite_ray.functions.sketches import (  # noqa: PLC0415
+            estimate_registers,
+            init_registers,
+        )
+
+        self.p = int(p)
+        self.m = 1 << self.p
+        self.radius = int(radius)
+        self.max_supersteps = self.radius + 1
+        self.source_mod = source_mod
+        self.aggr_schema = 1  # see NeighborhoodExact
+        self._init_registers = init_registers
+        self._estimate = estimate_registers
+
+    def aggregators(self):
+        return {"nf_delta": AggregatorSpec(init=0.0, op="sum"), "hist": _hist_aggr()}
+
+    _emit_hist = NeighborhoodExact._emit_hist
+
+    def init_values(self, shard):
+        regs = self._init_registers(shard.vids, self.p)
+        if self.source_mod is not None:
+            regs[shard.vids % self.source_mod != 0] = 0  # empty counter
+        return regs
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut(aggr={"nf_delta": 0.0})
+        if ctx.superstep == 0:
+            out.aggr["nf_delta"] = float(self._estimate(values).sum())
+            rows, keys = np.nonzero(values)  # one register per source vertex
+            if len(rows):
+                dsts, row_map = _gather_out_edges(shard, rows)
+                out.out_dst = dsts
+                out.out_key = keys[row_map].astype(np.int64)
+                out.out_val = values[rows, keys][row_map].astype(np.int64)
+                out.sent = len(dsts)
+            out.halted = active.copy()
+            self._emit_hist(out, ctx, out.aggr["nf_delta"])
+            return out
+        if not inbox.empty:
+            cur = values[inbox.idx, inbox.key]
+            inc = inbox.val > cur
+            if inc.any():
+                touched = np.unique(inbox.idx[inc])
+                before = self._estimate(values[touched]).sum()
+                values[inbox.idx[inc], inbox.key[inc]] = inbox.val[inc]
+                after = self._estimate(values[touched]).sum()
+                out.aggr["nf_delta"] = float(after - before)
+                if ctx.superstep < self.radius:
+                    rows = inbox.idx[inc]
+                    dsts, row_map = _gather_out_edges(shard, rows)
+                    out.out_dst = dsts
+                    out.out_key = inbox.key[inc][row_map]
+                    out.out_val = inbox.val[inc][row_map].astype(np.int64)
+                    out.sent = len(dsts)
+        out.halted = active.copy()
+        self._emit_hist(out, ctx, out.aggr["nf_delta"])
+        return out
+
+
 BUILTIN_PROGRAMS = {
     "pagerank": PageRank,
     "weighted_pagerank": WeightedPageRank,
@@ -593,4 +852,6 @@ BUILTIN_PROGRAMS = {
     "label_propagation": LabelPropagation,
     "sssp": SSSP,
     "kcore": KCore,
+    "neighborhood_exact": NeighborhoodExact,
+    "hyperball": HyperBall,
 }

@@ -85,12 +85,33 @@ def combine_sum_by_key(dst: np.ndarray, key: np.ndarray, cnt: np.ndarray):
     return d[starts], k[starts], np.add.reduceat(c, starts)
 
 
+def combine_max_by_key(dst: np.ndarray, key: np.ndarray, val: np.ndarray):
+    """max per (dst, key) — the keyed-register combiner (HyperBall counter
+    union is an elementwise register max; max is commutative/associative,
+    so producer-side combining is exact, §2.12)."""
+    order = np.lexsort((key, dst))
+    d, k, v = dst[order], key[order], val[order]
+    first = np.ones(len(d), bool)
+    first[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(first)
+    return d[starts], k[starts], np.maximum.reduceat(v, starts)
+
+
+_BY_KEY = ("sum_by_key", "max_by_key")
+
+
+def _combine_by_key(combiner: str, dst, key, val):
+    if combiner == "max_by_key":
+        return combine_max_by_key(dst, key, val)
+    return combine_sum_by_key(dst, key, val)
+
+
 def _combine_block(combiner: str, block: tuple) -> tuple:
     if combiner == "sum":
         return combine_sum(block[0], block[1])
     if combiner == "min":
         return combine_min(block[0], block[1])
-    return combine_sum_by_key(block[0], block[1], block[2])
+    return _combine_by_key(combiner, block[0], block[1], block[2])
 
 
 # ------------------------------------------------------------------- worker
@@ -160,10 +181,10 @@ class PartitionWorker:
                 val = np.concatenate([b[2] for b in blocks])
                 inbox = Inbox(idx=idx, val=val, src=src)
                 self.active[idx] = True  # duplicate indices are fine for a bool set
-            elif combiner == "sum_by_key":
+            elif combiner in _BY_KEY:
                 key = np.concatenate([b[1] for b in blocks])
                 cnt = np.concatenate([b[2] for b in blocks])
-                i2, k2, c2 = combine_sum_by_key(idx, key, cnt)
+                i2, k2, c2 = _combine_by_key(combiner, idx, key, cnt)
                 inbox = Inbox(idx=i2, val=c2, key=k2)
                 self.active[i2] = True  # duplicate indices are fine for a bool set
             elif combiner == "sum":
@@ -201,8 +222,8 @@ class PartitionWorker:
         if out.out_dst is not None and len(out.out_dst):
             if combiner == "none":
                 payload = (out.out_dst, out.out_src, out.out_val)  # uncombined
-            elif combiner == "sum_by_key":
-                d, k, c = combine_sum_by_key(out.out_dst, out.out_key, out.out_val)
+            elif combiner in _BY_KEY:
+                d, k, c = _combine_by_key(combiner, out.out_dst, out.out_key, out.out_val)
                 payload = (d, k, c)
             else:
                 d, v = _combine_block(combiner, (out.out_dst, out.out_val))
@@ -237,21 +258,32 @@ class PartitionWorker:
     def checkpoint(self, superstep: int, ckpt_dir: str) -> dict:
         d = storage.join(ckpt_dir, f"ss_{superstep}")
         storage.makedirs(d)
+        if self.values.ndim == 2:
+            # vector-valued vertex state (e.g. HyperBall registers) as a
+            # fixed-size-list column — restores and reads back zero-copy
+            value_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(self.values.reshape(-1)), self.values.shape[1]
+            )
+        else:
+            value_col = pa.array(self.values)
         vt = pa.table(
             {
                 "vertex_id": self.shard.vids,
-                "value": self.values,
+                "value": value_col,
                 "active": self.active,
             }
         )
         _atomic(vt, storage.join(d, f"values_p{self.part_id}.parquet"))
+        extra = self.program.extra_state()
+        if extra is not None:
+            _atomic(pa.table(extra), storage.join(d, f"extra_p{self.part_id}.parquet"))
         n_msg_rows = 0
         for j, b in self.last_out.items():
             path = storage.join(d, f"msgs_s{self.part_id}_d{j}.parquet")
             if b is None:
                 continue
             cols = {"dst": b[0]}
-            if self.program.combiner == "sum_by_key":
+            if self.program.combiner in _BY_KEY:
                 cols["key"], cols["cnt"] = b[1], b[2]
             elif self.program.combiner == "none":
                 cols["src"], cols["val"] = b[1], b[2]
@@ -266,14 +298,25 @@ class PartitionWorker:
         vt = storage.read_table(storage.join(d, f"values_p{self.part_id}.parquet"))
         vids = vt["vertex_id"].to_numpy(zero_copy_only=False)
         rows = self.shard.local_index(vids)
-        self.values[rows] = vt["value"].to_numpy(zero_copy_only=False)
+        if self.values.ndim == 2:
+            col = vt["value"].combine_chunks()
+            flat = col.values.to_numpy(zero_copy_only=False)
+            self.values[rows] = flat.reshape(len(vids), self.values.shape[1])
+        else:
+            self.values[rows] = vt["value"].to_numpy(zero_copy_only=False)
         self.active[:] = False
         self.active[rows] = vt["active"].to_numpy(zero_copy_only=False)
+        extra_path = storage.join(d, f"extra_p{self.part_id}.parquet")
+        if storage.exists(extra_path):
+            et = storage.read_table(extra_path)
+            self.program.load_extra(
+                {c: et[c].to_numpy(zero_copy_only=False) for c in et.column_names}
+            )
         blocks = []
         names = fnmatch.filter(storage.listdir(d), f"msgs_s*_d{self.part_id}.parquet")
         for name in sorted(names):
             t = storage.read_table(storage.join(d, name))
-            if self.program.combiner == "sum_by_key":
+            if self.program.combiner in _BY_KEY:
                 blocks.append(
                     (
                         t["dst"].to_numpy(zero_copy_only=False),
