@@ -1142,6 +1142,21 @@ def _q_doc_heavy_hitters(sf_dir: str):
     return token_heavy_hitters(docs, k=20)
 
 
+def _q_doc_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle with exact 0-based positions
+    (distributed sort + block-metadata prefix scan) — DuckDB-oracled via
+    the same Knuth modular arithmetic + row_number replay."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.curation import corpus_shuffle
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (
+        corpus_shuffle(docs, seed=7)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic 5% hash sample (leakage-free corpus sampling) —
     DuckDB-oracled via the same SQL-replicable Knuth hash as the split."""
@@ -1252,6 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": _q_doc_contamination,
         "doc_pii_scan": _q_doc_pii_scan,
         "doc_sample": _q_doc_sample,
+        "doc_shuffle": _q_doc_shuffle,
         "doc_sequence_pack": _q_doc_sequence_pack,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_split_counts": _q_doc_split,
@@ -2161,6 +2177,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id FROM documents "
             "WHERE (doc_id * 2654435761) % 4294967296 % 100 < 5"
+        ),
+        "doc_shuffle": (
+            # seeded knuth31 high bits + id low bits; rank replayed by
+            # row_number over the reconstructed key (seed 7, see query)
+            "WITH k AS (SELECT doc_id, "
+            "(((doc_id + 7) * 2654435761) % 4294967296 // 2) * 4294967296 "
+            "+ doc_id AS shuffle_key FROM documents) "
+            "SELECT doc_id, shuffle_key, "
+            "CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) "
+            "AS position FROM k ORDER BY doc_id"
         ),
         "doc_sequence_pack": (
             # window running-sum replay of the distributed prefix scan;

@@ -87,3 +87,38 @@ def stratified_sample(
     # strata cardinality is small (languages, splits, buckets): a per-key
     # groupby is a handful of groups, not a per-row loop
     return pruned.groupby(strata_col).map_groups(_final_topk, batch_format="pandas")
+
+
+def corpus_shuffle(
+    docs: "ray.data.Dataset", seed: int = 0, id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Deterministic seeded global shuffle for training-data export:
+
+      (doc_id, ...) -> (doc_id, shuffle_key, position)
+
+    shuffle_key = knuth31(doc_id + seed) * 2^32 + doc_id — unique (the id
+    rides the low bits), seeded, and plain modular arithmetic on BIGINTs
+    so a SQL oracle replays it exactly. The order is one distributed sort
+    on the key; `position` (0-based global rank) comes from the two-pass
+    block-metadata prefix scan — no row data ever gathers on the driver,
+    and positions make the downstream shard writer resumable (position
+    range -> shard file). Requires 0 <= id < 2^31 (the guard raises):
+    wider ids need a 64-bit mix + HUGEINT oracle, a documented boundary."""
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError("corpus_shuffle requires 0 <= id < 2^31")
+        h31 = ((ids + seed) * KNUTH % KNUTH_MOD) // 2
+        return pa.table(
+            {
+                id_col: ids,
+                "shuffle_key": h31 * KNUTH_MOD + ids,
+                "__one": np.ones(len(ids), np.int64),
+            }
+        )
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    ordered = keyed.sort("shuffle_key").materialize()  # scan contract
+    scanned = exclusive_prefix_sum(ordered, "shuffle_key", "__one", out_col="position")
+    return scanned.drop_columns(["__one"])

@@ -86,3 +86,32 @@ def test_stratified_sample_exact_and_skew_safe():
     want = set(map(tuple, exp.to_numpy()))
     assert got == want
     assert out.groupby("lang").size().max() == k
+
+
+def test_corpus_shuffle_positions_are_exact_seeded_permutation():
+    from graphlite_ray.stages.curation import KNUTH, KNUTH_MOD, corpus_shuffle
+
+    ids = np.random.default_rng(1).permutation(4000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids})).repartition(9)
+    out = corpus_shuffle(ds, seed=13).to_pandas().sort_values("doc_id", ignore_index=True)
+    # driver-side replay
+    h31 = ((ids + 13) * KNUTH % KNUTH_MOD) // 2
+    key = h31 * KNUTH_MOD + ids
+    want = pd.DataFrame({"doc_id": ids, "shuffle_key": key})
+    want["position"] = want["shuffle_key"].rank(method="first").astype(np.int64) - 1
+    want = want.sort_values("doc_id", ignore_index=True)
+    assert (out["shuffle_key"].to_numpy() == want["shuffle_key"].to_numpy()).all()
+    assert (out["position"].to_numpy() == want["position"].to_numpy()).all()
+    # positions are a permutation of 0..n-1
+    assert sorted(out["position"].tolist()) == list(range(4000))
+    # a different seed produces a different order
+    out2 = corpus_shuffle(ds, seed=14).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert (out2["position"].to_numpy() != out["position"].to_numpy()).any()
+
+
+def test_corpus_shuffle_rejects_wide_ids():
+    from graphlite_ray.stages.curation import corpus_shuffle
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": np.array([1, 1 << 31], np.int64)}))
+    with pytest.raises(Exception, match="2\\^31"):
+        corpus_shuffle(ds).to_pandas()
