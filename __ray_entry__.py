@@ -537,6 +537,27 @@ def _q_graph_neighborhood_approx(sf_dir: str):
     return df
 
 
+def _q_graph_bowtie(sf_dir: str):
+    """Broder bowtie decomposition relative to the max-out-degree pivot
+    (min id on ties): two SSSP reachability wavefronts (forward; backward
+    over the streamed reversed edges) + one bucketed class shuffle —
+    DuckDB-oracled via two recursive reachability walks and the same
+    pivot rule."""
+    import ray.data
+
+    from graphlite_ray.pipelines.bowtie import bowtie_classes
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"])
+    return (
+        bowtie_classes(edges, os.path.join(work, "bowtie"), P=8, resume=True)
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+
+
 def _q_link_prediction(sf_dir: str):
     """Common-neighbor link-prediction scores (CN / Adamic-Adar / Jaccard)
     for distance-2 non-edge pairs of the simple page graph with >= 2
@@ -1224,6 +1245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": _q_link_prediction,
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
+        "graph_bowtie": _q_graph_bowtie,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
         "host_pagerank": _q_host_pagerank,
@@ -1845,8 +1867,9 @@ def oracle_sql() -> dict[str, str]:
             # recursive-walk pattern as the sssp oracle, multi-source
             f"WITH RECURSIVE e AS (SELECT DISTINCT src, dst "
             f"FROM read_parquet('{edges_glob}') WHERE src <> dst), "
-            f"verts AS (SELECT DISTINCT src AS v FROM read_parquet('{edges_glob}') "
-            f"UNION SELECT DISTINCT dst FROM read_parquet('{edges_glob}')), "
+            f"verts AS (SELECT DISTINCT v FROM (SELECT src AS v "
+            f"FROM read_parquet('{edges_glob}') UNION ALL "
+            f"SELECT dst FROM read_parquet('{edges_glob}'))), "
             f"seeds AS (SELECT v FROM verts WHERE v % {_NF_SOURCE_MOD} = 0), "
             "walk(s, v, d) AS ("
             "SELECT v, v, 0 FROM seeds "
@@ -1857,6 +1880,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d AS t, CAST(count(*) AS BIGINT) AS new_pairs, "
             "CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_pairs "
             "FROM md GROUP BY d ORDER BY d"
+        ),
+        "graph_bowtie": (
+            # pivot = max out-degree (parallel edges count), min id tie;
+            # fwd/bwd reachability via recursive UNION walks, then CASE
+            f"WITH RECURSIVE e AS (SELECT DISTINCT src, dst "
+            f"FROM read_parquet('{edges_glob}')), "
+            f"od AS (SELECT src AS v, count(*) AS d "
+            f"FROM read_parquet('{edges_glob}') GROUP BY src), "
+            "pv AS (SELECT v FROM od ORDER BY d DESC, v LIMIT 1), "
+            "fwd(v) AS (SELECT v FROM pv "
+            "UNION SELECT e.dst FROM fwd JOIN e ON e.src = fwd.v), "
+            "bwd(v) AS (SELECT v FROM pv "
+            "UNION SELECT e.src FROM bwd JOIN e ON e.dst = bwd.v), "
+            f"verts AS (SELECT DISTINCT v FROM (SELECT src AS v "
+            f"FROM read_parquet('{edges_glob}') UNION ALL "
+            f"SELECT dst FROM read_parquet('{edges_glob}'))) "
+            "SELECT verts.v AS vertex_id, CASE "
+            "WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'core' "
+            "WHEN b.v IS NOT NULL THEN 'in' "
+            "WHEN f.v IS NOT NULL THEN 'out' "
+            "ELSE 'other' END AS bowtie_class "
+            "FROM verts LEFT JOIN fwd f ON f.v = verts.v "
+            "LEFT JOIN bwd b ON b.v = verts.v ORDER BY vertex_id"
         ),
         # graph_neighborhood_approx: OMITTED on purpose — HyperBall is
         # approximate by design (HLL registers); its accuracy is asserted
