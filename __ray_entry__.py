@@ -1163,6 +1163,21 @@ def _q_doc_heavy_hitters(sf_dir: str):
     return token_heavy_hitters(docs, k=20)
 
 
+def _q_doc_span_dedup(sf_dir: str):
+    """Cross-doc span dedup at 8-token-chunk granularity — one bucketed
+    shuffle on exact chunk text; DuckDB-oracled by an unnest + window
+    replay of the keep-first rule."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.dedup import span_dedup
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        span_dedup(docs, chunk_tokens=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def _q_doc_shuffle(sf_dir: str):
     """Deterministic seeded global shuffle with exact 0-based positions
     (distributed sort + block-metadata prefix scan) — DuckDB-oracled via
@@ -1290,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scan": _q_doc_pii_scan,
         "doc_sample": _q_doc_sample,
         "doc_shuffle": _q_doc_shuffle,
+        "doc_span_dedup": _q_doc_span_dedup,
         "doc_sequence_pack": _q_doc_sequence_pack,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_split_counts": _q_doc_split,
@@ -2223,6 +2239,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id FROM documents "
             "WHERE (doc_id * 2654435761) % 4294967296 % 100 < 5"
+        ),
+        "doc_span_dedup": (
+            # unnest 8-token chunks with position; keep-first replay via
+            # row_number over (doc_id, pos) per exact chunk text
+            "WITH toks AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(text, '{_WS}'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "nch AS (SELECT doc_id, ts, "
+            "CAST(ceil(len(ts) / 8.0) AS BIGINT) AS nc FROM toks), "
+            "pos AS (SELECT doc_id, ts, unnest(range(nc)) AS p FROM nch), "
+            "chunks AS (SELECT doc_id, p, array_to_string("
+            "list_slice(ts, p * 8 + 1, p * 8 + 8), ' ') AS chunk FROM pos), "
+            "ranked AS (SELECT doc_id, p, row_number() OVER ("
+            "PARTITION BY chunk ORDER BY doc_id, p) AS rn FROM chunks), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS kept_chunks FROM ranked GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_chunks, 0) AS n_chunks, "
+            "coalesce(a.kept_chunks, 0) AS kept_chunks "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
         ),
         "doc_shuffle": (
             # seeded knuth31 high bits + id low bits; rank replayed by

@@ -769,3 +769,86 @@ def embedding_near_dup(
         {"a": "int64", "b": "int64"}
     )
     return DedupResult(pairs=dups, clusters=_cluster(dups), n_candidates=len(dups))
+
+
+# ------------------------------------------------------- span-level dedup
+
+
+def span_dedup(
+    docs: "ray.data.Dataset",
+    chunk_tokens: int = 16,
+    B: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Cross-document SPAN dedup (CCNet/RefinedWeb-style boilerplate
+    removal at sub-document granularity): each document splits into
+    consecutive `chunk_tokens`-token chunks (shared ASCII tokenization
+    contract, last partial chunk kept); a chunk occurrence is KEPT iff its
+    (doc_id, position) is the lexicographically smallest occurrence of
+    that exact chunk text corpus-wide.
+
+      (doc_id, text) -> (doc_id, n_chunks:int64, kept_chunks:int64)
+
+    one row per input document (token-less docs report 0/0). Shape: chunk
+    emit streams; ONE bucketed shuffle on the chunk text groups all
+    occurrences of identical chunks (exact string equality — hashes are
+    only the bucket router), producing per-doc partial counts; one tiny
+    bucketed sum per doc folds partials with the all-docs zero rows.
+    At 100 TB the chunk shuffle is the dominant exchange — the same
+    volume class as exact_dedup's content-hash shuffle, rows = tokens /
+    chunk_tokens."""
+    from graphlite_ray.functions.grouping import auto_bucket_count
+    from graphlite_ray.functions.tokenize import tokens
+
+    if B is None:
+        B = auto_bucket_count(docs)
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        out_id, out_pos, out_chunk = [], [], []
+        for i, s in zip(ids, texts):
+            ts = tokens(s)
+            for p in range(0, len(ts), chunk_tokens):
+                out_id.append(i)
+                out_pos.append(p // chunk_tokens)
+                out_chunk.append(" ".join(ts[p : p + chunk_tokens]))
+        return pa.table(
+            {
+                "doc_id": np.array(out_id, np.int64),
+                "pos": np.array(out_pos, np.int64),
+                "chunk": out_chunk,
+            }
+        )
+
+    def _owner_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # kept = the (doc_id, pos)-smallest occurrence per exact chunk text
+        s = g.sort_values(["chunk", "doc_id", "pos"], kind="mergesort")
+        first = np.ones(len(s), bool)
+        first[1:] = s["chunk"].to_numpy()[1:] != s["chunk"].to_numpy()[:-1]
+        part = s.assign(__kept=first.astype(np.int64)).groupby("doc_id", as_index=False)
+        out = part.agg(n_chunks=("pos", "size"), kept_chunks=("__kept", "sum"))
+        return out.astype({"n_chunks": "int64", "kept_chunks": "int64"})
+
+    partials = grouped_map_bucketed(
+        docs.map_batches(_chunks, batch_format="pyarrow"), ["chunk"], _owner_counts, B
+    )
+
+    def _zeros(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                "n_chunks": np.zeros(n, np.int64),
+                "kept_chunks": np.zeros(n, np.int64),
+            }
+        )
+
+    zeros = docs.map_batches(_zeros, batch_format="pyarrow")
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[["n_chunks", "kept_chunks"]].sum()
+        return out.astype({"n_chunks": "int64", "kept_chunks": "int64"})
+
+    return grouped_map_bucketed(partials.union(zeros), ["doc_id"], _fold, B=8)

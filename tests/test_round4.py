@@ -591,3 +591,39 @@ def test_png_corrupt_payloads_raise_value_error():
             + _png_chunk(b"IDAT", zlib.compress(b"\x00short"))
             + _png_chunk(b"IEND", b"")
         )
+
+
+def test_span_dedup_planted_spans(ray_session):
+    """Keep-first rule on planted cross-doc and within-doc duplicate spans,
+    partial last chunks, and empty/whitespace docs."""
+    import ray
+    import pyarrow as pa
+
+    from graphlite_ray.stages.dedup import span_dedup
+
+    shared = " ".join(f"s{i}" for i in range(8))  # one exact 8-token chunk
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": [
+                    shared + " " + " ".join(f"a{i}" for i in range(8)),  # 2 chunks
+                    shared + " tailword",  # chunk0 dup of doc0, chunk1 partial unique
+                    shared + " " + shared,  # within-doc repeat: 2nd occurrence dropped
+                    "",  # no tokens
+                    "   \t  ",  # whitespace only
+                ],
+            }
+        )
+    )
+    out = (
+        span_dedup(docs, chunk_tokens=8, B=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert out["n_chunks"].tolist() == [2, 2, 2, 0, 0]
+    # doc0 owns both its chunks (smallest (doc_id,pos) for `shared`);
+    # doc1 loses the shared chunk, keeps its partial tail; doc2 loses both
+    # occurrences (doc0 owns the text corpus-wide).
+    assert out["kept_chunks"].tolist() == [2, 1, 0, 0, 0]
