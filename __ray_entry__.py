@@ -956,15 +956,12 @@ def _q_media_image_stats(sf_dir: str):
 
 
 def _round_half_away(s, nd: int) -> "pd.Series":
-    """Round half-AWAY-from-zero (signed) — DuckDB ROUND's tie rule.
-    pandas .round() is half-even; the two differ by a full ulp on exact
-    decimal ties, which small-denominator rationals (energy = S/1024,
-    mean = sum/288) genuinely hit. The ONE rounding convention for every
-    oracled float column, so it cannot drift per query (ADVICE r3)."""
-    f = 10.0 ** nd
-    v = np.asarray(s, np.float64)
-    out = np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f
-    return pd.Series(out, index=s.index) if isinstance(s, pd.Series) else out
+    """Round half-AWAY-from-zero (signed) — DuckDB ROUND's tie rule; the
+    ONE rounding convention for every oracled float column (ADVICE r3).
+    Single source: `graphlite_ray.functions.rounding.round_half_away`."""
+    from graphlite_ray.functions.rounding import round_half_away
+
+    return round_half_away(s, nd)
 
 
 def _q_media_audio_energy(sf_dir: str):
@@ -999,6 +996,24 @@ def _q_doc_token_df(sf_dir: str):
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_doc_frequency(docs).to_pandas()
     return out.sort_values("token", ignore_index=True)
+
+
+def _q_doc_tfidf(sf_dir: str):
+    """Top-5 TF-IDF terms per document (libm-exact idf, rounded-score
+    ranking) — DuckDB window-rank oracle."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import tfidf_top_terms
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        tfidf_top_terms(docs, k=5)
+        .to_pandas()
+        .sort_values(
+            ["doc_id", "score", "token"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+    )
 
 
 def _q_props_rollup(sf_dir: str):
@@ -1298,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators over documents/embeddings
         "doc_exact_dedup": _q_doc_exact_dedup,
         "corpus_clean": _q_corpus_clean,
+        "doc_tfidf": _q_doc_tfidf,
         "doc_token_df": _q_doc_token_df,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
@@ -2159,6 +2175,24 @@ def oracle_sql() -> dict[str, str]:
             f"'{_WS}'), x -> x <> '')) AS n_tokens FROM ded ORDER BY doc_id"
         ),
         "doc_langid": _langid_oracle_sql(),
+        "doc_tfidf": (
+            # tf per (doc, token); df = docs per token; score = tf*ln(N/df)
+            # half-away-rounded to 6; rank on the ROUNDED score, token asc
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '')) "
+            "AS token FROM documents), "
+            "tfq AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY doc_id, token), "
+            "dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+            "FROM tfq GROUP BY token), "
+            "scored AS (SELECT t.doc_id, t.token, t.tf, d.df, "
+            "ROUND(t.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)"
+            " / d.df), 6) AS score FROM tfq t JOIN dfq d USING (token)), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, token) AS rn FROM scored) "
+            "SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 5 "
+            "ORDER BY doc_id, score DESC, token"
+        ),
         "doc_token_df": (
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
             f"SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{_WS}')) AS token "

@@ -627,3 +627,44 @@ def test_span_dedup_planted_spans(ray_session):
     # doc1 loses the shared chunk, keeps its partial tail; doc2 loses both
     # occurrences (doc0 owns the text corpus-wide).
     assert out["kept_chunks"].tolist() == [2, 1, 0, 0, 0]
+
+
+def test_tfidf_top_terms_known_values(ray_session):
+    """tf/df/idf on a 3-doc corpus with hand-checkable values; ranking on
+    the rounded score with token tie-break; token-less doc contributes to
+    N but emits no rows."""
+    import math
+
+    import ray
+    import pyarrow as pa
+
+    from graphlite_ray.stages.textstats import tfidf_top_terms
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": [
+                    "apple apple banana",
+                    "apple cherry",
+                    "",  # token-less: counts toward N only
+                ],
+            }
+        )
+    )
+    out = (
+        tfidf_top_terms(docs, k=2, B=4, n_docs=3)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # doc0: apple tf=2 df=2 -> 2*ln(1.5); banana tf=1 df=1 -> ln(3)
+    # doc1: cherry tf=1 df=1 -> ln(3); apple tf=1 df=2 -> ln(1.5)
+    assert out["doc_id"].tolist() == [0, 0, 1, 1]
+    assert out["token"].tolist() == ["banana", "apple", "cherry", "apple"]
+    assert out["tf"].tolist() == [1, 2, 1, 1]
+    assert out["df"].tolist() == [1, 2, 1, 2]
+    from graphlite_ray.functions.rounding import round_half_away
+
+    exp = [math.log(3.0), 2 * math.log(1.5), math.log(3.0), math.log(1.5)]
+    assert out["score"].tolist() == list(round_half_away(exp, 6))
