@@ -432,6 +432,36 @@ def _q_ppr(sf_dir: str):
     return df
 
 
+_WALK_SEEDS_N = 8
+_WALK_LEN = 12
+
+
+def _walk_seeds(sf_dir: str) -> list[int]:
+    """Walk w starts at the vertex id of synthetic page w (w = 0..7) —
+    same id assignment as the engine and the urlmap."""
+    from graphlite_ray.functions.hashing import ids_from_urls
+    from graphlite_ray.sources.pages import url_of
+
+    n = _pages_n(sf_dir)
+    return [int(v) for v in ids_from_urls([url_of(i, n) for i in range(_WALK_SEEDS_N)])]
+
+
+def _q_random_walks(sf_dir: str):
+    """Deterministic seeded random walks (8 walks x 12 steps, BSP hop per
+    superstep, visit trace via the aggregator lane) — DuckDB-oracled by a
+    recursive CTE replaying the exact 32-bit hop mixer over dst-ranked
+    neighbors."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+    from graphlite_ray.pipelines.walks import walk_trace
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm(
+        "random_walks", pages, work, P=8, resume=True,
+        seeds=_walk_seeds(sf_dir), length=_WALK_LEN,
+    )
+    return walk_trace(res)
+
+
 _HITS_ITERS = 4
 
 
@@ -1276,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
         "graph_bowtie": _q_graph_bowtie,
+        "graph_random_walks": _q_random_walks,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
         "host_pagerank": _q_host_pagerank,
@@ -1935,6 +1966,37 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'other' END AS bowtie_class "
             "FROM verts LEFT JOIN fwd f ON f.v = verts.v "
             "LEFT JOIN bwd b ON b.v = verts.v ORDER BY vertex_id"
+        ),
+        "graph_random_walks": (
+            # exact hop replay: neighbors ranked dst-ascending over the raw
+            # edge MULTISET (parallel edges share a dst, so row_number tie
+            # order cannot change the chosen dst); the hop index replays
+            # H = ((w*1000003+s) % 2^32 * 2654435761 + (v % 2^32) * 40503)
+            # % 2^32 % deg in HUGEINT
+            f"WITH RECURSIVE e AS (SELECT src, dst "
+            f"FROM read_parquet('{edges_glob}')), "
+            "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d "
+            "FROM e GROUP BY src), "
+            "nbrs AS (SELECT src, dst, row_number() OVER ("
+            "PARTITION BY src ORDER BY dst) - 1 AS idx FROM e), "
+            "seeds(walk_id, vertex) AS (VALUES "
+            + ", ".join(
+                f"(CAST({w} AS BIGINT), CAST({v} AS BIGINT))"
+                for w, v in enumerate(_walk_seeds(_ORACLE_SF))
+            )
+            + "), "
+            "walk(walk_id, step, vertex) AS ("
+            "SELECT walk_id, CAST(0 AS BIGINT), vertex FROM seeds "
+            "UNION ALL "
+            "SELECT w.walk_id, w.step + 1, n.dst FROM walk w "
+            "JOIN deg g ON g.src = w.vertex "
+            "JOIN nbrs n ON n.src = w.vertex AND n.idx = CAST("
+            "((CAST(w.walk_id AS HUGEINT) * 1000003 + w.step) % 4294967296 "
+            "* 2654435761 + (CAST(w.vertex AS HUGEINT) % 4294967296) * 40503"
+            ") % 4294967296 % g.d AS BIGINT) "
+            f"WHERE w.step < {_WALK_LEN}) "
+            "SELECT walk_id, step, vertex AS vertex_id FROM walk "
+            "ORDER BY walk_id, step"
         ),
         # graph_neighborhood_approx: OMITTED on purpose — HyperBall is
         # approximate by design (HLL registers); its accuracy is asserted

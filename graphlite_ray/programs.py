@@ -843,6 +843,114 @@ class HyperBall(VertexProgram):
         return out
 
 
+class RandomWalks(VertexProgram):
+    """Deterministic seeded random walks (node2vec/DeepWalk-style corpus
+    sampling over the link graph): walk `w` starts at `seeds[w]`; at step
+    `s` a walk sitting on vertex `v` moves to the `H(w, s, v) % deg(v)`-th
+    out-neighbor in DST-ASCENDING order (parallel edges keep multiset
+    multiplicity — duplicates share a dst, so tie order is irrelevant) and
+    stops at a dead end or after `length` steps.
+
+    H is an SQL-replicable 32-bit mixer (Knuth multiplicative constants):
+      H = ((w*1000003 + s) % 2^32 * 2654435761 + (v % 2^32) * 40503) % 2^32
+    so a DuckDB recursive CTE replays every hop choice exactly.
+
+    Walks travel as combiner="none" messages whose payload is the walk id
+    (small ints — exact in the float64 message lane). The visit trace
+    surfaces through a HISTORY-BEARING `visits` aggregator (same k -> k+1
+    carry pattern as `_hist_aggr`): every partition emits its own
+    superstep's (walk_id, step, vertex) triples and partition 0 re-emits
+    the accumulated past from `aggr_global`, so the FINAL aggregator value
+    is the whole trace and it rides every checkpoint manifest — resuming a
+    completed run (the engine's early return keeps only the final
+    aggregator state) still reconstructs the full trace. Fine while the
+    total trace fits a manifest (millions of walks at 100 TB should swap
+    the aggregator for a per-partition parquet trace sink — the engine's
+    values() output path; documented trade-off, not a scale wall for the
+    hop mechanics, which stay O(walks) messages per superstep on the
+    resident CSR).
+
+    CSR neighbor blocks are src-grouped but NOT dst-sorted; each partition
+    actor lexsorts its own neighbor blocks ONCE (cached on the program
+    copy, analog of a per-worker index build in __init__)."""
+
+    name = "random_walks"
+    combiner = "none"
+
+    def __init__(self, seeds: "list[int]", length: int = 10):
+        self.seeds = [int(s) for s in seeds]
+        self.length = int(length)
+        self.max_supersteps = self.length + 2
+        # aggregator-schema version: folded into config_hash so manifests
+        # written with the per-superstep (non-history-bearing) visits
+        # aggregator are never resumed from
+        self.aggr_schema = 2
+        self._sorted_indices: Optional[np.ndarray] = None
+
+    def aggregators(self):
+        return {
+            "visits": AggregatorSpec(
+                init=[],
+                op="sum",  # list concat: a + b
+                encode=lambda v: [[int(w), int(s), int(x)] for w, s, x in v],
+                decode=lambda v: [(int(w), int(s), int(x)) for w, s, x in v],
+            )
+        }
+
+    def init_values(self, shard):
+        return np.zeros(shard.n)
+
+    def _nbrs(self, shard: CSRShard) -> np.ndarray:
+        if self._sorted_indices is None:
+            if shard.nnz:
+                order = np.lexsort((shard.indices, shard.edge_src_local))
+                self._sorted_indices = shard.indices[order]
+            else:
+                self._sorted_indices = shard.indices
+        return self._sorted_indices
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        s = ctx.superstep
+        if s == 0:
+            seeds = np.asarray(self.seeds, np.int64)
+            mine = (seeds % np.int64(ctx.P)) == np.int64(shard.part_id)
+            w_arr = np.flatnonzero(mine).astype(np.int64)
+            rows = (
+                shard.local_index(seeds[mine]) if mine.any() else np.empty(0, np.int64)
+            )
+        elif not inbox.empty:
+            w_arr = inbox.val.astype(np.int64)
+            rows = inbox.idx
+        else:
+            w_arr = rows = np.empty(0, np.int64)
+
+        vids = shard.vids[rows] if len(rows) else np.empty(0, np.int64)
+        trace = [(int(w), s, int(v)) for w, v in zip(w_arr.tolist(), vids.tolist())]
+        if ctx.part_id == 0:  # carry the accumulated past forward (k -> k+1)
+            trace = list(ctx.aggr_global.get("visits", [])) + trace
+        out.aggr = {"visits": trace}
+
+        if len(rows) and s < self.length and shard.nnz:
+            deg = shard.indptr[rows + 1] - shard.indptr[rows]
+            m = deg > 0
+            if m.any():
+                r, w, d = rows[m], w_arr[m].astype(np.uint64), deg[m].astype(np.uint64)
+                v32 = shard.vids[r].astype(np.uint64) % np.uint64(2**32)
+                h = (
+                    (w * np.uint64(1000003) + np.uint64(s)) % np.uint64(2**32)
+                    * np.uint64(2654435761)
+                    + v32 * np.uint64(40503)
+                ) % np.uint64(2**32)
+                pos = shard.indptr[r] + (h % d).astype(np.int64)
+                out.out_dst = self._nbrs(shard)[pos]
+                out.out_val = w_arr[m].astype(np.float64)
+                out.out_src = shard.vids[r]
+                out.sent = len(pos)
+        out.halted = active.copy()
+        return out
+
+
 BUILTIN_PROGRAMS = {
     "pagerank": PageRank,
     "weighted_pagerank": WeightedPageRank,
@@ -854,4 +962,5 @@ BUILTIN_PROGRAMS = {
     "kcore": KCore,
     "neighborhood_exact": NeighborhoodExact,
     "hyperball": HyperBall,
+    "random_walks": RandomWalks,
 }

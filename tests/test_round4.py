@@ -668,3 +668,54 @@ def test_tfidf_top_terms_known_values(ray_session):
 
     exp = [math.log(3.0), 2 * math.log(1.5), math.log(3.0), math.log(1.5)]
     assert out["score"].tolist() == list(round_half_away(exp, 6))
+
+
+def test_random_walks_brute_force_replay(ray_session, work_dir):
+    """RandomWalks hop-for-hop vs a Python replay of the documented mixer
+    on a hand-built graph with parallel edges and a dead end; the trace
+    must also survive resume from the completed checkpoint (the engine's
+    early return keeps only the FINAL aggregator state)."""
+    import numpy as np
+
+    from graphlite_ray.pipelines.linkgraph import run_on_edges
+    from graphlite_ray.pipelines.walks import walk_trace
+    from graphlite_ray.programs import RandomWalks
+
+    # 9 is a dead end; 0 -> 2 is a parallel edge (multiset multiplicity)
+    src = np.array([0, 0, 0, 1, 2, 2, 3, 4, 1], np.int64)
+    dst = np.array([1, 2, 2, 3, 0, 3, 4, 0, 9], np.int64)
+    seeds, length = [0, 2, 9], 5
+
+    def replay():
+        nbrs = {}
+        for s_, d_ in zip(src.tolist(), dst.tolist()):
+            nbrs.setdefault(s_, []).append(d_)
+        for v in nbrs:
+            nbrs[v].sort()
+        rows = []
+        for w, v in enumerate(seeds):
+            rows.append((w, 0, v))
+            for s_ in range(length):
+                out = nbrs.get(v, [])
+                if not out:
+                    break
+                h = ((w * 1000003 + s_) % 2**32 * 2654435761 + (v % 2**32) * 40503) % 2**32
+                v = out[h % len(out)]
+                rows.append((w, s_ + 1, v))
+        return sorted(rows)
+
+    res = run_on_edges(
+        RandomWalks(seeds=seeds, length=length), src, dst, work_dir, P=2
+    )
+    got = walk_trace(res)
+    exp = replay()
+    assert list(map(tuple, got.to_numpy())) == exp
+    # dead-end walk 2 stops at step 0; walks 0 and 1 run to full length
+    # (trails hand-checked: 0->1->3->4->0->2 and 2->3->4->0->1->3)
+    assert got.groupby("walk_id").size().tolist() == [length + 1, length + 1, 1]
+
+    res2 = run_on_edges(
+        RandomWalks(seeds=seeds, length=length), src, dst, work_dir, P=2, resume=True
+    )
+    assert res2.halted and res2.supersteps_run == 0  # early return, no actors
+    assert walk_trace(res2).equals(got)
