@@ -1046,6 +1046,19 @@ def _q_doc_tfidf(sf_dir: str):
     )
 
 
+def _q_doc_lm_score(sf_dir: str):
+    """Bigram LM quality score per document (CCNet-style perplexity
+    filter, LM trained on the corpus itself; add-0.1 smoothing over the
+    corpus vocabulary) — DuckDB oracle replays the exact count/smoothing
+    arithmetic; avg_logp is a float SUM, rounded half-away to 6 on both
+    sides (module-level float-aggregate note)."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import lm_score
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lm_score(docs, alpha=0.1).to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 def _q_props_rollup(sf_dir: str):
     """JSON-field extraction + group aggregate over the events props
     sidecar — DuckDB json_extract oracle."""
@@ -1345,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "corpus_clean": _q_corpus_clean,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_lm_score": _q_doc_lm_score,
         "doc_token_df": _q_doc_token_df,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
@@ -2254,6 +2268,33 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, token) AS rn FROM scored) "
             "SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 5 "
             "ORDER BY doc_id, score DESC, token"
+        ),
+        "doc_lm_score": (
+            # exact replay of the bigram LM: c(w1,w2) corpus bigram count,
+            # c_ctx(w1) = w1's count as a context, V = distinct lowercase
+            # tokens; lp = ln((c+0.1)/(cc+0.1*V)) term-by-term (libm ln on
+            # both sides), avg rounded half-away to 6 (float-SUM note)
+            f"WITH toks AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '') AS t "
+            "FROM documents), "
+            "base AS (SELECT doc_id, t, len(t) AS n FROM toks), "
+            "vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS V "
+            "FROM (SELECT unnest(t) AS tok FROM toks)), "
+            "bi AS (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, n - 1), i -> t[i])) AS w1, "
+            "unnest(list_transform(generate_series(1, n - 1), i -> t[i+1])) AS w2 "
+            "FROM base WHERE n >= 2), "
+            "dp AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c_doc "
+            "FROM bi GROUP BY doc_id, w1, w2), "
+            "big AS (SELECT w1, w2, CAST(sum(c_doc) AS BIGINT) AS c "
+            "FROM dp GROUP BY w1, w2), "
+            "ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc FROM big GROUP BY w1), "
+            "sc AS (SELECT d.doc_id, d.c_doc, "
+            "ln((b.c + 0.1) / (x.cc + 0.1 * (SELECT V FROM vocab))) AS lp "
+            "FROM dp d JOIN big b USING (w1, w2) JOIN ctx x USING (w1)) "
+            "SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_bigrams, "
+            "ROUND(sum(c_doc * lp) / sum(c_doc), 6) AS avg_logp "
+            "FROM sc GROUP BY doc_id ORDER BY doc_id"
         ),
         "doc_token_df": (
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("

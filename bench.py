@@ -93,7 +93,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     from graphlite_ray.stages.dedup import minhash_dedup, simhash_dedup
     from graphlite_ray.stages.multimodal import decode_images, synthetic_media_table
     from graphlite_ray.stages.similarity import knn_bruteforce, read_embeddings
-    from graphlite_ray.stages.textstats import QualityScorer
+    from graphlite_ray.stages.textstats import QualityScorer, lm_score
     from graphlite_ray.functions.sketches import (
         approx_distinct_per_group,
         histogram_quantiles,
@@ -310,6 +310,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
                 concurrency=(1, max(2, num_cpus // 4)),
             ).count(),
         )
+        _timed("lm_score", lambda: lm_score(docs).count())
         _timed("minhash_dedup", lambda: minhash_dedup(docs, threshold=0.8))
         _timed("simhash_dedup", lambda: simhash_dedup(docs, max_hamming=3))
         _timed("join_revenue", lambda: R.q_native_join_revenue(sf_dir))

@@ -357,6 +357,149 @@ def tfidf_top_terms(
     return grouped_map_bucketed(scored, ["doc_id"], _topk, B=B)
 
 
+def vocab_size(docs: "ray.data.Dataset", B: int = 32) -> int:
+    """Distinct lowercase-token count over the corpus: per-batch distinct
+    explode -> one bucketed shuffle (a token's rows land in exactly one
+    bucket, so per-bucket nunique sums are exact) -> B tiny rows to the
+    driver."""
+    import pyarrow as pa
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _toks(t: "pa.Table") -> "pa.Table":
+        toks: list[str] = []
+        for text in t["text"].to_pylist():
+            toks.extend(set(lower_tokens(text)))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    def _nuniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": np.array([g["token"].nunique()], np.int64)})
+
+    parts = grouped_map_bucketed(
+        docs.map_batches(_toks, batch_format="pyarrow"), ["token"], _nuniq, B=B
+    )
+    return int(sum(r["n"] for r in parts.take_all()))
+
+
+def lm_score(
+    docs: "ray.data.Dataset",
+    alpha: float = 0.1,
+    V: int | None = None,
+    B: int = 32,
+) -> "ray.data.Dataset":
+    """Bigram language-model quality scoring (the CCNet-style perplexity
+    filter, with the LM trained on the corpus itself):
+
+      (doc_id, text) -> (doc_id, n_bigrams:int64, avg_logp:float64)
+
+    avg_logp = mean over a doc's adjacent token pairs (w1, w2) of
+      ln( (c(w1,w2) + alpha) / (c_ctx(w1) + alpha*V) )
+    where c(w1,w2) is the corpus bigram count, c_ctx(w1) = sum_w c(w1,w)
+    is w1's count AS A CONTEXT (doc-final tokens never open a bigram, so
+    the conditional sums to 1 exactly), V is the corpus vocabulary size
+    (distinct lowercase tokens; computed via `vocab_size` when not given)
+    and alpha is add-alpha smoothing. Docs with < 2 tokens emit no row.
+    Low avg_logp = improbable token sequences = the filter's cut signal.
+
+    Shape (no broadcast model — at web scale the bigram table is far
+    bigger than a worker): per-batch (doc, w1, w2, c_doc) explode -> ONE
+    bucketed shuffle on w1 where the model IS the bucket (all rows opening
+    with w1 co-locate, so c(w1,w2) and c_ctx(w1) are exact per-bucket
+    groupby sums — no separate training pass or join) -> ONE bucketed
+    shuffle on doc_id sums the per-pair log terms. Both exchanges carry
+    (doc, distinct bigram) rows, the same volume class as
+    `token_doc_frequency`.
+
+    ln via `math.log` per DISTINCT (count, context) pair — libm-bit-exact
+    vs DuckDB's ln (see `tfidf_top_terms`); avg_logp is a float SUM, so it
+    is rounded half-away to 6 decimals on both sides of the oracle."""
+    import math
+
+    import pyarrow as pa
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.functions.rounding import round_half_away
+
+    if V is None:
+        V = vocab_size(docs, B=B)
+    aV = alpha * float(V)
+
+    def _bigrams(t: "pa.Table") -> "pa.Table":
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        did: list[np.ndarray] = []
+        w1s: list[np.ndarray] = []
+        w2s: list[np.ndarray] = []
+        for i, text in enumerate(t["text"].to_pylist()):
+            ts = lower_tokens(text)
+            if len(ts) < 2:
+                continue
+            a = np.asarray(ts, object)
+            did.append(np.full(len(ts) - 1, ids[i], np.int64))
+            w1s.append(a[:-1])
+            w2s.append(a[1:])
+        if not did:
+            return pa.table(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c_doc": np.empty(0, np.int64),
+                }
+            )
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(did),
+                    "w1": np.concatenate(w1s),
+                    "w2": np.concatenate(w2s),
+                }
+            )
+            .groupby(["doc_id", "w1", "w2"], sort=False)
+            .size()
+            .rename("c_doc")
+            .reset_index()
+            .astype({"c_doc": "int64"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def _model_score(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows opening with a given w1 are in this bucket -> corpus
+        # counts are exact local groupby sums
+        c_doc = g["c_doc"].to_numpy(np.float64)
+        big = g.groupby(["w1", "w2"])["c_doc"].transform("sum").to_numpy(np.float64)
+        ctx = g.groupby("w1")["c_doc"].transform("sum").to_numpy(np.float64)
+        pairs = np.stack([big, ctx], 1)
+        u, inv = np.unique(pairs, axis=0, return_inverse=True)
+        lps = np.array([math.log((b + alpha) / (c + aV)) for b, c in u])
+        out = g[["doc_id"]].copy()
+        out["c_doc"] = g["c_doc"].to_numpy(np.int64)
+        out["wlp"] = c_doc * lps[inv]
+        return out
+
+    def _per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=True).agg(
+            n_bigrams=("c_doc", "sum"), s=("wlp", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": agg.index.to_numpy(np.int64),
+                "n_bigrams": agg["n_bigrams"].to_numpy(np.int64),
+                "avg_logp": round_half_away(
+                    agg["s"].to_numpy(np.float64)
+                    / agg["n_bigrams"].to_numpy(np.float64),
+                    6,
+                ),
+            }
+        )
+
+    scored = grouped_map_bucketed(
+        docs.map_batches(_bigrams, batch_format="pyarrow"), ["w1"], _model_score, B=B
+    )
+    return grouped_map_bucketed(scored, ["doc_id"], _per_doc, B=B)
+
+
 class HashSampler:
     """Deterministic corpus sampling by id hash (leakage-free, resumable —
     the same rows are sampled on every run/partition layout): keep rows

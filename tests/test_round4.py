@@ -719,3 +719,35 @@ def test_random_walks_brute_force_replay(ray_session, work_dir):
     )
     assert res2.halted and res2.supersteps_run == 0  # early return, no actors
     assert walk_trace(res2).equals(got)
+
+
+def test_lm_score_hand_checked(ray_session):
+    """Bigram LM scores on a 3-doc corpus vs hand arithmetic; the 1-token
+    doc contributes to the vocabulary but emits no row."""
+    import math
+
+    import ray
+    import pyarrow as pa
+
+    from graphlite_ray.functions.rounding import round_half_away
+    from graphlite_ray.stages.textstats import lm_score, vocab_size
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": ["a b a", "b a", "c"],
+            }
+        )
+    )
+    assert vocab_size(docs, B=4) == 3  # {a, b, c}
+    out = lm_score(docs, alpha=0.5, B=4).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    # corpus: c(a,b)=1 c(b,a)=2; ctx a=1 b=2; V=3, aV=1.5
+    lp_ab = math.log((1 + 0.5) / (1 + 1.5))
+    lp_ba = math.log((2 + 0.5) / (2 + 1.5))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_bigrams"].tolist() == [2, 1]
+    exp = [(lp_ab + lp_ba) / 2.0, lp_ba]
+    assert out["avg_logp"].tolist() == list(round_half_away(exp, 6))
