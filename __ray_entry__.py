@@ -938,15 +938,17 @@ _MEDIA_FOR_SF = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200}
 
 
 def _media_path(sf_dir: str) -> str:
-    """Stage the deterministic media table (real BMP/WAV/GLRV payloads) as
-    parquet once per scale; queries stream it like any other input."""
+    """Stage the deterministic media table (real BMP/PNG/JPEG/WAV/GLRV
+    payloads) as parquet once per scale; queries stream it like any other
+    input."""
     import pyarrow.parquet as pq
 
     from graphlite_ray.stages.multimodal import synthetic_media_table
 
     n = _MEDIA_FOR_SF.get(os.path.basename(os.path.normpath(sf_dir)), 60)
-    # v3: ground-truth stat sidecars + mixed BMP/PNG image payloads
-    path = f"/tmp/glr_media/media_n{n}_s42_v3.parquet"
+    # v4: image payloads rotate BMP/PNG/baseline-JPEG (jpeg sidecar psum =
+    # the bitstream's exact reconstruction — lossy vs the source pixels)
+    path = f"/tmp/glr_media/media_n{n}_s42_v4.parquet"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = pa.Table.from_pandas(

@@ -4,14 +4,16 @@ typed metadata, decoded/featurized by actor-pool `map_batches` stages.
 Codec reality in this container (no PIL/ffmpeg/torchaudio):
   - REAL decoders, dependency-free: 24-bit uncompressed **BMP** (struct +
     numpy), **PNG** 8-bit truecolor (stdlib zlib + numpy unfiltering, all
-    five row filters — a genuinely COMPRESSED format), PCM **WAV**
+    five row filters — a genuinely COMPRESSED format), baseline **JPEG**
+    (`stages/jpeg.py`: markers + canonical Huffman + IDCT, 4:4:4/4:2:0,
+    restart markers — the dominant web image format), PCM **WAV**
     (stdlib `wave`), and **GLRV** — a documented raw video container
     (header + concatenated BMP frames) of the kind raw frame-dump
     pipelines use. Encode + decode round-trip exactly (tested).
-  - Codecs needing external libraries (JPEG/H.264/MP3) raise
-    NotImplementedError at the decode boundary, which is exactly where a
-    real codec plugs in; `deterministic_fake=True` keeps the old
-    content-derived fake for plumbing tests.
+  - Codecs still needing external libraries (progressive JPEG / H.264 /
+    MP3) raise NotImplementedError at the decode boundary, which is
+    exactly where a real codec plugs in; `deterministic_fake=True` keeps
+    the old content-derived fake for plumbing tests.
 
 Design points that are load-bearing at scale:
   - binary payloads stay in Arrow buffers end-to-end,
@@ -318,12 +320,16 @@ class ImageDecoder:
             return decode_bmp(payload)
         if payload[:8] == PNG_MAGIC:
             return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from graphlite_ray.stages.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         if not self.fake:
             raise NotImplementedError(
-                "no dependency-free codec for this payload (JPEG needs "
-                "external libs; BMP and 8-bit RGB PNG decode for real); "
-                "construct with deterministic_fake=True or plug a real "
-                "decoder here"
+                "no dependency-free codec for this payload (BMP, 8-bit "
+                "RGB PNG and baseline JPEG decode for real; progressive "
+                "JPEG/WebP/etc. need external libs); construct with "
+                "deterministic_fake=True or plug a real decoder here"
             )
         rng = _content_rng(payload)
         h, w = int(rng.randint(16, 64)), int(rng.randint(16, 64))
@@ -581,12 +587,23 @@ def synthetic_media_table(n: int, seed: int = 42, real_codecs: bool = True) -> p
         elif mtype == "image":
             h, w = int(rng.randint(8, 32)), int(rng.randint(8, 32))
             img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-            # alternate raw BMP and compressed PNG payloads: both real
-            codec = "png" if (i // 3) % 2 else "bmp"
-            payload = encode_png(img) if codec == "png" else encode_bmp(img)
-            meta = json.dumps(
-                {"codec": codec, "h": h, "w": w, "psum": int(img.sum())}
-            )
+            # rotate raw BMP / compressed PNG / lossy baseline JPEG —
+            # all three decode for real
+            codec = ["bmp", "png", "jpeg"][(i // 3) % 3]
+            if codec == "jpeg":
+                from graphlite_ray.stages.jpeg import encode_jpeg
+
+                # lossy: the sidecar ground truth is the RECONSTRUCTION
+                # the bitstream exactly decodes to (encoder-computed from
+                # its own quantized coefficients), not the original pixels
+                payload, recon = encode_jpeg(
+                    img, quality=85, subsample=bool(i % 2), return_recon=True
+                )
+                psum = int(recon.sum())
+            else:
+                payload = encode_png(img) if codec == "png" else encode_bmp(img)
+                psum = int(img.sum())
+            meta = json.dumps({"codec": codec, "h": h, "w": w, "psum": psum})
         elif mtype == "audio":
             ns = int(rng.randint(2048, 8192))
             samples = (rng.standard_normal(ns) * 3000).astype(np.int16)

@@ -480,8 +480,9 @@ def test_png_decode_all_filter_types():
 
 
 def test_png_in_media_pipeline(ray_session):
-    """The synthetic media table mixes BMP and PNG payloads; the decoder
-    stage must reproduce the encode-time sidecar stats for BOTH."""
+    """The synthetic media table mixes BMP, PNG and (since r4) baseline
+    JPEG payloads; the decoder stage must reproduce the encode-time
+    sidecar stats for ALL of them."""
     import json
 
     import ray.data
@@ -491,7 +492,7 @@ def test_png_in_media_pipeline(ray_session):
     table = synthetic_media_table(36)
     imgs = table[table["media_type"] == "image"]
     codecs = {json.loads(m)["codec"] for m in imgs["meta"]}
-    assert codecs == {"bmp", "png"}
+    assert codecs == {"bmp", "png", "jpeg"}
     out = (
         decode_images(ray.data.from_pandas(imgs[["media_id", "payload"]]))
         .to_pandas()

@@ -751,3 +751,84 @@ def test_lm_score_hand_checked(ray_session):
     assert out["n_bigrams"].tolist() == [2, 1]
     exp = [(lp_ab + lp_ba) / 2.0, lp_ba]
     assert out["avg_logp"].tolist() == list(round_half_away(exp, 6))
+
+
+# --------------------------------------------------------- baseline JPEG
+
+
+def test_jpeg_huffman_tables_complete():
+    """The embedded Annex-K AC tables must cover exactly EOB + ZRL + every
+    (run 0-15, size 1-10) combination — a mistyped entry would fail encode
+    of some coefficient pattern."""
+    from graphlite_ray.stages.jpeg import AC_CHROM_VALS, AC_LUM_VALS, ZIGZAG
+
+    want = {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    assert set(AC_LUM_VALS) == want and len(AC_LUM_VALS) == 162
+    assert set(AC_CHROM_VALS) == want and len(AC_CHROM_VALS) == 162
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+@pytest.mark.parametrize("sub", [False, True], ids=["444", "420"])
+@pytest.mark.parametrize("ri", [0, 3], ids=["no_rst", "rst3"])
+def test_jpeg_decode_matches_encoder_reconstruction(sub, ri):
+    """decode_jpeg must reproduce the encoder's own coefficient
+    reconstruction BIT-exactly (markers, Huffman, DC prediction, zigzag,
+    restart handling) on odd dims that force edge padding."""
+    from graphlite_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(21, 35, 3)).astype(np.uint8)
+    payload, recon = encode_jpeg(
+        img, quality=80, subsample=sub, restart_interval=ri, return_recon=True
+    )
+    assert (decode_jpeg(payload) == recon).all()
+
+
+def test_jpeg_lossy_fidelity_on_smooth_image():
+    """PSNR sanity on a natural-ish gradient: lossy, but faithful."""
+    from graphlite_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    img = np.stack([(xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256], -1).astype(
+        np.uint8
+    )
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    mse = ((dec.astype(np.float64) - img) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 35.0, psnr
+
+
+def test_jpeg_boundaries_raise():
+    from graphlite_ray.stages.jpeg import decode_jpeg
+
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08" * 9)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        # valid headers, truncated entropy data
+        from graphlite_ray.stages.jpeg import encode_jpeg
+
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[::2, ::2] = 255  # force non-trivial entropy data
+        payload = encode_jpeg(img)
+        decode_jpeg(payload[:-24])
+
+
+def test_image_decoder_routes_jpeg(ray_session):
+    """The ImageDecoder stage auto-detects JPEG payloads next to BMP/PNG
+    and the media sidecar's psum is reproduced from the bitstream."""
+    import json
+
+    from graphlite_ray.stages.multimodal import ImageDecoder, synthetic_media_table
+
+    tbl = synthetic_media_table(60)
+    imgs = tbl[tbl.media_type == "image"].reset_index(drop=True)
+    codecs = {json.loads(m)["codec"] for m in imgs["meta"]}
+    assert codecs == {"bmp", "png", "jpeg"}
+    out = ImageDecoder()(imgs)
+    for _, row in out.merge(imgs, on="media_id").iterrows():
+        m = json.loads(row["meta"])
+        assert (row["height"], row["width"]) == (m["h"], m["w"])
+        assert row["pixels_sum"] == m["psum"], m["codec"]

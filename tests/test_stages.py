@@ -237,6 +237,7 @@ def test_multimodal_real_codecs():
     the same arrays the encoder embedded."""
     import json
 
+    from graphlite_ray.stages.jpeg import decode_jpeg
     from graphlite_ray.stages.multimodal import (
         PNG_MAGIC,
         decode_bmp,
@@ -248,13 +249,15 @@ def test_multimodal_real_codecs():
         synthetic_media_table,
     )
 
-    table = synthetic_media_table(30)  # real BMP/PNG/WAV/GLRV payloads
+    table = synthetic_media_table(30)  # real BMP/PNG/JPEG/WAV/GLRV payloads
     media = ray.data.from_pandas(table)
 
     def _img(payload: bytes):
-        return (
-            decode_png(payload) if payload[:8] == PNG_MAGIC else decode_bmp(payload)
-        )
+        if payload[:8] == PNG_MAGIC:
+            return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
+        return decode_bmp(payload)
 
     imgs = media.filter(lambda r: r["media_type"] == "image")
     out = {r["media_id"]: r for r in decode_images(imgs).take_all()}
