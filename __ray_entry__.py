@@ -432,6 +432,40 @@ def _q_ppr(sf_dir: str):
     return df
 
 
+def _scc_edge_filter(t: "pa.Table") -> "pa.Table":
+    """Deterministic, SQL-replicable edge subset for the SCC query: the
+    staged page graph is one giant SCC (the generator's ring), so dropping
+    edges with (src%3 + dst%3) % 3 == 0 breaks it into ~490 components at
+    sf0.01 — a structure actually worth decomposing. Ids are positive, so
+    Python % == SQL %."""
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    keep = (s % 3 + d % 3) % 3 != 0
+    return pa.table({"src": s[keep], "dst": d[keep]})
+
+
+def _q_graph_scc(sf_dir: str):
+    """Strongly connected components over a deterministically filtered
+    page graph (distributed coloring algorithm: TRIM / max-color forward
+    / same-color backward detect rounds in ONE multi-phase vertex
+    program; scc_id = max member id) — DuckDB-oracled by transitive
+    closure + mutual-reachability max."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges, scc_labels
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+        _scc_edge_filter, batch_format="pyarrow"
+    )
+    return (
+        scc_labels(edges, os.path.join(work, "sccrun"), P=8, resume=True)
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+
+
 _WALK_SEEDS_N = 8
 _WALK_LEN = 12
 
@@ -1321,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
         "graph_bowtie": _q_graph_bowtie,
+        "graph_scc": _q_graph_scc,
         "graph_random_walks": _q_random_walks,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
@@ -1982,6 +2017,26 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'other' END AS bowtie_class "
             "FROM verts LEFT JOIN fwd f ON f.v = verts.v "
             "LEFT JOIN bwd b ON b.v = verts.v ORDER BY vertex_id"
+        ),
+        "graph_scc": (
+            # scc_id(v) = max u with v ->* u AND u ->* v (v itself counts):
+            # transitive closure over the SAME filtered edge subset, then
+            # mutual-reachability max. NOTE: under WITH RECURSIVE this
+            # DuckDB version does not dedup a plain UNION in a
+            # non-recursive CTE — verts uses an explicit DISTINCT wrapper.
+            f"WITH RECURSIVE e AS (SELECT src, dst FROM "
+            f"read_parquet('{edges_glob}') "
+            "WHERE (src % 3 + dst % 3) % 3 <> 0), "
+            "verts AS (SELECT DISTINCT v FROM "
+            "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), "
+            "reach(a, b) AS (SELECT DISTINCT src, dst FROM e "
+            "UNION "
+            "SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b), "
+            "mut AS (SELECT r1.a AS v, max(r1.b) AS mx FROM reach r1 "
+            "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a) "
+            "SELECT verts.v AS vertex_id, "
+            "GREATEST(verts.v, COALESCE(m.mx, verts.v)) AS scc_id "
+            "FROM verts LEFT JOIN mut m ON m.v = verts.v ORDER BY vertex_id"
         ),
         "graph_random_walks": (
             # exact hop replay: neighbors ranked dst-ascending over the raw

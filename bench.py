@@ -85,6 +85,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         prepare_graph,
         run_algorithm,
         run_on_edge_dataset,
+        scc_labels,
     )
     from graphlite_ray.pipelines.triangles import triangle_count, vertex_triangle_counts
     from graphlite_ray.pipelines import relational as R
@@ -298,6 +299,14 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             lambda: run_algorithm(
                 "personalized_pagerank", pages, work, P=P, seeds=ppr_seeds
             ),
+        )
+        _timed(
+            "scc",
+            lambda: scc_labels(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                work,
+                P=P,
+            ).count(),
         )
         _timed("corpus_clean", lambda: corpus_clean(docs).count())
         _timed("pricing_summary", lambda: R.q_pricing_summary(sf_dir))

@@ -278,6 +278,38 @@ def hits_tagged_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     return edges.map_batches(_tag, batch_format="pyarrow")
 
 
+def scc_tagged_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """SCC runs on the same direction-tagged multiset as HITS (forward
+    tag 1 / reverse tag 2 — `programs.StronglyConnectedComponents.FWD/REV`
+    equal `HITS.FWD/REV` by construction)."""
+    return hits_tagged_edges(edges)
+
+
+def scc_labels(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    P: int = 8,
+    resume: bool = False,
+    max_supersteps: int = 2000,
+) -> "ray.data.Dataset":
+    """edges (src:int64, dst:int64) -> Dataset (vertex_id, scc_id) where
+    scc_id = the MAX member id of the vertex's strongly connected
+    component (the coloring algorithm's root — see
+    `programs.StronglyConnectedComponents`). One tagged CSR build, one
+    multi-phase BSP run; nothing graph-sized on the driver."""
+    res = run_on_edge_dataset(
+        "scc", scc_tagged_edges(edges), work_dir, P=P, tag="sccdir",
+        resume=resume, max_supersteps=max_supersteps,
+    )
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex_id": t["vertex_id"], "scc_id": t["value"]}
+        )
+
+    return res.values().map_batches(_out, batch_format="pyarrow")
+
+
 HOST_RE = r"^[a-z]+://([^/]+)"
 
 

@@ -951,6 +951,206 @@ class RandomWalks(VertexProgram):
         return out
 
 
+class StronglyConnectedComponents(VertexProgram):
+    """SCC decomposition by the distributed coloring algorithm (Orzan's
+    coloring / FW-BW-Trim family — the standard Pregel-style parallel SCC
+    for web graphs), phased per round over the unassigned subgraph:
+
+      TRIM    unassigned vertices with live in-degree 0 or out-degree 0
+              are singleton SCCs; assignment notifies neighbors to
+              decrement their live degrees (cascades).
+      COLOR   color := own id, then propagate MAX color along FORWARD
+              edges to fixpoint: color(v) = max id that reaches v within
+              the unassigned subgraph.
+      DETECT  every root (color == own id) starts a BACKWARD wavefront
+              that travels only through same-color vertices; every vertex
+              reached is in the root's SCC (correctness: any vertex on a
+              path u ->* root inside the root's color class has exactly
+              that color, else the root's own color would exceed itself).
+      repeat TRIM/COLOR/DETECT on the shrinking unassigned set; >= 1 root
+      per round guarantees progress. scc_id = the root's vertex id = the
+      MAX member id (SQL-replicable).
+
+    All three phases live in ONE vertex program: the CSR is built over the
+    direction-tagged edge multiset (`scc_tagged_edges`, same trick as
+    HITS: forward tag 1 / reverse tag 2), phase transitions are driven by
+    the `act` aggregator's k -> k+1 visibility (a phase advances exactly
+    when its previous superstep did no work, so no messages are in flight
+    across a transition), and `master_halt` fires when the `left`
+    (unassigned) aggregator hits 0. Messages are raw (combiner="none"),
+    int64-exact: >= 0 carries a color, -1/-2 carry live-degree decrements
+    (valid in any phase). Per-partition color/degree arrays ride
+    `extra_state`, so checkpoint/resume restores mid-run exactly."""
+
+    name = "scc"
+    value_dtype = np.dtype(np.int64)
+    combiner = "none"
+
+    FWD, REV = 1.0, 2.0
+    BOOT, TRIM, COLOR_INIT, COLOR, DETECT_INIT, DETECT = 0, 1, 2, 3, 4, 5
+
+    def __init__(self) -> None:
+        self._color: Optional[np.ndarray] = None
+        self._indeg: Optional[np.ndarray] = None
+        self._outdeg: Optional[np.ndarray] = None
+        self._fwd: Optional[np.ndarray] = None  # static per-shard edge tag
+
+    def aggregators(self):
+        return {
+            "phase": AggregatorSpec(init=0, op="max"),
+            "act": AggregatorSpec(init=0, op="sum"),
+            "left": AggregatorSpec(init=0, op="sum"),
+        }
+
+    def init_values(self, shard):
+        return np.full(shard.n, -1, np.int64)  # -1 = unassigned
+
+    def extra_state(self):
+        if self._color is None:
+            return None
+        return {"c": self._color, "i": self._indeg, "o": self._outdeg}
+
+    def load_extra(self, state):
+        self._color = state["c"].astype(np.int64)
+        self._indeg = state["i"].astype(np.int64)
+        self._outdeg = state["o"].astype(np.int64)
+
+    def master_halt(self, superstep, aggr_global, totals):
+        return aggr_global.get("left", 0) == 0
+
+    @classmethod
+    def _transition(cls, p_prev: int, act_prev: int) -> int:
+        if p_prev == cls.BOOT:
+            return cls.TRIM
+        if p_prev == cls.TRIM:
+            return cls.TRIM if act_prev else cls.COLOR_INIT
+        if p_prev == cls.COLOR_INIT:
+            return cls.COLOR
+        if p_prev == cls.COLOR:
+            return cls.COLOR if act_prev else cls.DETECT_INIT
+        if p_prev == cls.DETECT_INIT:
+            return cls.DETECT
+        return cls.DETECT if act_prev else cls.TRIM
+
+    # -- edge helpers over the tagged CSR --------------------------------
+
+    def _fwd_mask(self, shard) -> np.ndarray:
+        if self._fwd is None:
+            if shard.edge_weights is None:
+                raise ValueError(
+                    "scc requires the direction-tagged edge build "
+                    "(weight 1=forward, 2=reverse); see scc_tagged_edges()"
+                )
+            self._fwd = shard.edge_weights == self.FWD
+        return self._fwd
+
+    def _edges_of(self, shard, rows: np.ndarray, forward: bool):
+        """(dst, per-edge source row) of the tag-matching out-edges of
+        `rows`."""
+        rowmask = np.zeros(shard.n, bool)
+        rowmask[rows] = True
+        fwd = self._fwd_mask(shard)
+        emask = rowmask[shard.edge_src_local] & (fwd if forward else ~fwd)
+        return shard.indices[emask], shard.edge_src_local[emask]
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        if self._color is None:  # superstep 0 (or fresh actor, ss0 only)
+            self._color = shard.vids.copy()
+            fwd = self._fwd_mask(shard)
+            self._outdeg = np.bincount(
+                shard.edge_src_local[fwd], minlength=shard.n
+            ).astype(np.int64)
+            self._indeg = np.bincount(
+                shard.edge_src_local[~fwd], minlength=shard.n
+            ).astype(np.int64)
+
+        p_prev = int(ctx.aggr_global.get("phase", 0))
+        act_prev = int(ctx.aggr_global.get("act", 1))
+        cur = self._transition(p_prev, act_prev)
+        unassigned = values < 0
+        act = 0
+        dsts: list[np.ndarray] = []
+        vals: list[np.ndarray] = []
+        srcs: list[np.ndarray] = []
+
+        def _send(dst, val, src_rows):
+            if len(dst):
+                dsts.append(dst)
+                vals.append(val)
+                srcs.append(shard.vids[src_rows])
+
+        def _assign(rows: np.ndarray, scc_ids: np.ndarray, propagate: bool):
+            """Assign SCC ids; notify neighbors' live degrees; optionally
+            propagate the detection wavefront backward."""
+            nonlocal act
+            if not len(rows):
+                return
+            values[rows] = scc_ids
+            unassigned[rows] = False
+            act += len(rows)
+            fdst, frow = self._edges_of(shard, rows, forward=True)
+            _send(fdst, np.full(len(fdst), -1, np.int64), frow)  # their indeg--
+            bdst, brow = self._edges_of(shard, rows, forward=False)
+            _send(bdst, np.full(len(bdst), -2, np.int64), brow)  # their outdeg--
+            if propagate:
+                per_row = np.zeros(shard.n, np.int64)
+                per_row[rows] = scc_ids
+                _send(bdst, per_row[brow], brow)
+
+        # 1. inbox (interpret positive payloads by the SENDING phase)
+        if not inbox.empty:
+            v = inbox.val.astype(np.int64)
+            idx = inbox.idx
+            neg1, neg2 = v == -1, v == -2
+            if neg1.any():
+                np.add.at(self._indeg, idx[neg1], -1)
+            if neg2.any():
+                np.add.at(self._outdeg, idx[neg2], -1)
+            pos = v >= 0
+            if pos.any() and p_prev in (self.COLOR_INIT, self.COLOR):
+                incoming = np.full(shard.n, -1, np.int64)
+                np.maximum.at(incoming, idx[pos], v[pos])
+                upd = np.flatnonzero(unassigned & (incoming > self._color))
+                if len(upd):
+                    self._color[upd] = incoming[upd]
+                    act += len(upd)
+                    fdst, frow = self._edges_of(shard, upd, forward=True)
+                    _send(fdst, self._color[frow], frow)
+            elif pos.any() and p_prev in (self.DETECT_INIT, self.DETECT):
+                match = pos & unassigned[idx] & (self._color[idx] == v)
+                rows = np.unique(idx[match])
+                _assign(rows, self._color[rows], propagate=True)
+
+        # 2. phase entry / steady actions
+        if cur == self.TRIM:
+            rows = np.flatnonzero(
+                unassigned & ((self._indeg == 0) | (self._outdeg == 0))
+            )
+            _assign(rows, shard.vids[rows], propagate=False)
+        elif cur == self.COLOR_INIT:
+            rows = np.flatnonzero(unassigned)
+            self._color[rows] = shard.vids[rows]
+            act += len(rows)
+            fdst, frow = self._edges_of(shard, rows, forward=True)
+            _send(fdst, self._color[frow], frow)
+        elif cur == self.DETECT_INIT:
+            rows = np.flatnonzero(unassigned & (self._color == shard.vids))
+            _assign(rows, self._color[rows], propagate=True)
+
+        if dsts:
+            out.out_dst = np.concatenate(dsts)
+            out.out_val = np.concatenate(vals)
+            out.out_src = np.concatenate(srcs)
+            out.sent = len(out.out_dst)
+        out.aggr = {
+            "phase": cur,
+            "act": act,
+            "left": int(unassigned.sum()),
+        }
+        return out
+
+
 BUILTIN_PROGRAMS = {
     "pagerank": PageRank,
     "weighted_pagerank": WeightedPageRank,
@@ -963,4 +1163,5 @@ BUILTIN_PROGRAMS = {
     "neighborhood_exact": NeighborhoodExact,
     "hyperball": HyperBall,
     "random_walks": RandomWalks,
+    "scc": StronglyConnectedComponents,
 }

@@ -832,3 +832,99 @@ def test_image_decoder_routes_jpeg(ray_session):
         m = json.loads(row["meta"])
         assert (row["height"], row["width"]) == (m["h"], m["w"])
         assert row["pixels_sum"] == m["psum"], m["codec"]
+
+
+# ------------------------------------------------------------------- SCC
+
+
+def _kosaraju(src, dst):
+    import collections
+
+    adj, radj = collections.defaultdict(list), collections.defaultdict(list)
+    verts = sorted(set(src) | set(dst))
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+        radj[d].append(s)
+    seen, order = set(), []
+    for v in verts:
+        if v in seen:
+            continue
+        stack = [(v, iter(adj[v]))]
+        seen.add(v)
+        while stack:
+            u, it = stack[-1]
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(adj[w])))
+                    break
+            else:
+                order.append(u)
+                stack.pop()
+    comp = {}
+    for v in reversed(order):
+        if v in comp:
+            continue
+        stack, members = [v], [v]
+        comp[v] = None
+        while stack:
+            u = stack.pop()
+            for w in radj[u]:
+                if w not in comp:
+                    comp[w] = None
+                    members.append(w)
+                    stack.append(w)
+        m = max(members)
+        for u in members:
+            comp[u] = m
+    return comp
+
+
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_scc_matches_kosaraju(ray_session, work_dir, seed):
+    """The multi-phase coloring SCC program vs a sequential Kosaraju on
+    random digraphs (cycles, parallel edges, self-loops, singletons)."""
+    import ray.data
+    import pyarrow as pa
+
+    from graphlite_ray.pipelines.linkgraph import scc_labels
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(10, 45))
+    m = int(rng.randint(n, 4 * n))
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = {
+        r["vertex_id"]: r["scc_id"]
+        for r in scc_labels(edges, f"{work_dir}/s{seed}", P=4).take_all()
+    }
+    assert got == _kosaraju(src.tolist(), dst.tolist())
+
+
+def test_scc_resume_midrun(ray_session, work_dir):
+    """extra_state (colors + live degrees) must survive a mid-run
+    checkpoint: a resumed run finishes to the same labels."""
+    import ray.data
+    import pyarrow as pa
+
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset, scc_tagged_edges
+
+    rng = np.random.RandomState(21)
+    src = rng.randint(0, 30, 90).astype(np.int64)
+    dst = rng.randint(0, 30, 90).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    part = run_on_edge_dataset(
+        "scc", scc_tagged_edges(edges), f"{work_dir}/a", P=2, tag="sccdir",
+        max_supersteps=4, ckpt_every=2,
+    )
+    assert not part.halted
+    resumed = run_on_edge_dataset(
+        "scc", scc_tagged_edges(edges), f"{work_dir}/a", P=2, tag="sccdir",
+        resume=True,
+    )
+    assert resumed.halted
+    got = {
+        r["vertex_id"]: int(r["value"]) for r in resumed.values().take_all()
+    }
+    assert got == _kosaraju(src.tolist(), dst.tolist())
