@@ -601,6 +601,30 @@ def _q_graph_neighborhood_approx(sf_dir: str):
     return df
 
 
+_HC_RADIUS = 6
+_HC_SOURCE_MOD = 4  # sources = vids % 4 == 0 (uniform over hashed ids)
+
+
+def _q_graph_harmonic(sf_dir: str):
+    """Truncated harmonic centrality H(v) = sum over sampled sources u of
+    1/d(u->v), d <= 6 — the standard web-graph centrality (what HyperBall
+    estimates), exact here via multi-source BFS wavefronts. Value is a
+    float SUM of ≤radius reciprocal terms: rounded half-away to 6 on both
+    sides (module float-aggregate note)."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm(
+        "harmonic_centrality", pages, work, P=8, resume=True,
+        radius=_HC_RADIUS, source_mod=_HC_SOURCE_MOD,
+    )
+    df = res.values().to_pandas()[["vertex_id", "value"]].rename(
+        columns={"value": "harmonic"}
+    )
+    df["harmonic"] = _round_half_away(df["harmonic"], 6)
+    return df.sort_values("vertex_id", ignore_index=True)
+
+
 def _q_graph_bowtie(sf_dir: str):
     """Broder bowtie decomposition relative to the max-out-degree pivot
     (min id on ties): two SSSP reachability wavefronts (forward; backward
@@ -1355,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
         "graph_bowtie": _q_graph_bowtie,
+        "graph_harmonic": _q_graph_harmonic,
         "graph_scc": _q_graph_scc,
         "graph_random_walks": _q_random_walks,
         "reshard_out_degrees": _q_reshard_degrees,
@@ -2017,6 +2042,30 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'other' END AS bowtie_class "
             "FROM verts LEFT JOIN fwd f ON f.v = verts.v "
             "LEFT JOIN bwd b ON b.v = verts.v ORDER BY vertex_id"
+        ),
+        "graph_harmonic": (
+            # H(v) = sum over sources u != v of 1/min-d(u -> v), d <= 6;
+            # per-(v, d) counts then count * (1.0/d), the engine's exact
+            # association; self-loops never shorten distances (src <> dst)
+            f"WITH RECURSIVE e AS (SELECT DISTINCT src, dst "
+            f"FROM read_parquet('{edges_glob}') WHERE src <> dst), "
+            f"verts AS (SELECT DISTINCT v FROM (SELECT src AS v "
+            f"FROM read_parquet('{edges_glob}') UNION ALL "
+            f"SELECT dst FROM read_parquet('{edges_glob}'))), "
+            f"seeds AS (SELECT v FROM verts WHERE v % {_HC_SOURCE_MOD} = 0), "
+            "walk(s, v, d) AS ("
+            "SELECT v, v, 0 FROM seeds "
+            "UNION "
+            "SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v "
+            f"WHERE w.d < {_HC_RADIUS}), "
+            "md AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v), "
+            "cnts AS (SELECT v, d, CAST(count(*) AS BIGINT) AS c "
+            "FROM md WHERE d >= 1 GROUP BY v, d), "
+            "h AS (SELECT v, ROUND(SUM(c * (1.0 / d)), 6) AS harmonic "
+            "FROM cnts GROUP BY v) "
+            "SELECT verts.v AS vertex_id, "
+            "COALESCE(h.harmonic, 0.0) AS harmonic "
+            "FROM verts LEFT JOIN h ON h.v = verts.v ORDER BY vertex_id"
         ),
         "graph_scc": (
             # scc_id(v) = max u with v ->* u AND u ->* v (v itself counts):

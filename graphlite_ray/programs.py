@@ -755,6 +755,99 @@ class NeighborhoodExact(VertexProgram):
         return out
 
 
+class HarmonicCentrality(VertexProgram):
+    """Truncated harmonic centrality (Boldi & Vigna's centrality of choice
+    for web graphs — what HyperBall exists to estimate):
+
+      H(v) = sum over sources u (vid % source_mod == 0, u != v) with
+             d(u -> v) <= radius of 1 / d(u -> v)
+
+    Same multi-source BFS wavefront as `NeighborhoodExact` (source ids
+    propagate forward; first arrival = exact distance; only NEW sources
+    forward), but the per-vertex value accumulates n_new(v, t) * (1/t) —
+    computed as ONE count-times-reciprocal per superstep (bincount then
+    multiply), the same association the SQL oracle's `count * (1.0/d)`
+    uses, so engine and oracle agree to the last ulp before the shared
+    round-6. Sampled sources make this the standard sqrt-style estimator
+    at scale; radius-truncation is HyperBall's own per-iteration view."""
+
+    name = "harmonic_centrality"
+    combiner = "max_by_key"  # dedup (dst, source) — parallel edges collapse
+
+    def __init__(self, radius: int = 6, source_mod: int | None = None):
+        self.radius = int(radius)
+        if self.radius < 1:
+            raise ValueError("radius must be >= 1")
+        self.max_supersteps = self.radius + 1
+        self.source_mod = source_mod
+        self.aggr_schema = 1
+        self._reached: np.ndarray | None = None
+
+    def init_values(self, shard):
+        return np.zeros(shard.n, np.float64)
+
+    def extra_state(self):
+        if self._reached is None:
+            return None
+        return {"v": self._reached["v"].copy(), "s": self._reached["s"].copy()}
+
+    def load_extra(self, state):
+        r = np.empty(len(state["v"]), _REACH_DTYPE)
+        r["v"], r["s"] = state["v"], state["s"]
+        r.sort(order=["v", "s"])
+        self._reached = r
+
+    def _source_rows(self, shard):
+        if self.source_mod is None:
+            return np.arange(shard.n, dtype=np.int64)
+        return np.flatnonzero(shard.vids % self.source_mod == 0)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        if ctx.superstep == 0:
+            srows = self._source_rows(shard)
+            reached = np.empty(len(srows), _REACH_DTYPE)
+            reached["v"] = shard.vids[srows]
+            reached["s"] = shard.vids[srows]
+            reached.sort(order=["v", "s"])
+            self._reached = reached  # d(u, u) = 0 contributes nothing
+            dsts, row_map = _gather_out_edges(shard, srows)
+            out.out_dst = dsts
+            out.out_key = shard.vids[srows][row_map]
+            out.out_val = np.ones(len(dsts), np.int64)
+            out.sent = len(dsts)
+            out.halted = active.copy()
+            return out
+        if not inbox.empty:
+            cand = np.empty(len(inbox.idx), _REACH_DTYPE)
+            cand["v"] = shard.vids[inbox.idx]
+            cand["s"] = inbox.key
+            if len(self._reached):
+                pos = np.clip(
+                    np.searchsorted(self._reached, cand), 0, len(self._reached) - 1
+                )
+                new = self._reached[pos] != cand
+            else:
+                new = np.ones(len(cand), bool)
+            if new.any():
+                self._reached = np.sort(
+                    np.concatenate([self._reached, cand[new]]), order=["v", "s"]
+                )
+                cnt = np.bincount(inbox.idx[new], minlength=shard.n)
+                hit = cnt > 0
+                # one multiply per superstep: matches SQL count * (1.0/d)
+                values[hit] += cnt[hit] * (1.0 / ctx.superstep)
+                if ctx.superstep < self.radius:
+                    rows = inbox.idx[new]
+                    dsts, row_map = _gather_out_edges(shard, rows)
+                    out.out_dst = dsts
+                    out.out_key = inbox.key[new][row_map]
+                    out.out_val = np.ones(len(dsts), np.int64)
+                    out.sent = len(dsts)
+        out.halted = active.copy()
+        return out
+
+
 class HyperBall(VertexProgram):
     """HyperBall (Boldi & Vigna, "HyperBall: a system for computing the
     neighborhood function") re-expressed as a vertex program: every vertex
@@ -1161,6 +1254,7 @@ BUILTIN_PROGRAMS = {
     "sssp": SSSP,
     "kcore": KCore,
     "neighborhood_exact": NeighborhoodExact,
+    "harmonic_centrality": HarmonicCentrality,
     "hyperball": HyperBall,
     "random_walks": RandomWalks,
     "scc": StronglyConnectedComponents,

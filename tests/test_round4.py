@@ -928,3 +928,46 @@ def test_scc_resume_midrun(ray_session, work_dir):
         r["vertex_id"]: int(r["value"]) for r in resumed.values().take_all()
     }
     assert got == _kosaraju(src.tolist(), dst.tolist())
+
+
+def test_harmonic_centrality_brute_force(ray_session, work_dir):
+    """HarmonicCentrality vs a per-source BFS replay on a random digraph
+    (parallel edges + self-loops must not shorten distances), including
+    the radius truncation."""
+    import collections
+
+    import ray.data
+    import pyarrow as pa
+
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+
+    rng = np.random.RandomState(4)
+    n, m, radius, mod = 30, 120, 3, 2
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    adj = collections.defaultdict(set)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            adj[s].add(d)
+    verts = sorted(set(src.tolist()) | set(dst.tolist()))
+    want = {v: 0.0 for v in verts}
+    for u in (v for v in verts if v % mod == 0):
+        dist = {u: 0}
+        frontier = [u]
+        for t in range(1, radius + 1):
+            nxt = [w for x in frontier for w in adj[x] if w not in dist]
+            frontier = sorted(set(nxt))
+            for w in frontier:
+                dist[w] = t
+                want[w] += 1.0 / t
+        del dist
+
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    res = run_on_edge_dataset(
+        "harmonic_centrality", edges, work_dir, P=3, radius=radius,
+        source_mod=mod,
+    )
+    got = {r["vertex_id"]: r["value"] for r in res.values().take_all()}
+    assert set(got) == set(want)
+    for v in verts:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
