@@ -1119,6 +1119,50 @@ def _q_doc_lm_score(sf_dir: str):
     return lm_score(docs, alpha=0.1).to_pandas().sort_values("doc_id", ignore_index=True)
 
 
+def _aug_url_variants(t: "pa.Table") -> "pa.Table":
+    """Deterministic messy variants of each page url (the synthetic urls
+    are clean, so the canonicalizer needs planted mess): tracking params,
+    fragment + SHOUTING host, trailing-slash query, explicit :80. v0/v1/
+    v2/v4 canonicalize back to the url; v3 keeps its real 'a=1' param."""
+    import re as _re
+
+    from graphlite_ray.stages.urlnorm import PREFIX_RE
+
+    out = []
+    for u in t["url"].to_pylist():
+        m = _re.match(PREFIX_RE, u)
+        pref = m.group(0) if m else ""
+        out += [
+            u,
+            u + "?utm_source=feed&utm_campaign=x",
+            pref.upper() + u[len(pref):] + "#sec",
+            u + "/?a=1&utm_medium=m",
+            _re.sub(r"^(http://[^/?#:]*)", r"\1:80", u),
+        ]
+    return pa.table({"url": pa.array(out, pa.string())})
+
+
+def _q_url_canonical_dedup(sf_dir: str):
+    """URL canonicalization + canonical-form dedup counts over a planted
+    messy-variant corpus (5 variants per page url) — DuckDB-oracled by
+    replaying both the augmentation and the exact rule chain with RE2 +
+    list functions."""
+    import ray.data
+
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.urlnorm import canonical_url_counts
+
+    pages, _ = _graph_work(sf_dir)
+    urls = read_parquet_clean(pages, columns=["url"]).map_batches(
+        _aug_url_variants, batch_format="pyarrow"
+    )
+    return (
+        canonical_url_counts(urls)
+        .to_pandas()
+        .sort_values("canonical_url", ignore_index=True)
+    )
+
+
 def _q_props_rollup(sf_dir: str):
     """JSON-field extraction + group aggregate over the events props
     sidecar — DuckDB json_extract oracle."""
@@ -1421,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "doc_tfidf": _q_doc_tfidf,
         "doc_lm_score": _q_doc_lm_score,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "doc_token_df": _q_doc_token_df,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
@@ -2401,6 +2446,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_bigrams, "
             "ROUND(sum(c_doc * lp) / sum(c_doc), 6) AS avg_logp "
             "FROM sc GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "url_canonical_dedup": (
+            # replay the augmentation (5 variants per url) and the exact
+            # canonicalization rule chain (stages/urlnorm.py docstring):
+            # frag strip -> prefix lowercase -> default-port strip ->
+            # utm param filter -> trailing-slash strip
+            "WITH pages AS (SELECT url FROM read_parquet('"
+            + os.path.join(_graph_work(_ORACLE_SF)[0], "*.parquet")
+            + "')), "
+            "pref AS (SELECT url, COALESCE(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS p FROM pages), "
+            "aug AS ("
+            "SELECT url AS u FROM pages "
+            "UNION ALL SELECT url || '?utm_source=feed&utm_campaign=x' FROM pages "
+            "UNION ALL SELECT upper(p) || substr(url, length(p) + 1) || '#sec' FROM pref "
+            "UNION ALL SELECT url || '/?a=1&utm_medium=m' FROM pages "
+            "UNION ALL SELECT regexp_replace(url, '^(http://[^/?#:]*)', '\\1:80') FROM pages), "
+            "s1 AS (SELECT regexp_replace(u, '#.*$', '') AS u FROM aug), "
+            "s2 AS (SELECT COALESCE(regexp_extract(u, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS p, u FROM s1), "
+            "s3 AS (SELECT lower(p) || substr(u, length(p) + 1) AS u FROM s2), "
+            "s4 AS (SELECT regexp_replace(regexp_replace(u, "
+            "'^(http://[^/?#:]*):80([/?#]|$)', '\\1\\2'), "
+            "'^(https://[^/?#:]*):443([/?#]|$)', '\\1\\2') AS u FROM s3), "
+            "s5 AS (SELECT CASE WHEN strpos(u, '?') > 0 "
+            "THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END AS base, "
+            "CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1) "
+            "ELSE NULL END AS q FROM s4), "
+            "s6 AS (SELECT regexp_replace(base, '([^/])/$', '\\1') AS base, "
+            "CASE WHEN q IS NULL THEN NULL ELSE list_filter(string_split(q, '&'), "
+            "x -> x <> '' AND NOT regexp_matches(x, '^utm_')) END AS ps FROM s5), "
+            "canon AS (SELECT base || CASE WHEN ps IS NOT NULL AND len(ps) > 0 "
+            "THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical_url "
+            "FROM s6) "
+            "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants "
+            "FROM canon GROUP BY canonical_url ORDER BY canonical_url"
         ),
         "doc_token_df": (
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("

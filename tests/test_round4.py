@@ -971,3 +971,47 @@ def test_harmonic_centrality_brute_force(ray_session, work_dir):
     assert set(got) == set(want)
     for v in verts:
         assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_url_canonicalization_rules():
+    """Hand-checked rule-chain cases (each rule exercised); the stage and
+    the per-row function must agree."""
+    from graphlite_ray.stages.urlnorm import UrlCanonicalizer, canonicalize_url as c
+
+    cases = {
+        "http://Example.COM:80/Path/?utm_source=x&a=1#frag": "http://example.com/Path?a=1",
+        "https://Host.org:443/": "https://host.org",
+        "http://h.com/p/?utm_a=1&utm_b=2": "http://h.com/p",
+        "http://h.com/p?a=1&utm_medium=m&b=2": "http://h.com/p?a=1&b=2",
+        "http://h.com": "http://h.com",
+        "HTTP://H.com/QQ": "http://h.com/QQ",  # path case preserved
+        "http://h.com:8080/x": "http://h.com:8080/x",  # non-default port kept
+        "http://h.com/a//": "http://h.com/a//",  # rule strips ONE non-'/'-preceded slash
+    }
+    for u, want in cases.items():
+        assert c(u) == want, u
+    df = UrlCanonicalizer()(pd.DataFrame({"url": list(cases)}))
+    assert list(df["canonical_url"]) == [c(u) for u in cases]
+
+
+def test_canonical_url_counts_groups_variants(ray_session):
+    import ray.data
+    import pyarrow as pa
+
+    from graphlite_ray.stages.urlnorm import canonical_url_counts
+
+    urls = [
+        "http://a.com/x",
+        "http://A.COM:80/x#f",
+        "http://a.com/x?utm_source=s",
+        "http://a.com/y",
+    ]
+    out = (
+        canonical_url_counts(
+            ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())})), B=4
+        )
+        .to_pandas()
+        .sort_values("canonical_url", ignore_index=True)
+    )
+    assert out["canonical_url"].tolist() == ["http://a.com/x", "http://a.com/y"]
+    assert out["n_variants"].tolist() == [3, 1]
