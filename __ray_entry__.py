@@ -466,6 +466,33 @@ def _q_graph_scc(sf_dir: str):
     )
 
 
+def _q_graph_bowtie_scc(sf_dir: str):
+    """Broder-FAITHFUL bowtie: core = the LARGEST SCC (not the heuristic
+    max-out-degree pivot), over the same filtered graph as `graph_scc` so
+    the structure is non-trivial. The largest component's representative
+    (its max member id) is a sufficient pivot because SCC members share
+    reachability — `bowtie_classes` then classifies exactly as Broder
+    2000 does."""
+    import ray.data
+
+    from graphlite_ray.pipelines.bowtie import bowtie_classes, largest_scc_pivot
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
+        _scc_edge_filter, batch_format="pyarrow"
+    )
+    pivot = largest_scc_pivot(edges, os.path.join(work, "sccrun"), P=8, resume=True)
+    return (
+        bowtie_classes(
+            edges, os.path.join(work, "bowtie_scc"), P=8, pivot=pivot, resume=True
+        )
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+
+
 _WALK_SEEDS_N = 8
 _WALK_LEN = 12
 
@@ -1425,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bowtie": _q_graph_bowtie,
         "graph_harmonic": _q_graph_harmonic,
         "graph_scc": _q_graph_scc,
+        "graph_bowtie_scc": _q_graph_bowtie_scc,
         "graph_random_walks": _q_random_walks,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
@@ -2131,6 +2159,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT verts.v AS vertex_id, "
             "GREATEST(verts.v, COALESCE(m.mx, verts.v)) AS scc_id "
             "FROM verts LEFT JOIN mut m ON m.v = verts.v ORDER BY vertex_id"
+        ),
+        "graph_bowtie_scc": (
+            # Broder-faithful: core = largest SCC (size desc, scc_id asc
+            # tie) of the SAME filtered graph as graph_scc; its max-member
+            # representative seeds the fwd/bwd reachability walks, and
+            # fwd AND bwd == membership in that SCC
+            f"WITH RECURSIVE e AS (SELECT src, dst FROM "
+            f"read_parquet('{edges_glob}') "
+            "WHERE (src % 3 + dst % 3) % 3 <> 0), "
+            "verts AS (SELECT DISTINCT v FROM "
+            "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), "
+            "reach(a, b) AS (SELECT DISTINCT src, dst FROM e "
+            "UNION "
+            "SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b), "
+            "mut AS (SELECT r1.a AS v, max(r1.b) AS mx FROM reach r1 "
+            "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a), "
+            "scc AS (SELECT verts.v, "
+            "GREATEST(verts.v, COALESCE(m.mx, verts.v)) AS scc_id "
+            "FROM verts LEFT JOIN mut m ON m.v = verts.v), "
+            "pv AS (SELECT scc_id AS v FROM (SELECT scc_id, count(*) AS c "
+            "FROM scc GROUP BY scc_id) ORDER BY c DESC, scc_id LIMIT 1), "
+            "fwd(v) AS (SELECT v FROM pv "
+            "UNION SELECT e.dst FROM fwd JOIN e ON e.src = fwd.v), "
+            "bwd(v) AS (SELECT v FROM pv "
+            "UNION SELECT e.src FROM bwd JOIN e ON e.dst = bwd.v) "
+            "SELECT verts.v AS vertex_id, CASE "
+            "WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'core' "
+            "WHEN b.v IS NOT NULL THEN 'in' "
+            "WHEN f.v IS NOT NULL THEN 'out' "
+            "ELSE 'other' END AS bowtie_class "
+            "FROM verts LEFT JOIN fwd f ON f.v = verts.v "
+            "LEFT JOIN bwd b ON b.v = verts.v ORDER BY vertex_id"
         ),
         "graph_random_walks": (
             # exact hop replay: neighbors ranked dst-ascending over the raw

@@ -51,6 +51,43 @@ def pick_pivot(edges: "ray.data.Dataset", B: int = 16) -> int:
     return int(best["v"])
 
 
+def largest_scc_pivot(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    P: int = 8,
+    B: int = 16,
+    resume: bool = False,
+) -> int:
+    """Representative of the LARGEST strongly connected component —
+    Broder's actual core definition (the max-out-degree pivot is the
+    cheap heuristic; this is the faithful one now that SCC exists).
+    Because an SCC is mutually reachable, reachability from/to ANY member
+    equals reachability from/to the whole core, so the single returned
+    vertex (the component's max member id = its scc_id) is a sufficient
+    pivot for `bowtie_classes`. Shape: the SCC BSP run, then per-batch
+    partial component counts -> bucketed exact sums -> <=B champion rows
+    on the driver. Ties break to the smallest scc_id."""
+    from graphlite_ray.pipelines.linkgraph import scc_labels
+
+    labels = scc_labels(edges, work_dir, P=P, resume=resume)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["scc_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"scc_id": u, "c": c.astype(np.int64)})
+
+    def _champion(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("scc_id", as_index=False)["c"].sum()
+        return sizes.sort_values(["c", "scc_id"], ascending=[False, True]).head(1)
+
+    champs = grouped_map_bucketed(
+        labels.map_batches(_partial, batch_format="pyarrow"), ["scc_id"], _champion, B
+    ).to_pandas()
+    best = champs.sort_values(["c", "scc_id"], ascending=[False, True]).iloc[0]
+    return int(best["scc_id"])
+
+
 def _reversed(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     def _swap(t: pa.Table) -> pa.Table:
         return pa.table({"src": t["dst"], "dst": t["src"]})

@@ -80,3 +80,28 @@ def test_bowtie_planted_all_classes(ray_session, work_dir):
     assert got[1] == "in"
     assert got[20] == "out" and got[99] == "out"
     assert got[30] == "other" and got[31] == "other"
+
+
+def test_largest_scc_pivot_and_faithful_classes(ray_session, work_dir):
+    """largest_scc_pivot must return the max-member id of the biggest
+    SCC, and bowtie_classes seeded with it must mark exactly that SCC as
+    core."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graphlite_ray.pipelines.bowtie import bowtie_classes, largest_scc_pivot
+
+    # two cycles (sizes 3 and 2) + an in-tail and an out-tail on the big one
+    src = np.array([1, 2, 3, 10, 11, 50, 3], np.int64)
+    dst = np.array([2, 3, 1, 11, 10, 1, 60], np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    pivot = largest_scc_pivot(edges, f"{work_dir}/s", P=2)
+    assert pivot == 3  # biggest SCC {1,2,3}, max member 3
+    cls = {
+        r["vertex_id"]: r["bowtie_class"]
+        for r in bowtie_classes(edges, f"{work_dir}/b", P=2, pivot=pivot).take_all()
+    }
+    assert {v for v, c in cls.items() if c == "core"} == {1, 2, 3}
+    assert cls[50] == "in" and cls[60] == "out"
+    assert cls[10] == cls[11] == "other"
