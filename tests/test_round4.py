@@ -1015,3 +1015,69 @@ def test_canonical_url_counts_groups_variants(ray_session):
     )
     assert out["canonical_url"].tolist() == ["http://a.com/x", "http://a.com/y"]
     assert out["n_variants"].tolist() == [3, 1]
+
+
+# -------------------------------------------------------------- WARC IO
+
+
+def test_warc_roundtrip_and_pipeline(ray_session, tmp_path, work_dir):
+    """pages -> .warc.gz shards (one gzip member per record, the real
+    Common-Crawl layout) -> read back -> BYTE-identical url/ts/html — and
+    the re-read pages drive the extraction pipeline to the same edges as
+    the parquet path."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from graphlite_ray.sources.pages import pages_path
+    from graphlite_ray.sources.warc import read_warc_pages, write_warc
+    from graphlite_ray.stages.extract import pages_to_edge_urls
+
+    src = pages_path(120, seed=42)
+    pages = ray.data.read_parquet(src, columns=["url", "warc_ts", "html"])
+    manifest = write_warc(pages, str(tmp_path / "warc"), gzip_records=True)
+    assert manifest["n_records"].sum() == 120
+    assert all(p.endswith(".warc.gz") for p in manifest["path"])
+
+    back = (
+        read_warc_pages(str(tmp_path / "warc"))
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    want = pages.to_pandas().sort_values("url", ignore_index=True)
+    assert back["url"].tolist() == want["url"].tolist()
+    assert back["warc_ts"].tolist() == want["warc_ts"].tolist()
+    assert [bytes(h) for h in back["html"]] == [bytes(h) for h in want["html"]]
+
+    # same edges through the extraction pipeline as the parquet path
+    via_warc = (
+        pages_to_edge_urls(read_warc_pages(str(tmp_path / "warc")))
+        .to_pandas()
+        .sort_values(["src_url", "dst_url"], ignore_index=True)
+    )
+    via_parquet = (
+        pages_to_edge_urls(ray.data.read_parquet(src, columns=["url", "html"]))
+        .to_pandas()
+        .sort_values(["src_url", "dst_url"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(via_warc, via_parquet)
+
+
+def test_warc_plain_and_corrupt(ray_session, tmp_path):
+    import datetime
+
+    from graphlite_ray.sources.warc import decode_warc, encode_warc
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 5)
+    blob = encode_warc(
+        ["http://a.com/x"], [ts], [b"<html>hi</html>"], gzip_records=False
+    )
+    recs = decode_warc(blob)
+    assert recs == [("http://a.com/x", ts, b"<html>hi</html>")]
+    with pytest.raises(ValueError, match="expected record header"):
+        decode_warc(b"not a warc")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_warc(blob[:-20])
+    # microsecond timestamps survive the .%fZ form
+    ts2 = datetime.datetime(2024, 1, 1, 0, 0, 5, 123456)
+    blob2 = encode_warc(["http://b.com/"], [ts2], [b"<p>x</p>"])
+    assert decode_warc(blob2)[0][1] == ts2
