@@ -378,6 +378,21 @@ def _q_extract_edges(sf_dir: str):
     )
 
 
+def _q_anchor_text(sf_dir: str):
+    """Inbound anchor-text index (pipelines/anchortext.py) — DuckDB oracle
+    re-extracts full anchor elements from the raw html with the SAME RE2
+    pattern and replays the entity-chain + whitespace-collapse anchor-text
+    contract (functions/html.py ANCHOR_TEXT_VERSION=1), then aggregates
+    independently."""
+    import ray.data
+
+    from graphlite_ray.pipelines.anchortext import anchor_text_index
+
+    pages, _ = _graph_work(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return anchor_text_index(ds, B=32)
+
+
 def _q_degrees(sf_dir: str):
     import ray.data
 
@@ -1459,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "triangle_count": _q_triangles,
         "extract_edges": _q_extract_edges,
+        "anchor_text_index": _q_anchor_text,
         "out_degrees": _q_degrees,
         # relational operator family (DuckDB-oracled)
         "filter_project": lambda sf: R.q_filter_project(sf),
@@ -1951,6 +1967,31 @@ def oracle_sql() -> dict[str, str]:
             "'<a\\b[^>]*?href=\"([^\"]*)\"', 1)) AS href "
             f"FROM read_parquet('{pages_glob}')) "
             "WHERE href LIKE 'http://%' OR href LIKE 'https://%'"
+        ),
+        # --- anchor-text oracle: RE2 re-extracts full anchor elements from
+        # the raw html and replays the v1 anchor-text contract (entity
+        # chain with &amp; LAST, ASCII-ws collapse, space-trim) — fully
+        # independent of the Python extractor
+        "anchor_text_index": (
+            "WITH m AS (SELECT url AS src_url, "
+            "unnest(regexp_extract_all(decode(html), "
+            "'(?is)<a\\b[^>]*?href=\"[^\"]*\"[^>]*>[^<]*</a\\s*>')) AS tag "
+            f"FROM read_parquet('{pages_glob}')), "
+            "p AS (SELECT src_url, "
+            "regexp_extract(tag, '(?is)<a\\b[^>]*?href=\"([^\"]*)\"', 1) AS href, "
+            "trim(regexp_replace("
+            "replace(replace(replace(replace(replace("
+            "regexp_extract(tag, '(?is)>([^<]*)</a\\s*>$', 1), "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+            "'&amp;', '&'), "
+            f"'{_WS}', ' ', 'g'), ' ') AS anchor_text FROM m), "
+            "q AS (SELECT src_url, anchor_text, "
+            "CASE WHEN strpos(href, '#') > 0 "
+            "THEN substr(href, 1, strpos(href, '#') - 1) ELSE href END AS dst_url "
+            "FROM p WHERE href LIKE 'http://%' OR href LIKE 'https://%') "
+            "SELECT dst_url, anchor_text, count(*) AS n_refs, "
+            "count(DISTINCT src_url) AS n_src_pages "
+            "FROM q WHERE dst_url <> '' GROUP BY dst_url, anchor_text"
         ),
         # --- link-graph oracles over the staged edge table ---------------
         "out_degrees": (

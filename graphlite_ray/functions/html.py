@@ -46,6 +46,59 @@ def extract_text(html: bytes | str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+ANCHOR_TEXT_VERSION = "1"
+
+# Full anchor elements with a plain-text body: contract v1 deliberately
+# requires `[^<]*` inner text (no nested markup) so the SQL oracle can
+# replay the extraction with RE2 alone; anchors wrapping other tags are
+# skipped on BOTH sides. Widening this bumps ANCHOR_TEXT_VERSION.
+_ANCHOR_TAG_RE = re.compile(r'(?is)<a\b[^>]*?href="([^"]*)"[^>]*>([^<]*)</a\s*>')
+# Minimal entity chain, applied in THIS order with &amp; last (so the
+# chain's output on inputs like '&amp;lt;' matches single-pass unescape)
+# — replayed verbatim as nested replace() calls in the SQL oracle.
+ANCHOR_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+# ASCII whitespace collapse (the corpus tokenization contract's class —
+# RE2 `\s` is ASCII-only, Python's is Unicode; both sides use this class).
+_ASCII_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def clean_anchor_text(s: str) -> str:
+    """Anchor body -> canonical anchor text (ANCHOR_TEXT_VERSION=1):
+    entity chain, ASCII-whitespace collapse to single spaces, space-strip.
+    Exactly replayable in SQL as replace()+regexp_replace()+trim()."""
+    for k, v in ANCHOR_ENTITIES:
+        s = s.replace(k, v)
+    return _ASCII_WS_RE.sub(" ", s).strip(" ")
+
+
+def extract_anchors(html: bytes | str) -> list[tuple[str, str]]:
+    """html bytes -> ordered (dst_url, anchor_text) pairs.
+
+    Same target rules as `extract_links` SQL-oracle semantics: absolute
+    http(s) hrefs only, fragment stripped, duplicates kept, href taken raw
+    (no entity unescape — matching the `extract_edges` oracle convention;
+    the synthetic corpus emits entity-free hrefs). Anchor text cleaned per
+    `clean_anchor_text`. Empty anchor bodies are kept (an image link's
+    anchor text is legitimately '')."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    out: list[tuple[str, str]] = []
+    for href, body in _ANCHOR_TAG_RE.findall(s):
+        if not (href.startswith("http://") or href.startswith("https://")):
+            continue
+        frag = href.find("#")
+        if frag >= 0:
+            href = href[:frag]
+        if href:
+            out.append((href, clean_anchor_text(body)))
+    return out
+
+
 def extract_links(html: bytes | str) -> list[str]:
     """html bytes -> ordered list of absolute http(s) link targets.
 
