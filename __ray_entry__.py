@@ -725,6 +725,17 @@ def _q_degree_histogram(sf_dir: str):
     )
 
 
+def _q_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound of the symmetrized page graph —
+    DuckDB oracle replays the pivot rule (max directed out-degree, min-id
+    tie) and BOTH BFS sweeps as recursive walk CTEs over the symmetrized
+    staged edges."""
+    from graphlite_ray.pipelines.graphstats import double_sweep_diameter
+
+    pages, work = _graph_work(sf_dir)
+    return double_sweep_diameter(pages, work, P=8, resume=True)
+
+
 def _edges_glob(sf_dir: str) -> str:
     _, work = _graph_work(sf_dir)
     return os.path.join(work, "edges", "*.parquet")
@@ -1461,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_triangles": _q_vertex_triangles,
         "graph_reciprocity": _q_reciprocity,
         "degree_histogram": _q_degree_histogram,
+        "graph_diameter": _q_diameter,
         "link_prediction": _q_link_prediction,
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
@@ -2113,6 +2125,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_vertices "
             "FROM verts LEFT JOIN od ON od.v = verts.v "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "graph_diameter": (
+            # double sweep replayed independently: pivot = max directed
+            # out-degree (min-id tie), two BFS walks over the SYMMETRIZED
+            # edge set (same recursive-walk pattern as the sssp oracle)
+            f"WITH RECURSIVE se AS (SELECT src, dst "
+            f"FROM read_parquet('{edges_glob}') "
+            f"UNION SELECT dst AS src, src AS dst "
+            f"FROM read_parquet('{edges_glob}')), "
+            f"pv AS (SELECT src AS v FROM read_parquet('{edges_glob}') "
+            "GROUP BY src ORDER BY count(*) DESC, src LIMIT 1), "
+            "w1(vertex_id, d) AS (SELECT v, 0 FROM pv UNION "
+            "SELECT se.dst, w1.d + 1 FROM w1 JOIN se "
+            "ON se.src = w1.vertex_id WHERE w1.d < 150), "
+            "d1 AS (SELECT vertex_id, min(d) AS d FROM w1 GROUP BY vertex_id), "
+            "far AS (SELECT vertex_id AS v FROM d1 "
+            "ORDER BY d DESC, vertex_id LIMIT 1), "
+            "w2(vertex_id, d) AS (SELECT v, 0 FROM far UNION "
+            "SELECT se.dst, w2.d + 1 FROM w2 JOIN se "
+            "ON se.src = w2.vertex_id WHERE w2.d < 150), "
+            "d2 AS (SELECT vertex_id, min(d) AS d FROM w2 GROUP BY vertex_id) "
+            "SELECT (SELECT v FROM pv) AS pivot, "
+            "(SELECT v FROM far) AS endpoint, "
+            "CAST(max(d) AS BIGINT) AS diameter_lb FROM d2"
         ),
         "graph_neighborhood": (
             # exact neighborhood function from the vid%8 source set:

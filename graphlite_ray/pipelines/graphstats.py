@@ -60,6 +60,95 @@ def reciprocity(edges: "ray.data.Dataset", B: int = 16) -> pd.DataFrame:
     )
 
 
+def max_out_degree_vertex(edges: "ray.data.Dataset", B: int = 16) -> int:
+    """The deterministic double-sweep pivot: the vertex with the highest
+    DIRECTED out-degree (parallel edges count), ties broken by MIN vertex
+    id — exactly `ORDER BY count(*) DESC, src LIMIT 1` in the SQL replay.
+    Per-batch partial counts, one bucketed shuffle for exact sums, ONE
+    candidate row per bucket; the driver reduces B rows, never V."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"src": u, "c": c.astype(np.int64)})
+
+    def _bucket_top1(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("src")["c"].sum().reset_index()
+        deg = deg.sort_values(["c", "src"], ascending=[False, True])
+        return deg.head(1).rename(columns={"c": "out_degree"})
+
+    cands = grouped_map_bucketed(
+        edges.map_batches(_partial, batch_format="pyarrow"), ["src"], _bucket_top1, B
+    ).to_pandas()  # <= B rows
+    cands = cands.sort_values(["out_degree", "src"], ascending=[False, True])
+    return int(cands["src"].iloc[0])
+
+
+def farthest_vertex(values: "ray.data.Dataset") -> tuple[int, int]:
+    """(vertex_id, value=distance) Dataset -> (vertex at max FINITE
+    distance with min-id tie-break, that distance). Per-block top-1
+    partials; the driver reduces one row per block."""
+
+    def _top1(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t["vertex_id"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        if not fin.any():
+            return pa.table(
+                {"vertex_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+            )
+        v, ids = v[fin], ids[fin]
+        m = v.max()
+        return pa.table({"vertex_id": [int(ids[v == m].min())], "value": [float(m)]})
+
+    rows = values.map_batches(_top1, batch_format="pyarrow").take_all()
+    best = max(rows, key=lambda r: (r["value"], -r["vertex_id"]))
+    return int(best["vertex_id"]), int(best["value"])
+
+
+def double_sweep_diameter_edges(
+    edges: "ray.data.Dataset", work_dir: str, P: int = 8, resume: bool = False
+) -> pa.Table:
+    """Diameter LOWER BOUND of the undirected (symmetrized) graph by the
+    classic double sweep (Magnien, Latapy & Habib 2009): BFS from a
+    max-degree pivot, then BFS from the farthest vertex found; the second
+    eccentricity is the bound (exact on trees, near-tight on web graphs —
+    a 2-BFS answer where exact diameter needs all-pairs). Both BFS runs
+    are `SymSSSP` BSP executions sharing one symmetrized CSR build; each
+    intermediate reduce moves <= max(B, n_blocks) rows to the driver.
+
+    Returns one row: (pivot, endpoint, diameter_lb)."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+
+    pivot = max_out_degree_vertex(edges)
+    res1 = run_on_edge_dataset(
+        "sssp_sym", edges, work_dir, P=P, resume=resume, source=pivot
+    )
+    u1, _ = farthest_vertex(res1.values().select_columns(["vertex_id", "value"]))
+    res2 = run_on_edge_dataset(
+        "sssp_sym", edges, work_dir, P=P, resume=resume, source=u1
+    )
+    _, dia = farthest_vertex(res2.values().select_columns(["vertex_id", "value"]))
+    return pa.table(
+        {
+            "pivot": pa.array([pivot], pa.int64()),
+            "endpoint": pa.array([u1], pa.int64()),
+            "diameter_lb": pa.array([dia], pa.int64()),
+        }
+    )
+
+
+def double_sweep_diameter(
+    pages_dir: str, work_dir: str, P: int = 8, resume: bool = True
+) -> pa.Table:
+    """Pages -> staged edges -> `double_sweep_diameter_edges` (the graph
+    build and both checkpoints land in the shared, resumable work dir)."""
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    edges_dir = prepare_edges(pages_dir, work_dir, P)
+    edges = ray.data.read_parquet(edges_dir, columns=["src", "dst"])
+    return double_sweep_diameter_edges(edges, work_dir, P=P, resume=resume)
+
+
 def degree_histogram(edges: "ray.data.Dataset", B: int = 16) -> "ray.data.Dataset":
     """Out-degree distribution (out_degree, n_vertices) over the directed
     multigraph — parallel edges count; vertices appearing only as a

@@ -504,6 +504,21 @@ class SSSP(VertexProgram):
         return out
 
 
+class SymSSSP(SSSP):
+    """SSSP over the SYMMETRIZED graph — the BFS primitive of the
+    double-sweep diameter estimate (`pipelines/graphstats.py::
+    double_sweep_diameter`). Identical relaxation semantics to `SSSP`;
+    only the CSR is built over the symmetrized edge set. The checkpoint
+    name carries the source id so two sweeps sharing one work dir never
+    share (and never reject — run-identity config hash) BSP state."""
+
+    symmetrize = True
+
+    def __init__(self, source: int):
+        super().__init__(source)
+        self.name = f"sssp_sym_s{self.source}"
+
+
 class LabelPropagation(VertexProgram):
     """Synchronous LPA, our documented spec (no reference program exists):
     init label = own id; each superstep every vertex adopts the most
@@ -1252,6 +1267,7 @@ BUILTIN_PROGRAMS = {
     "connected_components": ConnectedComponents,
     "label_propagation": LabelPropagation,
     "sssp": SSSP,
+    "sssp_sym": SymSSSP,
     "kcore": KCore,
     "neighborhood_exact": NeighborhoodExact,
     "harmonic_centrality": HarmonicCentrality,

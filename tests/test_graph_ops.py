@@ -188,3 +188,49 @@ def test_personalized_pagerank_matches_numpy_replay(graph, tmp_path):
                 frontier.append(int(w))
     zero_mask = ~np.isin(verts, sorted(reach))
     assert (got["value"].to_numpy()[zero_mask] == 0.0).all()
+
+
+def test_double_sweep_diameter_matches_bruteforce(graph, tmp_path):
+    from graphlite_ray.pipelines.graphstats import double_sweep_diameter_edges
+
+    src, dst = graph
+    got = double_sweep_diameter_edges(
+        _edges_ds(src, dst), str(tmp_path / "dsw"), P=4
+    ).to_pandas()
+
+    # brute-force replay: same pivot rule, two BFS sweeps over the
+    # symmetrized simple adjacency
+    verts = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n), bool)
+    for s, d in zip(src, dst):
+        A[idx[int(s)], idx[int(d)]] = True
+        A[idx[int(d)], idx[int(s)]] = True
+
+    deg = pd.Series(src).value_counts()
+    top = deg[deg == deg.max()].index.min()  # max out-degree, min-id tie
+
+    def bfs(s):
+        dist = np.full(n, -1, np.int64)
+        dist[idx[int(s)]] = 0
+        frontier = [idx[int(s)]]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in np.flatnonzero(A[u]):
+                    if dist[w] < 0:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        return dist
+
+    d1 = bfs(top)
+    far_candidates = verts[d1 == d1.max()]
+    u1 = int(far_candidates.min())
+    d2 = bfs(u1)
+    assert got.to_dict("records") == [
+        {"pivot": int(top), "endpoint": u1, "diameter_lb": int(d2.max())}
+    ]
