@@ -725,6 +725,23 @@ def _q_degree_histogram(sf_dir: str):
     )
 
 
+def _q_mis(sf_dir: str):
+    """Maximal independent set of the simple page graph (Luby-style
+    parallel greedy, static hash priorities) — DuckDB oracle replays the
+    rounds themselves (`_mis_oracle_sql`); a pytest additionally proves
+    equality with the sequential greedy order."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import mis_labels, prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return mis_labels(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work, P=8, resume=True,
+    )
+
+
 def _q_diameter(sf_dir: str):
     """Double-sweep diameter lower bound of the symmetrized page graph —
     DuckDB oracle replays the pivot rule (max directed out-degree, min-id
@@ -1473,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reciprocity": _q_reciprocity,
         "degree_histogram": _q_degree_histogram,
         "graph_diameter": _q_diameter,
+        "graph_mis": _q_mis,
         "link_prediction": _q_link_prediction,
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
@@ -1661,6 +1679,63 @@ def _sym_edges_cte(edges_glob: str) -> str:
     return (
         f"se AS (SELECT src, dst FROM read_parquet('{edges_glob}') "
         f"UNION ALL SELECT dst, src FROM read_parquet('{edges_glob}'))"
+    )
+
+
+def _mis_enc_sql(x: str) -> str:
+    """SQL expression: vertex id -> the MIS comparison key enc(v)
+    (programs.py::MaximalIndependentSet.enc), exact in BIGINT via a
+    HUGEINT intermediate (the (v%2^31)*2654435761 product overflows
+    BIGINT)."""
+    return (
+        f"CAST((({x} % 2147483648)::HUGEINT * 2654435761 + 40503) "
+        f"% 4294967296 % 1048576 * 4294967296 + ({x} % 4294967296) AS BIGINT)"
+    )
+
+
+def _mis_oracle_sql(edges_glob: str) -> str:
+    """Round-for-round replay of the MIS program (programs.py::
+    MaximalIndependentSet): per round, an undecided vertex with
+    enc(v) > max enc over UNDECIDED neighbors (no neighbor -> -1) joins
+    (status 1); undecided neighbors of joiners are excluded (status 2).
+    The working table carries the full per-vertex status each round (the
+    kcore-oracle pattern); progress guard (undec < prevund) stops at the
+    fixpoint. Universe + adjacency: distinct symmetrized non-loop edges,
+    matching `mis_labels`' self-loop strip."""
+    winners = (
+        "SELECT u{i}.v FROM ms u{i} LEFT JOIN ("
+        "SELECT e{i}.src AS v, max(" + _mis_enc_sql("q{i}.v") + ") AS mx "
+        "FROM sd e{i} JOIN ms q{i} ON q{i}.v = e{i}.dst AND q{i}.status = 0 "
+        "GROUP BY e{i}.src) nb{i} ON nb{i}.v = u{i}.v "
+        "WHERE u{i}.status = 0 AND " + _mis_enc_sql("u{i}.v")
+        + " > coalesce(nb{i}.mx, -1)"
+    )
+    return (
+        "WITH RECURSIVE sd AS (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM read_parquet('{edges_glob}') UNION ALL "
+        f"SELECT dst, src FROM read_parquet('{edges_glob}')) "
+        "WHERE src <> dst), "
+        "verts AS (SELECT DISTINCT src AS v FROM sd), "
+        "ms(r, v, status, undec, prevund) AS ("
+        "SELECT 0, v, 0::BIGINT, (SELECT count(*) FROM verts)::BIGINT, "
+        "(SELECT count(*) FROM verts)::BIGINT + 1 FROM verts "
+        "UNION ALL "
+        "SELECT r + 1, v, st, "
+        "sum(CASE WHEN st = 0 THEN 1 ELSE 0 END) OVER ()::BIGINT, undec "
+        "FROM ("
+        "SELECT m.r AS r, m.v AS v, m.undec AS undec, "
+        "CASE WHEN m.status <> 0 THEN m.status "
+        "WHEN w.v IS NOT NULL THEN 1 "
+        "WHEN x.v IS NOT NULL THEN 2 ELSE 0 END AS st "
+        "FROM ms m "
+        "LEFT JOIN (" + winners.format(i=1) + ") w ON w.v = m.v "
+        "LEFT JOIN (SELECT DISTINCT e0.dst AS v FROM sd e0 JOIN ("
+        + winners.format(i=2)
+        + ") w2 ON w2.v = e0.src) x ON x.v = m.v "
+        "WHERE m.undec > 0 AND m.undec < m.prevund AND m.r < 80)) "
+        "SELECT v AS vertex_id, "
+        "CAST(CASE WHEN status = 1 THEN 1 ELSE 0 END AS BIGINT) AS in_mis "
+        "FROM ms WHERE r = (SELECT max(r) FROM ms) ORDER BY vertex_id"
     )
 
 
@@ -2126,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM verts LEFT JOIN od ON od.v = verts.v "
             "GROUP BY 1 ORDER BY 1"
         ),
+        "graph_mis": _mis_oracle_sql(edges_glob),
         "graph_diameter": (
             # double sweep replayed independently: pivot = max directed
             # out-degree (min-id tie), two BFS walks over the SYMMETRIZED

@@ -310,6 +310,40 @@ def scc_labels(
     return res.values().map_batches(_out, batch_format="pyarrow")
 
 
+def mis_labels(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    P: int = 8,
+    resume: bool = False,
+    max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """edges (src:int64, dst:int64) -> Dataset (vertex_id, in_mis) for the
+    maximal independent set of the SIMPLE undirected graph: self-loops are
+    stripped here (a self-looped vertex is adjacent to itself — never
+    independent; `programs.MaximalIndependentSet` docstring), parallel
+    edges are harmless under the max combiner. The vertex universe is the
+    de-looped edge table's endpoints."""
+
+    def _noself(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    res = run_on_edge_dataset(
+        "mis", edges.map_batches(_noself, batch_format="pyarrow"), work_dir,
+        P=P, tag="noself", resume=resume, max_rounds=max_rounds,
+    )
+
+    def _out(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vertex_id": t["vertex_id"], "in_mis": (v == 1.0).astype(np.int64)}
+        )
+
+    return res.values().map_batches(_out, batch_format="pyarrow")
+
+
 HOST_RE = r"^[a-z]+://([^/]+)"
 
 

@@ -124,7 +124,7 @@ class VertexProgram:
 
     name = "abstract"
     value_dtype: np.dtype = np.dtype(np.float64)
-    combiner = "sum"            # "sum" | "min" | "sum_by_key"
+    combiner = "sum"            # "sum" | "min" | "max" | "sum_by_key" | "max_by_key" | "none"
     symmetrize = False          # build CSR over the symmetrized edge set?
     max_supersteps: Optional[int] = None
 
@@ -517,6 +517,98 @@ class SymSSSP(SSSP):
     def __init__(self, source: int):
         super().__init__(source)
         self.name = f"sssp_sym_s{self.source}"
+
+
+class MaximalIndependentSet(VertexProgram):
+    """Luby-style maximal independent set (parallel greedy peeling with
+    STATIC hash priorities) — our documented spec; the classic Pregel MIS.
+    Runs on the SYMMETRIZED graph with self-loops removed by the caller
+    (a self-loop vertex can never beat itself; MIS is a simple-graph
+    notion — `pipelines/linkgraph.py::mis_labels` strips loops).
+
+    Priority of vertex v (static across rounds, SQL-replayable — the
+    Knuth-mixer family of `RandomWalks`):
+        p20(v) = ((v % 2^31) * 2654435761 + 40503) % 2^32 % 2^20
+        enc(v) = p20(v) * 2^32 + (v % 2^32)        (< 2^53: exact float64)
+    enc is the strict comparison key (priority, id-fold tie-break); two
+    vertices tie only on a 52-bit collision, in which case NEITHER joins
+    and — priorities being static — neither ever decides; `max_rounds`
+    caps the run and undecided vertices surface as status 0 (documented;
+    never observed on hash-id graphs).
+
+    Round r = supersteps (2r, 2r+1):
+      phase A (even): undecided vertices whose inbox carries a join
+        notification become OUT; remaining undecided scatter enc(v) to
+        all neighbors (combiner "max" — one value per dst survives).
+      phase B (odd): an undecided vertex with enc(v) > max received enc
+        (no message -> max = -1, so isolated vertices join immediately)
+        joins the MIS and scatters the EXCL sentinel (2^60 > any enc).
+    Status: 0 undecided / 1 in MIS / 2 excluded; termination when the
+    post-update undecided count aggregates to 0 (master halt, C4).
+
+    Greedy-equivalence: with static priorities the result is exactly the
+    sequential greedy MIS in descending (p20, id-fold) order — the pytest
+    replays that; the DuckDB oracle replays the rounds themselves.
+    """
+
+    name = "mis"
+    combiner = "max"
+    symmetrize = True
+
+    UNDECIDED, IN, OUT = 0.0, 1.0, 2.0
+    EXCL = float(2**60)
+
+    def __init__(self, max_rounds: int = 64):
+        self.max_rounds = int(max_rounds)
+        self.max_supersteps = 2 * self.max_rounds + 2
+
+    @staticmethod
+    def enc(vids: np.ndarray) -> np.ndarray:
+        v = vids.astype(np.uint64)
+        p20 = (
+            (v % np.uint64(2**31)) * np.uint64(2654435761) + np.uint64(40503)
+        ) % np.uint64(2**32) % np.uint64(2**20)
+        return (p20 * np.uint64(2**32) + (v % np.uint64(2**32))).astype(np.float64)
+
+    def aggregators(self):
+        return {"undecided": AggregatorSpec(init=0.0, op="sum")}
+
+    def init_values(self, shard):
+        return np.full(shard.n, self.UNDECIDED)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        st = values
+        if ctx.superstep % 2 == 0:  # phase A
+            if ctx.superstep > 0 and not inbox.empty:
+                rows = inbox.idx[inbox.val >= self.EXCL / 2]
+                rows = rows[st[rows] == self.UNDECIDED]
+                st[rows] = self.OUT
+            und = st == self.UNDECIDED
+            out.out_dst, out.out_val = _scatter_to_neighbors(
+                shard, self.enc(shard.vids), und
+            )
+            out.sent = len(out.out_dst)
+        else:  # phase B
+            und = st == self.UNDECIDED
+            recv_max = np.full(shard.n, -1.0)
+            if not inbox.empty:
+                recv_max[inbox.idx] = inbox.val
+            win = und & (self.enc(shard.vids) > recv_max)
+            st[win] = self.IN
+            out.out_dst, out.out_val = _scatter_to_neighbors(
+                shard, np.full(shard.n, self.EXCL), win
+            )
+            out.sent = len(out.out_dst)
+            und = st == self.UNDECIDED
+        out.aggr = {"undecided": float(und.sum())}
+        out.halted = st != self.UNDECIDED  # messages reactivate (C3); decided
+        return out                         # vertices no-op on wake
+
+    def master_halt(self, superstep, aggr_global, totals):
+        if superstep % 2 == 1 and aggr_global.get("undecided", 1.0) == 0.0:
+            return True
+        return superstep + 1 >= self.max_supersteps
 
 
 class LabelPropagation(VertexProgram):
@@ -1268,6 +1360,7 @@ BUILTIN_PROGRAMS = {
     "label_propagation": LabelPropagation,
     "sssp": SSSP,
     "sssp_sym": SymSSSP,
+    "mis": MaximalIndependentSet,
     "kcore": KCore,
     "neighborhood_exact": NeighborhoodExact,
     "harmonic_centrality": HarmonicCentrality,

@@ -76,6 +76,14 @@ def combine_min(dst: np.ndarray, val: np.ndarray):
     return d[first], v[first]
 
 
+def combine_max(dst: np.ndarray, val: np.ndarray):
+    order = np.lexsort((-val, dst))
+    d, v = dst[order], val[order]
+    first = np.ones(len(d), bool)
+    first[1:] = d[1:] != d[:-1]
+    return d[first], v[first]
+
+
 def combine_sum_by_key(dst: np.ndarray, key: np.ndarray, cnt: np.ndarray):
     order = np.lexsort((key, dst))
     d, k, c = dst[order], key[order], cnt[order]
@@ -111,6 +119,8 @@ def _combine_block(combiner: str, block: tuple) -> tuple:
         return combine_sum(block[0], block[1])
     if combiner == "min":
         return combine_min(block[0], block[1])
+    if combiner == "max":
+        return combine_max(block[0], block[1])
     return _combine_by_key(combiner, block[0], block[1], block[2])
 
 
@@ -195,6 +205,11 @@ class PartitionWorker:
                 hit = np.bincount(idx, minlength=self.shard.n) > 0
                 i2 = np.flatnonzero(hit)
                 inbox = Inbox(idx=i2, val=sums[i2])
+                self.active[i2] = True
+            elif combiner == "max":
+                val = np.concatenate([b[1] for b in blocks])
+                i2, v2 = combine_max(idx, val)
+                inbox = Inbox(idx=i2, val=v2)
                 self.active[i2] = True
             else:
                 val = np.concatenate([b[1] for b in blocks])

@@ -234,3 +234,41 @@ def test_double_sweep_diameter_matches_bruteforce(graph, tmp_path):
     assert got.to_dict("records") == [
         {"pivot": int(top), "endpoint": u1, "diameter_lb": int(d2.max())}
     ]
+
+
+def test_mis_matches_sequential_greedy(graph, tmp_path):
+    """Static-priority parallel MIS == the sequential greedy MIS in
+    descending enc order (the documented equivalence), and is independent
+    + maximal on the simple de-self-looped graph."""
+    from graphlite_ray.pipelines.linkgraph import mis_labels
+    from graphlite_ray.programs import MaximalIndependentSet
+
+    src, dst = graph
+    df = (
+        mis_labels(_edges_ds(src, dst), str(tmp_path / "mis"), P=4)
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+
+    keep = src != dst
+    s2, d2 = src[keep], dst[keep]
+    verts = np.unique(np.concatenate([s2, d2]))
+    adj = {int(v): set() for v in verts}
+    for a, b in zip(s2, d2):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    enc = MaximalIndependentSet.enc(verts)
+    mis, blocked = set(), set()
+    for v in verts[np.argsort(-enc)]:
+        v = int(v)
+        if v not in blocked:
+            mis.add(v)
+            blocked.add(v)
+            blocked.update(adj[v])
+
+    assert df["vertex_id"].tolist() == verts.tolist()
+    got = set(df.loc[df["in_mis"] == 1, "vertex_id"].astype(int))
+    assert got == mis
+    # independence + maximality
+    assert all(w not in got for u in got for w in adj[u])
+    assert all(int(v) in got or adj[int(v)] & got for v in verts)
