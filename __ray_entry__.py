@@ -742,6 +742,23 @@ def _q_mis(sf_dir: str):
     )
 
 
+def _q_coloring(sf_dir: str):
+    """Proper greedy coloring of the simple page graph (largest-first
+    parallel rounds, color = round index; `programs.GreedyColoring`) —
+    DuckDB oracle replays the rounds (`_coloring_oracle_sql`); a pytest
+    additionally proves properness and the round-replay equivalence."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import coloring_labels, prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return coloring_labels(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work, P=8, resume=True,
+    )
+
+
 def _q_diameter(sf_dir: str):
     """Double-sweep diameter lower bound of the symmetrized page graph —
     DuckDB oracle replays the pivot rule (max directed out-degree, min-id
@@ -1491,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
+        "graph_coloring": _q_coloring,
         "link_prediction": _q_link_prediction,
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
@@ -1736,6 +1754,44 @@ def _mis_oracle_sql(edges_glob: str) -> str:
         "SELECT v AS vertex_id, "
         "CAST(CASE WHEN status = 1 THEN 1 ELSE 0 END AS BIGINT) AS in_mis "
         "FROM ms WHERE r = (SELECT max(r) FROM ms) ORDER BY vertex_id"
+    )
+
+
+def _coloring_oracle_sql(edges_glob: str) -> str:
+    """Round-for-round replay of the greedy coloring program
+    (programs.py::GreedyColoring): per round r, an UNCOLORED vertex with
+    enc(v) > max enc over uncolored neighbors (no uncolored neighbor ->
+    -1) takes color r. Shares the MIS oracle's enc encode, working-table
+    shape and progress guard; universe + adjacency = distinct symmetrized
+    non-loop edges, matching `coloring_labels`' self-loop strip."""
+    return (
+        "WITH RECURSIVE sd AS (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM read_parquet('{edges_glob}') UNION ALL "
+        f"SELECT dst, src FROM read_parquet('{edges_glob}')) "
+        "WHERE src <> dst), "
+        "verts AS (SELECT DISTINCT src AS v FROM sd), "
+        "cs(r, v, color, unc, prevunc) AS ("
+        "SELECT 0, v, -1::BIGINT, (SELECT count(*) FROM verts)::BIGINT, "
+        "(SELECT count(*) FROM verts)::BIGINT + 1 FROM verts "
+        "UNION ALL "
+        "SELECT r + 1, v, col, "
+        "sum(CASE WHEN col = -1 THEN 1 ELSE 0 END) OVER ()::BIGINT, unc "
+        "FROM ("
+        "SELECT m.r AS r, m.v AS v, m.unc AS unc, "
+        "CASE WHEN m.color <> -1 THEN m.color "
+        "WHEN w.v IS NOT NULL THEN m.r ELSE -1 END AS col "
+        "FROM cs m "
+        "LEFT JOIN ("
+        "SELECT u.v FROM cs u LEFT JOIN ("
+        "SELECT e.src AS v, max(" + _mis_enc_sql("q.v") + ") AS mx "
+        "FROM sd e JOIN cs q ON q.v = e.dst AND q.color = -1 "
+        "GROUP BY e.src) nb ON nb.v = u.v "
+        "WHERE u.color = -1 AND " + _mis_enc_sql("u.v")
+        + " > coalesce(nb.mx, -1)"
+        ") w ON w.v = m.v "
+        "WHERE m.unc > 0 AND m.unc < m.prevunc AND m.r < 200)) "
+        "SELECT v AS vertex_id, color "
+        "FROM cs WHERE r = (SELECT max(r) FROM cs) ORDER BY vertex_id"
     )
 
 
@@ -2202,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "graph_mis": _mis_oracle_sql(edges_glob),
+        "graph_coloring": _coloring_oracle_sql(edges_glob),
         "graph_diameter": (
             # double sweep replayed independently: pivot = max directed
             # out-degree (min-id tie), two BFS walks over the SYMMETRIZED

@@ -310,6 +310,20 @@ def scc_labels(
     return res.values().map_batches(_out, batch_format="pyarrow")
 
 
+def _strip_self_loops(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Drop src==dst rows: the simple-graph prefilter shared by the MIS and
+    coloring pipelines (a self-looped vertex can neither be independent nor
+    properly colored)."""
+
+    def _noself(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    return edges.map_batches(_noself, batch_format="pyarrow")
+
+
 def mis_labels(
     edges: "ray.data.Dataset",
     work_dir: str,
@@ -319,19 +333,11 @@ def mis_labels(
 ) -> "ray.data.Dataset":
     """edges (src:int64, dst:int64) -> Dataset (vertex_id, in_mis) for the
     maximal independent set of the SIMPLE undirected graph: self-loops are
-    stripped here (a self-looped vertex is adjacent to itself — never
-    independent; `programs.MaximalIndependentSet` docstring), parallel
-    edges are harmless under the max combiner. The vertex universe is the
-    de-looped edge table's endpoints."""
-
-    def _noself(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        keep = s != d
-        return pa.table({"src": s[keep], "dst": d[keep]})
-
+    stripped (`_strip_self_loops`; `programs.MaximalIndependentSet`
+    docstring), parallel edges are harmless under the max combiner. The
+    vertex universe is the de-looped edge table's endpoints."""
     res = run_on_edge_dataset(
-        "mis", edges.map_batches(_noself, batch_format="pyarrow"), work_dir,
+        "mis", _strip_self_loops(edges), work_dir,
         P=P, tag="noself", resume=resume, max_rounds=max_rounds,
     )
 
@@ -339,6 +345,32 @@ def mis_labels(
         v = t["value"].to_numpy(zero_copy_only=False)
         return pa.table(
             {"vertex_id": t["vertex_id"], "in_mis": (v == 1.0).astype(np.int64)}
+        )
+
+    return res.values().map_batches(_out, batch_format="pyarrow")
+
+
+def coloring_labels(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    P: int = 8,
+    resume: bool = False,
+    max_rounds: int = 512,
+) -> "ray.data.Dataset":
+    """edges (src:int64, dst:int64) -> Dataset (vertex_id, color) — proper
+    greedy coloring of the SIMPLE undirected graph (`programs.
+    GreedyColoring`: largest-first rounds, color = round index). Self-loops
+    stripped (`_strip_self_loops`); universe = de-looped endpoints."""
+    res = run_on_edge_dataset(
+        "coloring", _strip_self_loops(edges), work_dir,
+        P=P, tag="noself", resume=resume, max_rounds=max_rounds,
+        max_supersteps=max_rounds + 2,  # run_bsp caps at min() with the
+    )                                   # program's own bound
+
+    def _out(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vertex_id": t["vertex_id"], "color": v.astype(np.int64)}
         )
 
     return res.values().map_batches(_out, batch_format="pyarrow")

@@ -611,6 +611,69 @@ class MaximalIndependentSet(VertexProgram):
         return superstep + 1 >= self.max_supersteps
 
 
+class GreedyColoring(VertexProgram):
+    """Largest-first parallel greedy coloring (Jones–Plassmann with
+    round-indexed colors) — our documented spec; runs on the SYMMETRIZED
+    de-looped graph like `MaximalIndependentSet` (a self-looped vertex can
+    never be properly colored; `pipelines/linkgraph.py::coloring_labels`
+    strips loops) and reuses MIS's static priority key
+    `MaximalIndependentSet.enc` (Knuth mixer, strict, SQL-replayable).
+
+    One superstep per round: an UNCOLORED vertex whose enc beats every
+    message received (messages come only from vertices still uncolored at
+    the previous round's end; no message -> max = -1) takes
+    color = superstep - 1; remaining uncolored vertices scatter enc
+    (combiner "max"). Adjacent same-round winners are impossible (both
+    would have scattered last round, so each saw the other's enc and enc
+    is strict) -> the coloring is proper; each round colors at least the
+    globally max-enc uncolored vertex -> termination in <= n rounds, and
+    in O(log n) rounds in expectation on hash-id graphs (the
+    Jones–Plassmann bound). Color values are round indices — monotone in
+    greedy elimination order, NOT minimized per vertex (that variant needs
+    per-vertex forbidden sets; documented trade-off).
+
+    Halt: the `uncolored` aggregator reaches 0 (C4 master halt).
+    """
+
+    name = "coloring"
+    combiner = "max"
+    symmetrize = True
+
+    UNCOLORED = -1.0
+
+    def __init__(self, max_rounds: int = 512):
+        self.max_supersteps = int(max_rounds) + 2
+
+    def aggregators(self):
+        return {"uncolored": AggregatorSpec(init=0.0, op="sum")}
+
+    def init_values(self, shard):
+        return np.full(shard.n, self.UNCOLORED)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        st = values
+        unc = st == self.UNCOLORED
+        enc = MaximalIndependentSet.enc(shard.vids)
+        if ctx.superstep > 0:
+            recv_max = np.full(shard.n, -1.0)
+            if not inbox.empty:
+                recv_max[inbox.idx] = inbox.val
+            win = unc & (enc > recv_max)
+            st[win] = float(ctx.superstep - 1)
+            unc = st == self.UNCOLORED
+        out.out_dst, out.out_val = _scatter_to_neighbors(shard, enc, unc)
+        out.sent = len(out.out_dst)
+        out.aggr = {"uncolored": float(unc.sum())}
+        out.halted = ~unc  # uncolored vertices must run even with an
+        return out         # empty inbox (they still claim colors)
+
+    def master_halt(self, superstep, aggr_global, totals):
+        if aggr_global.get("uncolored", 1.0) == 0.0:
+            return True
+        return superstep + 1 >= self.max_supersteps
+
+
 class LabelPropagation(VertexProgram):
     """Synchronous LPA, our documented spec (no reference program exists):
     init label = own id; each superstep every vertex adopts the most
@@ -1361,6 +1424,7 @@ BUILTIN_PROGRAMS = {
     "sssp": SSSP,
     "sssp_sym": SymSSSP,
     "mis": MaximalIndependentSet,
+    "coloring": GreedyColoring,
     "kcore": KCore,
     "neighborhood_exact": NeighborhoodExact,
     "harmonic_centrality": HarmonicCentrality,

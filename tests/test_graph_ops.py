@@ -272,3 +272,47 @@ def test_mis_matches_sequential_greedy(graph, tmp_path):
     # independence + maximality
     assert all(w not in got for u in got for w in adj[u])
     assert all(int(v) in got or adj[int(v)] & got for v in verts)
+
+
+def test_coloring_proper_and_matches_round_replay(graph, tmp_path):
+    """Greedy coloring: proper (no adjacent equal colors), every vertex
+    colored, and bit-equal to a sequential replay of the documented
+    largest-first rounds (color = round index)."""
+    from graphlite_ray.pipelines.linkgraph import coloring_labels
+    from graphlite_ray.programs import MaximalIndependentSet
+
+    src, dst = graph
+    df = (
+        coloring_labels(_edges_ds(src, dst), str(tmp_path / "col"), P=4)
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+
+    keep = src != dst
+    s2, d2 = src[keep], dst[keep]
+    verts = np.unique(np.concatenate([s2, d2]))
+    adj = {int(v): set() for v in verts}
+    for a, b in zip(s2, d2):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    enc = {int(v): e for v, e in zip(verts, MaximalIndependentSet.enc(verts))}
+
+    color = {int(v): -1 for v in verts}
+    r = 0
+    while any(c == -1 for c in color.values()):
+        winners = [
+            v for v in color
+            if color[v] == -1
+            and all(
+                enc[v] > enc[w] for w in adj[v] if color[w] == -1
+            )
+        ]
+        assert winners, "round replay stalled"
+        for v in winners:
+            color[v] = r
+        r += 1
+
+    got = dict(zip(df["vertex_id"].astype(int), df["color"].astype(int)))
+    assert got == color
+    assert all(got[u] != got[w] for u in adj for w in adj[u])
+    assert all(c >= 0 for c in got.values())
