@@ -759,6 +759,23 @@ def _q_coloring(sf_dir: str):
     )
 
 
+def _q_matching(sf_dir: str):
+    """Maximal matching of the simple page graph (deterministic pointer
+    handshake, static hash priorities; `programs.MaximalMatching`) —
+    DuckDB oracle replays the rounds (`_matching_oracle_sql`); a pytest
+    additionally proves validity, maximality and round-replay equality."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import matching_labels, prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return matching_labels(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work, P=8, resume=True,
+    )
+
+
 def _q_diameter(sf_dir: str):
     """Double-sweep diameter lower bound of the symmetrized page graph —
     DuckDB oracle replays the pivot rule (max directed out-degree, min-id
@@ -1509,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
         "graph_coloring": _q_coloring,
+        "graph_matching": _q_matching,
         "link_prediction": _q_link_prediction,
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
@@ -1791,6 +1809,51 @@ def _coloring_oracle_sql(edges_glob: str) -> str:
         ") w ON w.v = m.v "
         "WHERE m.unc > 0 AND m.unc < m.prevunc AND m.r < 200)) "
         "SELECT v AS vertex_id, color "
+        "FROM cs WHERE r = (SELECT max(r) FROM cs) ORDER BY vertex_id"
+    )
+
+
+def _matching_oracle_sql(edges_glob: str) -> str:
+    """Round-for-round replay of the maximal matching program
+    (programs.py::MaximalMatching): per round, every UNMATCHED vertex with
+    an unmatched neighbor points at its argmax-enc unmatched neighbor
+    (enc strict -> arg_max deterministic); mutual pointer pairs match.
+    Working-table shape + progress guard follow the MIS oracle; a round
+    that matches nobody leaves the state unchanged and the unm < prevunm
+    guard then stops the recursion (that IS the program's eligible == 0
+    fixpoint: while any adjacent unmatched pair exists, the globally
+    max-enc unmatched endpoint always pairs). Universe + adjacency:
+    distinct symmetrized non-loop edges, matching `matching_labels`'
+    self-loop strip."""
+    tgt = (
+        "SELECT e{i}.src AS v, arg_max(q{i}.v, " + _mis_enc_sql("q{i}.v")
+        + ") AS t FROM sd e{i} "
+        "JOIN cs q{i} ON q{i}.v = e{i}.dst AND q{i}.partner = -1 "
+        "JOIN cs u{i} ON u{i}.v = e{i}.src AND u{i}.partner = -1 "
+        "GROUP BY e{i}.src"
+    )
+    return (
+        "WITH RECURSIVE sd AS (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM read_parquet('{edges_glob}') UNION ALL "
+        f"SELECT dst, src FROM read_parquet('{edges_glob}')) "
+        "WHERE src <> dst), "
+        "verts AS (SELECT DISTINCT src AS v FROM sd), "
+        "cs(r, v, partner, unm, prevunm) AS ("
+        "SELECT 0, v, -1::BIGINT, (SELECT count(*) FROM verts)::BIGINT, "
+        "(SELECT count(*) FROM verts)::BIGINT + 1 FROM verts "
+        "UNION ALL "
+        "SELECT r + 1, v, np, "
+        "sum(CASE WHEN np = -1 THEN 1 ELSE 0 END) OVER ()::BIGINT, unm "
+        "FROM ("
+        "SELECT m.r AS r, m.v AS v, m.unm AS unm, "
+        "CASE WHEN m.partner <> -1 THEN m.partner "
+        "WHEN mt.w IS NOT NULL THEN mt.w ELSE -1 END AS np "
+        "FROM cs m "
+        "LEFT JOIN (SELECT a.v AS v, a.t AS w FROM (" + tgt.format(i=1)
+        + ") a JOIN (" + tgt.format(i=2) + ") b "
+        "ON a.t = b.v AND b.t = a.v) mt ON mt.v = m.v "
+        "WHERE m.unm > 0 AND m.unm < m.prevunm AND m.r < 200)) "
+        "SELECT v AS vertex_id, partner "
         "FROM cs WHERE r = (SELECT max(r) FROM cs) ORDER BY vertex_id"
     )
 
@@ -2259,6 +2322,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_mis": _mis_oracle_sql(edges_glob),
         "graph_coloring": _coloring_oracle_sql(edges_glob),
+        "graph_matching": _matching_oracle_sql(edges_glob),
         "graph_diameter": (
             # double sweep replayed independently: pivot = max directed
             # out-degree (min-id tie), two BFS walks over the SYMMETRIZED

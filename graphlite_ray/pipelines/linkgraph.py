@@ -376,6 +376,35 @@ def coloring_labels(
     return res.values().map_batches(_out, batch_format="pyarrow")
 
 
+def matching_labels(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    P: int = 8,
+    resume: bool = False,
+    max_rounds: int = 256,
+) -> "ray.data.Dataset":
+    """edges (src:int64, dst:int64) -> Dataset (vertex_id, partner) — a
+    maximal matching of the SIMPLE undirected graph (`programs.
+    MaximalMatching` pointer handshake; partner = matched vertex's global
+    id, -1 unmatched). Self-loops stripped (`_strip_self_loops`);
+    universe = de-looped endpoints."""
+    res = run_on_edge_dataset(
+        "matching", _strip_self_loops(edges), work_dir,
+        P=P, tag="noself", resume=resume, max_rounds=max_rounds,
+        max_supersteps=2 * max_rounds + 2,
+    )
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex_id": t["vertex_id"],
+                "partner": t["value"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+
+    return res.values().map_batches(_out, batch_format="pyarrow")
+
+
 HOST_RE = r"^[a-z]+://([^/]+)"
 
 

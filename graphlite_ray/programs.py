@@ -674,6 +674,108 @@ class GreedyColoring(VertexProgram):
         return superstep + 1 >= self.max_supersteps
 
 
+class MaximalMatching(VertexProgram):
+    """Deterministic maximal matching by pointer handshake (the classic
+    Pregel/Israeli–Itai shape with STATIC hash priorities) — our
+    documented spec. Symmetrized de-looped graph (`pipelines/linkgraph.py
+    ::matching_labels` strips loops — a vertex cannot match itself);
+    priorities are `MaximalIndependentSet.enc` over GLOBAL vertex ids, so
+    both sides of every comparison agree and the run is SQL-replayable.
+
+    Round r = supersteps (2r, 2r+1), raw messages (combiner "none" — the
+    receiver needs sender identity):
+      even: process proposals from the previous odd superstep — an
+        UNMATCHED vertex v whose stored pointer target t(v) is among its
+        proposal senders matches t(v) (mutuality: v receives w's proposal
+        iff t(w) = v, so both endpoints decide identically and
+        simultaneously); then every still-unmatched vertex announces
+        presence to all neighbors.
+      odd: an unmatched vertex v with presence inbox sets
+        t(v) = argmax-enc sender (all senders were unmatched at the
+        announce superstep) and proposes to t(v); the `eligible`
+        aggregator counts these proposers.
+
+    Progress: the globally max-enc unmatched vertex M with any unmatched
+    neighbor is every such neighbor's pointer target, and M points at one
+    of them -> mutual -> >=1 match per round while an unmatched adjacent
+    pair exists; halt when `eligible` hits 0 after an odd superstep
+    (no proposals in flight -> the matching is maximal). Ties: enc is
+    strict up to a 52-bit collision (documented, as for MIS).
+
+    Value (int64): partner's global vertex id, -1 while unmatched; the
+    per-partition pointer array rides `extra_state` so mid-run resume is
+    exact."""
+
+    name = "matching"
+    value_dtype = np.dtype(np.int64)
+    combiner = "none"
+    symmetrize = True
+
+    def __init__(self, max_rounds: int = 256):
+        self.max_supersteps = 2 * int(max_rounds) + 2
+        self._target: Optional[np.ndarray] = None
+
+    def aggregators(self):
+        return {"eligible": AggregatorSpec(init=0.0, op="sum")}
+
+    def init_values(self, shard):
+        return np.full(shard.n, -1, np.int64)
+
+    def extra_state(self):
+        if self._target is None:
+            return None
+        return {"t": self._target}
+
+    def load_extra(self, state):
+        self._target = state["t"].astype(np.int64)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        if self._target is None:
+            self._target = np.full(shard.n, -1, np.int64)
+        st = values
+        if ctx.superstep % 2 == 0:  # decide, then announce
+            if ctx.superstep > 0 and not inbox.empty:
+                src = inbox.src.astype(np.int64)
+                hit = src == self._target[inbox.idx]
+                st[inbox.idx[hit]] = src[hit]
+            self._target[:] = -1
+            unm = st == -1
+            out.out_dst, out.out_src, out.out_val = scatter_to_neighbors_with_src(
+                shard, np.zeros(shard.n), unm
+            )
+            out.sent = len(out.out_dst)
+            out.aggr = {"eligible": float(unm.sum())}  # informative; halt
+            # checks odd parity only
+        else:  # point + propose
+            unm = st == -1
+            n_prop = 0
+            if not inbox.empty:
+                keep = unm[inbox.idx]
+                idx = inbox.idx[keep]
+                src = inbox.src[keep].astype(np.int64)
+                if len(idx):
+                    e = MaximalIndependentSet.enc(src)
+                    order = np.lexsort((-e, idx))
+                    idx_o, src_o = idx[order], src[order]
+                    first = np.ones(len(idx_o), bool)
+                    first[1:] = idx_o[1:] != idx_o[:-1]
+                    rows = idx_o[first]
+                    self._target[rows] = src_o[first]
+                    out.out_dst = self._target[rows]
+                    out.out_src = shard.vids[rows]
+                    out.out_val = np.zeros(len(rows))
+                    out.sent = n_prop = len(rows)
+            out.aggr = {"eligible": float(n_prop)}
+        out.halted = st != -1  # matched vertices sleep; proposals wake them
+        return out             # harmlessly (their unm mask is False)
+
+    def master_halt(self, superstep, aggr_global, totals):
+        if superstep % 2 == 1 and aggr_global.get("eligible", 1.0) == 0.0:
+            return True
+        return superstep + 1 >= self.max_supersteps
+
+
 class LabelPropagation(VertexProgram):
     """Synchronous LPA, our documented spec (no reference program exists):
     init label = own id; each superstep every vertex adopts the most
@@ -1425,6 +1527,7 @@ BUILTIN_PROGRAMS = {
     "sssp_sym": SymSSSP,
     "mis": MaximalIndependentSet,
     "coloring": GreedyColoring,
+    "matching": MaximalMatching,
     "kcore": KCore,
     "neighborhood_exact": NeighborhoodExact,
     "harmonic_centrality": HarmonicCentrality,

@@ -316,3 +316,49 @@ def test_coloring_proper_and_matches_round_replay(graph, tmp_path):
     assert got == color
     assert all(got[u] != got[w] for u in adj for w in adj[u])
     assert all(c >= 0 for c in got.values())
+
+
+def test_matching_maximal_and_matches_round_replay(graph, tmp_path):
+    """Handshake maximal matching: symmetric partners, valid matching
+    (every matched edge exists), maximal (no adjacent unmatched pair),
+    and bit-equal to a sequential replay of the documented rounds."""
+    from graphlite_ray.pipelines.linkgraph import matching_labels
+    from graphlite_ray.programs import MaximalIndependentSet
+
+    src, dst = graph
+    df = (
+        matching_labels(_edges_ds(src, dst), str(tmp_path / "mm"), P=4)
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+
+    keep = src != dst
+    s2, d2 = src[keep], dst[keep]
+    verts = np.unique(np.concatenate([s2, d2]))
+    adj = {int(v): set() for v in verts}
+    for a, b in zip(s2, d2):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    enc = {int(v): e for v, e in zip(verts, MaximalIndependentSet.enc(verts))}
+
+    partner = {int(v): -1 for v in verts}
+    while True:
+        unm = {v for v in partner if partner[v] == -1}
+        tgt = {}
+        for v in unm:
+            cands = [w for w in adj[v] if w in unm]
+            if cands:
+                tgt[v] = max(cands, key=lambda w: enc[w])
+        pairs = [(v, w) for v, w in tgt.items() if tgt.get(w) == v and v < w]
+        if not pairs:
+            break
+        for v, w in pairs:
+            partner[v], partner[w] = w, v
+
+    got = dict(zip(df["vertex_id"].astype(int), df["partner"].astype(int)))
+    assert got == partner
+    matched = {v for v, p in got.items() if p != -1}
+    assert all(got[got[v]] == v for v in matched)            # symmetric
+    assert all(got[v] in adj[v] for v in matched)            # real edges
+    unmatched = set(got) - matched
+    assert all(not (adj[v] & unmatched) for v in unmatched)  # maximal
