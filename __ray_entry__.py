@@ -1192,6 +1192,18 @@ def _q_doc_token_df(sf_dir: str):
     return out.sort_values("token", ignore_index=True)
 
 
+def _q_doc_inverted_index(sf_dir: str):
+    """Inverted index (token -> df, cf, doc_id:tf postings sorted by
+    doc_id) — DuckDB string_agg oracle, bit-exact on the postings
+    strings."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import inverted_index
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = inverted_index(docs).to_pandas()
+    return out.sort_values("token", ignore_index=True)
+
+
 def _q_doc_tfidf(sf_dir: str):
     """Top-5 TF-IDF terms per document (libm-exact idf, rounded-score
     ranking) — DuckDB window-rank oracle."""
@@ -1577,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": _q_doc_lm_score,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "doc_token_df": _q_doc_token_df,
+        "doc_inverted_index": _q_doc_inverted_index,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
         "doc_contamination": _q_doc_contamination,
@@ -2821,6 +2834,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
             f"SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{_WS}')) AS token "
             "FROM documents) WHERE token <> '' GROUP BY token ORDER BY token"
+        ),
+        "doc_inverted_index": (
+            "WITH tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+            "FROM ("
+            f"SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{_WS}')) "
+            "AS token FROM documents) "
+            "WHERE token <> '' GROUP BY doc_id, token) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS df, "
+            "CAST(sum(tf) AS BIGINT) AS cf, "
+            "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings "
+            "FROM tf GROUP BY token ORDER BY token"
         ),
         "doc_minhash_dedup": (
             _jaccard_pairs_sql(0.7).replace("WITH toks", "WITH RECURSIVE toks")

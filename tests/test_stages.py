@@ -280,3 +280,35 @@ def test_multimodal_real_codecs():
     vids = media.filter(lambda r: r["media_type"] == "video")
     vf = sample_video_frames(vids, every_n=2).take_all()
     assert len(vf) and all((r["height"], r["width"]) == (8, 12) for r in vf)
+
+
+def test_inverted_index_hand_checked(ray_session):
+    import pyarrow as pa
+
+    from graphlite_ray.stages.textstats import inverted_index
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["the cat sat", "The the dog", None],
+            }
+        )
+    )
+    out = (
+        inverted_index(docs, B=4)
+        .to_pandas()
+        .sort_values("token", ignore_index=True)
+    )
+    want = pd.DataFrame(
+        {
+            "token": ["cat", "dog", "sat", "the"],
+            "df": [1, 1, 1, 2],
+            "cf": [1, 1, 1, 3],
+            "postings": ["1:1", "2:1", "1:1", "1:1,2:2"],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        out[["token", "df", "cf", "postings"]].astype({"df": "int64", "cf": "int64"}),
+        want.astype({"df": "int64", "cf": "int64"}),
+    )
