@@ -602,6 +602,24 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _q_assortativity(sf_dir: str):
+    """Directed degree assortativity of the page graph (out-degree of src
+    vs in-degree of dst, non-loop edge multiset) — exact-integer partial
+    sums, one fixed float64 Pearson expression, shared rounding."""
+    import ray.data
+
+    from graphlite_ray.pipelines.graphstats import degree_assortativity
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    df = degree_assortativity(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]), work
+    )
+    df["assortativity"] = _round_half_away(df["assortativity"], 6)
+    return df
+
+
 _NF_RADIUS = 4
 _NF_SOURCE_MOD = 8  # sources = vertices with vid % 8 == 0 (uniform over hashed ids)
 
@@ -1535,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_triangles": _q_vertex_triangles,
         "graph_reciprocity": _q_reciprocity,
         "degree_histogram": _q_degree_histogram,
+        "graph_assortativity": _q_assortativity,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
         "graph_coloring": _q_coloring,
@@ -2321,6 +2340,30 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END) "
             "/ count(*), 6) AS reciprocity "
             "FROM d LEFT JOIN d r ON r.src = d.dst AND r.dst = d.src"
+        ),
+        "graph_assortativity": (
+            # identical float64 expression as the pipeline: exact HUGEINT
+            # sums, one cast-to-double per factor, correctly-rounded sqrt
+            # on both sides -> bit-equal pre-round; ROUND(,6) shared
+            f"WITH e AS (SELECT src, dst FROM read_parquet('{edges_glob}') "
+            "WHERE src <> dst), "
+            "od AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS od "
+            "FROM e GROUP BY src), "
+            "idg AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS idg "
+            "FROM e GROUP BY dst), "
+            "j AS (SELECT o.od AS x, i.idg AS y FROM e "
+            "JOIN od o ON o.v = e.src JOIN idg i ON i.v = e.dst), "
+            "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, "
+            "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy, "
+            "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+            "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy FROM j) "
+            "SELECT CAST(n AS BIGINT) AS n_edges, "
+            "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 "
+            "THEN 0.0 ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END "
+            "AS assortativity FROM s"
         ),
         "degree_histogram": (
             f"WITH verts AS (SELECT DISTINCT src AS v "

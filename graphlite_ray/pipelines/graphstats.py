@@ -185,3 +185,96 @@ def degree_histogram(edges: "ray.data.Dataset", B: int = 16) -> "ray.data.Datase
         )
 
     return grouped_map_bucketed(hist, ["out_degree"], _final, B=4)
+
+
+def degree_assortativity(
+    edges: "ray.data.Dataset", work_dir: str, B: int = 16
+) -> pd.DataFrame:
+    """Directed degree assortativity (Newman 2002, out->in variant): the
+    Pearson correlation of (out-degree(src), in-degree(dst)) over the
+    directed non-loop edge MULTISET (parallel edges count; self-loops
+    stripped on both the edge list and the degrees, consistently).
+
+    Plan: one bucketed shuffle builds the (v, outdeg, indeg) table; it is
+    written hash-bucketed once (`write_bucketed`) and each edge attaches
+    x = outdeg(src) then y = indeg(dst) via two co-partitioned merges
+    (`attach_from_bucketed` — join strategy 2; the degree table is
+    |V|-sized, so no broadcast). Per-batch partial sums are EXACT: the
+    x*y / x*x products are taken in Python-int (object) dtype because a
+    hub's in-degree squared overflows int64 at web scale; partials travel
+    as decimal strings (one tiny row per batch) and the driver folds them
+    in arbitrary precision. r is one fixed float64 expression over the
+    exact sums — bit-reproducible in SQL via HUGEINT intermediates.
+
+    Returns one row: (n_edges, assortativity); degenerate variance -> 0.0
+    (the same exact-integer zero test on both sides)."""
+    import math
+
+    from graphlite_ray.pipelines.joins import attach_from_bucketed, write_bucketed
+
+    def _noself(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    e = edges.map_batches(_noself, batch_format="pyarrow")
+
+    def _deg_rows(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        # per-batch partial degree counts (producer combine)
+        us, cs = np.unique(s, return_counts=True)
+        ud, cd = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "v": np.concatenate([us, ud]),
+                "od": np.concatenate([cs.astype(np.int64), np.zeros(len(ud), np.int64)]),
+                "idg": np.concatenate([np.zeros(len(us), np.int64), cd.astype(np.int64)]),
+            }
+        )
+
+    def _deg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", as_index=False)[["od", "idg"]].sum()
+
+    deg = grouped_map_bucketed(
+        e.map_batches(_deg_rows, batch_format="pyarrow"), ["v"], _deg_sum, B=B
+    )
+    deg_dir = write_bucketed(deg, "v", B, f"{work_dir}/assort_deg")
+
+    withx = attach_from_bucketed(e, "src", deg_dir, B, "v").map_batches(
+        lambda df: df[["dst", "od"]].rename(columns={"od": "x"}),
+        batch_format="pandas",
+    )
+    withxy = attach_from_bucketed(withx, "dst", deg_dir, B, "v").map_batches(
+        lambda df: df[["x", "idg"]].rename(columns={"idg": "y"}),
+        batch_format="pandas",
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy().astype(object)
+        y = df["y"].to_numpy().astype(object)
+        return pd.DataFrame(
+            {
+                "n": [str(len(df))],
+                "sx": [str(x.sum())],
+                "sy": [str(y.sum())],
+                "sxy": [str((x * y).sum())],
+                "sxx": [str((x * x).sum())],
+                "syy": [str((y * y).sum())],
+            }
+        )
+
+    parts = withxy.map_batches(_partial, batch_format="pandas").to_pandas()
+    tot = {c: sum(int(v) for v in parts[c]) for c in parts.columns} if len(parts) else {
+        c: 0 for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    }
+    n, sx, sy = tot["n"], tot["sx"], tot["sy"]
+    sxy, sxx, syy = tot["sxy"], tot["sxx"], tot["syy"]
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (
+        float(n * sxy - sx * sy) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        if vx != 0 and vy != 0
+        else 0.0
+    )
+    return pd.DataFrame({"n_edges": [n], "assortativity": [r]})

@@ -362,3 +362,25 @@ def test_matching_maximal_and_matches_round_replay(graph, tmp_path):
     assert all(got[v] in adj[v] for v in matched)            # real edges
     unmatched = set(got) - matched
     assert all(not (adj[v] & unmatched) for v in unmatched)  # maximal
+
+
+def test_assortativity_matches_bruteforce(graph, tmp_path):
+    from graphlite_ray.pipelines.graphstats import degree_assortativity
+
+    src, dst = graph
+    got = degree_assortativity(_edges_ds(src, dst), str(tmp_path / "as"), B=4)
+
+    keep = src != dst
+    s2, d2 = src[keep], dst[keep]
+    od = {}
+    idg = {}
+    for a in s2:
+        od[int(a)] = od.get(int(a), 0) + 1
+    for b in d2:
+        idg[int(b)] = idg.get(int(b), 0) + 1
+    x = np.array([od[int(a)] for a in s2], np.float64)
+    y = np.array([idg[int(b)] for b in d2], np.float64)
+    r = np.corrcoef(x, y)[0, 1]
+
+    assert int(got["n_edges"].iloc[0]) == len(s2)
+    assert abs(got["assortativity"].iloc[0] - r) < 1e-9
