@@ -602,6 +602,26 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _q_ktruss(sf_dir: str):
+    """3-truss of the simple page graph with final within-truss support —
+    DuckDB oracle replays the peeling rounds (recursive CTE; assumes the
+    truss is non-empty at this scale, which it is: the empty-truss path is
+    pytest-covered instead)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.triangles import k_truss
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    out = k_truss(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        k=3,
+        work_dir=f"{work}/truss3",
+    ).to_pandas()
+    return out.sort_values(["lo", "hi"], ignore_index=True)
+
+
 def _q_assortativity(sf_dir: str):
     """Directed degree assortativity of the page graph (out-degree of src
     vs in-degree of dst, non-loop edge multiset) — exact-integer partial
@@ -1554,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reciprocity": _q_reciprocity,
         "degree_histogram": _q_degree_histogram,
         "graph_assortativity": _q_assortativity,
+        "graph_truss3": _q_ktruss,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
         "graph_coloring": _q_coloring,
@@ -2340,6 +2361,41 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END) "
             "/ count(*), 6) AS reciprocity "
             "FROM d LEFT JOIN d r ON r.src = d.dst AND r.dst = d.src"
+        ),
+        "graph_truss3": (
+            # peeling replay: per round keep edges with >= 1 common
+            # neighbor within the CURRENT set (k=3 -> k-2=1; inner join +
+            # HAVING is exact because support-0 edges can never survive);
+            # a no-removal round re-emits the set once and the n < prevn
+            # guard then stops. Final support recomputed over the fixpoint
+            # set. Assumes a NON-EMPTY truss (holds at sf0.01; the
+            # empty-truss path is covered by pytest brute force).
+            f"WITH RECURSIVE se AS (SELECT DISTINCT least(src, dst) AS lo, "
+            f"greatest(src, dst) AS hi FROM read_parquet('{edges_glob}') "
+            "WHERE src <> dst), "
+            "es(r, lo, hi, n, prevn) AS ("
+            "SELECT 0, lo, hi, (SELECT count(*) FROM se)::BIGINT, "
+            "(SELECT count(*) FROM se)::BIGINT + 1 FROM se "
+            "UNION ALL "
+            "SELECT r + 1, lo, hi, count(*) OVER ()::BIGINT, n FROM ("
+            "SELECT m.r AS r, m.lo AS lo, m.hi AS hi, m.n AS n "
+            "FROM es m "
+            "JOIN (SELECT lo AS u, hi AS w FROM es "
+            "UNION ALL SELECT hi, lo FROM es) a ON a.u = m.lo "
+            "JOIN (SELECT lo AS u, hi AS w FROM es "
+            "UNION ALL SELECT hi, lo FROM es) b "
+            "ON b.u = m.hi AND b.w = a.w "
+            "WHERE m.n > 0 AND m.n < m.prevn AND m.r < 60 "
+            "GROUP BY m.r, m.lo, m.hi, m.n "
+            "HAVING count(*) >= 1)), "
+            "fin AS (SELECT lo, hi FROM es "
+            "WHERE r = (SELECT max(r) FROM es)), "
+            "und AS (SELECT lo AS u, hi AS w FROM fin "
+            "UNION ALL SELECT hi, lo FROM fin) "
+            "SELECT f.lo, f.hi, CAST(count(*) AS BIGINT) AS sup "
+            "FROM fin f JOIN und a ON a.u = f.lo "
+            "JOIN und b ON b.u = f.hi AND b.w = a.w "
+            "GROUP BY f.lo, f.hi ORDER BY f.lo, f.hi"
         ),
         "graph_assortativity": (
             # identical float64 expression as the pipeline: exact HUGEINT

@@ -396,3 +396,190 @@ def _triangles_impl(
         )
 
     return with_deg.map_batches(_final, batch_format="pandas")
+
+
+def edge_support(
+    simple: "ray.data.Dataset", work_dir: str, B: int = 16
+) -> "ray.data.Dataset":
+    """Per-edge triangle support over a canonical simple edge set (lo, hi):
+    -> (lo, hi, sup), sup = number of triangles containing the edge,
+    support-0 edges included. Same degree-ordered wedge machinery as the
+    triangle counters; each closed wedge (a; lo, hi) credits its THREE
+    edges as canonical pairs, credits pre-aggregate per closure bucket and
+    sum in one bucketed shuffle on the pair key. Nothing graph-sized
+    touches the driver."""
+    os.makedirs(work_dir, exist_ok=True)
+
+    def _ends(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t["lo"].to_numpy(zero_copy_only=False), t["hi"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"vid": u, "deg_part": c})
+
+    deg = (
+        simple.map_batches(_ends, batch_format="pyarrow")
+        .groupby("vid")
+        .sum("deg_part", ignore_nulls=True)
+        .map_batches(
+            lambda t: pa.table({"vid": t["vid"], "deg": t[t.column_names[1]]}),
+            batch_format="pyarrow",
+        )
+    )
+    deg_dir = write_bucketed(deg, "vid", B, os.path.join(work_dir, "deg"))
+
+    with_lo = attach_from_bucketed(simple, "lo", deg_dir, B, "vid").map_batches(
+        lambda df: df.rename(columns={"deg": "deg_lo"}).drop(columns=["vid"]),
+        batch_format="pandas",
+    )
+    both = attach_from_bucketed(with_lo, "hi", deg_dir, B, "vid").map_batches(
+        lambda df: df.rename(columns={"deg": "deg_hi"}).drop(columns=["vid"]),
+        batch_format="pandas",
+    )
+
+    def _orient(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = df["lo"].to_numpy(), df["hi"].to_numpy()
+        dlo, dhi = df["deg_lo"].to_numpy(), df["deg_hi"].to_numpy()
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pd.DataFrame(
+            {"a": np.where(lo_first, lo, hi), "b": np.where(lo_first, hi, lo)}
+        )
+
+    oriented = both.map_batches(_orient, batch_format="pandas")
+
+    def _pairkey(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": lo, "hi": hi, "pb": pair_bucket(lo, hi, B)})
+
+    edge_dir = os.path.join(work_dir, "cedges")
+    write_bucketed(
+        simple.map_batches(_pairkey, batch_format="pyarrow"), "pb", B, edge_dir
+    )
+
+    def _wedges_frame(g: pd.DataFrame) -> pd.DataFrame:
+        a_s, b_s, starts, ends = _wedge_spans(g)
+        srcs, los, his = [], [], []
+        for s, t in zip(starts, ends):
+            k = t - s
+            if k < 2:
+                continue
+            nbrs = b_s[s:t]
+            i, j = np.triu_indices(k, k=1)
+            srcs.append(np.full(len(i), a_s[s]))
+            los.append(nbrs[i])
+            his.append(nbrs[j])
+        if not los:
+            e = np.empty(0, np.int64)
+            return pd.DataFrame({"a": e, "lo": e.copy(), "hi": e.copy()})
+        return pd.DataFrame(
+            {"a": np.concatenate(srcs), "lo": np.concatenate(los), "hi": np.concatenate(his)}
+        )
+
+    wedges = grouped_map_bucketed(oriented, ["a"], _wedges_frame, B)
+
+    def _tag_wedge(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "lo": lo,
+                "hi": hi,
+                "pb": pair_bucket(lo, hi, B),
+            }
+        )
+
+    def _close_credit(g: pd.DataFrame) -> pd.DataFrame:
+        pb = int(g["pb"].iloc[0])
+        path = os.path.join(edge_dir, f"bucket_{pb}.parquet")
+        e0 = np.empty(0, np.int64)
+        if not os.path.exists(path):
+            return pd.DataFrame({"lo": e0, "hi": e0.copy(), "c": e0.copy()})
+        e = pq.read_table(path, columns=["lo", "hi"]).to_pandas()
+        m = g.merge(e, on=["lo", "hi"], how="inner")
+        if not len(m):
+            return pd.DataFrame({"lo": e0, "hi": e0.copy(), "c": e0.copy()})
+        a = m["a"].to_numpy()
+        lo = m["lo"].to_numpy()
+        hi = m["hi"].to_numpy()
+        # triangle (a, lo, hi): credit all three canonical edges
+        elo = np.concatenate([np.minimum(a, lo), np.minimum(a, hi), lo])
+        ehi = np.concatenate([np.maximum(a, lo), np.maximum(a, hi), hi])
+        pr = np.stack([elo, ehi], axis=1)
+        u, c = np.unique(pr, axis=0, return_counts=True)  # per-bucket combine
+        return pd.DataFrame({"lo": u[:, 0], "hi": u[:, 1], "c": c.astype(np.int64)})
+
+    credits = (
+        wedges.map_batches(_tag_wedge, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_close_credit, batch_format="pandas")
+    )
+    zeros = simple.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": t["lo"],
+                "hi": t["hi"],
+                "c": np.zeros(t.num_rows, np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _sum_sup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lo", "hi"], as_index=False)["c"].sum()
+        return out.rename(columns={"c": "sup"}).astype({"sup": "int64"})
+
+    return grouped_map_bucketed(credits.union(zeros), ["lo", "hi"], _sum_sup, B)
+
+
+def k_truss(
+    edges: "ray.data.Dataset",
+    k: int,
+    work_dir: str | None = None,
+    B: int = 16,
+    max_rounds: int = 100,
+) -> "ray.data.Dataset":
+    """k-truss of the simple undirected graph: the maximal subgraph whose
+    every edge closes >= k-2 triangles WITHIN the subgraph (k >= 3).
+    Iterative peeling: per round one distributed `edge_support` pass, drop
+    edges below k-2, re-stage survivors as partitioned parquet (the
+    resumable layout — a crashed run restarts from the last staged round);
+    the driver sees only per-round counts. Returns (lo, hi, sup) with the
+    FINAL within-truss support.
+
+    Round count is bounded by the peeling depth (typically tens on web
+    graphs); each round's cost shrinks with the surviving edge set."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    work_dir = work_dir or tempfile.mkdtemp(prefix="glr_truss_")
+    os.makedirs(work_dir, exist_ok=True)
+
+    cur = _canonical_simple_edges(edges, B=B)
+    prev_n = -1
+    for r in range(max_rounds):
+        rdir = os.path.join(work_dir, f"round_{r}")
+        sup = edge_support(cur, rdir, B=B)
+
+        def _keep(t: pa.Table) -> pa.Table:
+            s = t["sup"].to_numpy(zero_copy_only=False)
+            m = s >= k - 2
+            return pa.table(
+                {
+                    "lo": t["lo"].to_numpy(zero_copy_only=False)[m],
+                    "hi": t["hi"].to_numpy(zero_copy_only=False)[m],
+                    "sup": s[m],
+                }
+            )
+
+        surv_dir = os.path.join(rdir, "surviving")
+        sup.map_batches(_keep, batch_format="pyarrow").write_parquet(surv_dir)
+        surv = ray.data.read_parquet(surv_dir)
+        n = surv.count()
+        if n == 0:
+            return surv  # empty truss, schema preserved
+        if n == prev_n:
+            return surv  # fixpoint: sup column is the within-truss support
+        prev_n = n
+        cur = surv.select_columns(["lo", "hi"])
+    raise RuntimeError(f"k_truss: no fixpoint within {max_rounds} rounds")

@@ -384,3 +384,40 @@ def test_assortativity_matches_bruteforce(graph, tmp_path):
 
     assert int(got["n_edges"].iloc[0]) == len(s2)
     assert abs(got["assortativity"].iloc[0] - r) < 1e-9
+
+
+def _brute_truss(pairs, k):
+    """Sequential peeling oracle: (edge -> final within-truss support)."""
+    cur = set(pairs)
+    while True:
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in cur
+        }
+        nxt = {e for e, s in sup.items() if s >= k - 2}
+        if nxt == cur:
+            return sup
+        cur = nxt
+        if not cur:
+            return {}
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_k_truss_matches_bruteforce(graph, tmp_path, k):
+    from graphlite_ray.pipelines.triangles import k_truss
+
+    src, dst = graph
+    got = (
+        k_truss(_edges_ds(src, dst), k, str(tmp_path / f"kt{k}"), B=4)
+        .to_pandas()
+        .sort_values(["lo", "hi"], ignore_index=True)
+    )
+    want = _brute_truss(_simple_pairs(src, dst), k)
+    got_d = {
+        (int(l), int(h)): int(s)
+        for l, h, s in zip(got["lo"], got["hi"], got["sup"])
+    }
+    assert got_d == want
