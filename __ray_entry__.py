@@ -602,6 +602,29 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _q_betweenness(sf_dir: str):
+    """Sampled-source Brandes betweenness (sources = the 5-page seed set
+    shared with personalized PageRank) — DuckDB oracle replays the
+    forward-sigma BFS and the level-descending dependency accumulation
+    (`_betweenness_oracle_sql`); a pytest proves equality with a
+    sequential Brandes to 1e-9."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import betweenness_scores, prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    df = betweenness_scores(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        _ppr_seeds(sf_dir),
+        work,
+        P=8,
+        resume=True,
+    ).to_pandas()
+    df["betweenness"] = _round_half_away(df["betweenness"], 6)
+    return df.sort_values("vertex_id", ignore_index=True)
+
+
 def _q_ktruss(sf_dir: str):
     """3-truss of the simple page graph with final within-truss support —
     DuckDB oracle replays the peeling rounds (recursive CTE; assumes the
@@ -1575,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "graph_assortativity": _q_assortativity,
         "graph_truss3": _q_ktruss,
+        "graph_betweenness": _q_betweenness,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
         "graph_coloring": _q_coloring,
@@ -1908,6 +1932,73 @@ def _matching_oracle_sql(edges_glob: str) -> str:
         "WHERE m.unm > 0 AND m.unm < m.prevunm AND m.r < 200)) "
         "SELECT v AS vertex_id, partner "
         "FROM cs WHERE r = (SELECT max(r) FROM cs) ORDER BY vertex_id"
+    )
+
+
+def _betweenness_oracle_sql(edges_glob: str, sources: list[int]) -> str:
+    """Superstep-for-superstep replay of programs.py::Betweenness over the
+    DISTINCT directed edge set. Forward: the kcore-style working table
+    carries full (s, v, dist, sigma) state per iteration; frontier rows
+    (dist == it) push integer-exact sigma sums one level out; the
+    newly-visited window count gates the recursion. Backward: per step bi,
+    senders at dist == lmax_s - bi push (1 + delta)/sigma along REVERSE
+    edges; receivers exactly one level up (dist == lmax_s - bi - 1 > 0 —
+    rejects non-DAG in-neighbors and endpoints) set
+    delta = sigma * sum. Final bc(v) = sum over sources of delta, shared
+    ROUND(,6) absorbing the summation-association drift (the PageRank
+    oracle convention)."""
+    src_vals = ", ".join(f"({int(s)})" for s in sorted(sources))
+    return (
+        f"WITH RECURSIVE e AS (SELECT DISTINCT src, dst "
+        f"FROM read_parquet('{edges_glob}')), "
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e "
+        "UNION ALL SELECT dst FROM e)), "
+        f"srcs(s) AS (VALUES {src_vals}), "
+        "fw(it, s, v, dist, sigma, nn) AS ("
+        "SELECT 0, s.s, vv.v, "
+        "CASE WHEN vv.v = s.s THEN 0 ELSE -1 END, "
+        "CAST(CASE WHEN vv.v = s.s THEN 1.0 ELSE 0.0 END AS DOUBLE), "
+        "1::BIGINT FROM verts vv CROSS JOIN srcs s "
+        "UNION ALL "
+        "SELECT it + 1, s, v, nd, ns, "
+        "sum(CASE WHEN nd <> dist THEN 1 ELSE 0 END) OVER ()::BIGINT "
+        "FROM ("
+        "SELECT m.it AS it, m.s AS s, m.v AS v, m.dist AS dist, "
+        "CASE WHEN m.dist <> -1 THEN m.dist "
+        "WHEN f.sig IS NOT NULL THEN m.it + 1 ELSE -1 END AS nd, "
+        "CASE WHEN m.dist <> -1 THEN m.sigma "
+        "WHEN f.sig IS NOT NULL THEN f.sig ELSE 0.0 END AS ns "
+        "FROM fw m LEFT JOIN ("
+        "SELECT q.s AS s, e1.dst AS v, sum(q.sigma) AS sig "
+        "FROM fw q JOIN e e1 ON e1.src = q.v WHERE q.dist = q.it "
+        "GROUP BY q.s, e1.dst) f ON f.s = m.s AND f.v = m.v "
+        "WHERE m.nn > 0 AND m.it < 80)), "
+        "ff AS MATERIALIZED (SELECT s, v, dist, sigma FROM fw "
+        "WHERE it = (SELECT max(it) FROM fw)), "
+        "lm AS MATERIALIZED (SELECT s, max(dist) AS lmax FROM ff GROUP BY s), "
+        "bw(bi, s, v, delta) AS ("
+        "SELECT 0, s, v, CAST(0.0 AS DOUBLE) FROM ff "
+        "UNION ALL "
+        "SELECT m.bi + 1, m.s, m.v, "
+        "CASE WHEN g.acc IS NOT NULL "
+        "AND f2.dist = l2.lmax - m.bi - 1 AND f2.dist > 0 "
+        "THEN f2.sigma * g.acc ELSE m.delta END "
+        "FROM bw m "
+        "JOIN ff f2 ON f2.s = m.s AND f2.v = m.v "
+        "JOIN lm l2 ON l2.s = m.s "
+        "LEFT JOIN ("
+        "SELECT q.s AS s, e2.src AS v, "
+        "sum((1.0 + q.delta) / qf.sigma) AS acc "
+        "FROM bw q "
+        "JOIN ff qf ON qf.s = q.s AND qf.v = q.v "
+        "JOIN lm ql ON ql.s = q.s "
+        "JOIN e e2 ON e2.dst = q.v "
+        "WHERE qf.dist = ql.lmax - q.bi AND qf.dist >= 1 "
+        "GROUP BY q.s, e2.src) g ON g.s = m.s AND g.v = m.v "
+        "WHERE m.bi < (SELECT max(lmax) FROM lm)) "
+        "SELECT v AS vertex_id, ROUND(sum(delta), 6) AS betweenness "
+        "FROM bw WHERE bi = (SELECT max(bi) FROM bw) "
+        "GROUP BY v ORDER BY v"
     )
 
 
@@ -2361,6 +2452,9 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END) "
             "/ count(*), 6) AS reciprocity "
             "FROM d LEFT JOIN d r ON r.src = d.dst AND r.dst = d.src"
+        ),
+        "graph_betweenness": _betweenness_oracle_sql(
+            edges_glob, _ppr_seeds(_ORACLE_SF)
         ),
         "graph_truss3": (
             # peeling replay: per round keep edges with >= 1 common

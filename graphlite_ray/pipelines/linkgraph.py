@@ -376,6 +376,68 @@ def coloring_labels(
     return res.values().map_batches(_out, batch_format="pyarrow")
 
 
+def betweenness_scores(
+    edges: "ray.data.Dataset",
+    sources: list[int],
+    work_dir: str,
+    P: int = 8,
+    resume: bool = False,
+    max_levels: int = 64,
+) -> "ray.data.Dataset":
+    """edges (src:int64, dst:int64) -> Dataset (vertex_id, betweenness):
+    sampled-source Brandes betweenness over the DISTINCT directed simple
+    graph (`programs.Betweenness`). Parallel edges are deduped here (a
+    parallel edge is not an extra shortest path) and the FWD/REV direction
+    tags are attached for the single tagged CSR build."""
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.programs import Betweenness
+
+    def _pre(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.table({"src": u[:, 0], "dst": u[:, 1]})
+
+    def _dedup(g):
+        return g.drop_duplicates(["src", "dst"])
+
+    distinct = grouped_map_bucketed(
+        edges.map_batches(_pre, batch_format="pyarrow"), ["src", "dst"], _dedup
+    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        w = np.empty(2 * n, np.float64)
+        w[:n] = Betweenness.FWD
+        w[n:] = Betweenness.REV
+        return pa.table(
+            {
+                "src": np.concatenate([s, d]),
+                "dst": np.concatenate([d, s]),
+                "weight": w,
+            }
+        )
+
+    res = run_on_edge_dataset(
+        Betweenness(sources, max_levels=max_levels),
+        distinct.map_batches(_tag, batch_format="pyarrow"),
+        work_dir,
+        P=P,
+        tag="bcdir",
+        resume=resume,
+        max_supersteps=2 * max_levels + 4,
+    )
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex_id": t["vertex_id"], "betweenness": t["value"]}
+        )
+
+    return res.values().map_batches(_out, batch_format="pyarrow")
+
+
 def matching_labels(
     edges: "ray.data.Dataset",
     work_dir: str,

@@ -776,6 +776,218 @@ class MaximalMatching(VertexProgram):
         return superstep + 1 >= self.max_supersteps
 
 
+class Betweenness(VertexProgram):
+    """Sampled-source betweenness centrality (Brandes 2001) over the
+    DIRECTED simple graph: bc(v) = sum over the sampled sources s of the
+    dependency delta_s(v) (endpoints excluded) — the standard pivot
+    estimator; pass every vertex as a source for the exact value.
+
+    Runs on the direction-tagged edge multiset (FWD original edges for
+    the BFS, REV for dependency back-propagation — the HITS/SCC CSR
+    trick; caller dedups to DISTINCT directed pairs so sigma counts
+    paths, not parallel edges). Messages are (key=source-index, val)
+    under the sum_by_key combiner, so S sources advance in ONE wavefront
+    per superstep.
+
+    Phase FORWARD (superstep t): unvisited receivers of sigma mass set
+    dist=t, sigma=sum received; vertices at dist t scatter sigma along
+    FWD edges. The `newly` aggregator hitting 0 flips every shard to
+    BACKWARD deterministically (all shards see the same aggregate; no
+    messages are in flight at the flip since the last frontier was
+    empty); the `maxl` aggregator (per-source elementwise max, a list
+    merge_fn) has the per-source BFS depths ready at that superstep.
+
+    Phase BACKWARD (step bi = 0, 1, ...): per source s, vertices at
+    level lmax_s - bi send (1 + delta)/sigma along REV edges; receivers
+    one level up (checked: dist == sender level - 1 > 0, which also
+    rejects non-DAG in-neighbors and the source itself — Brandes excludes
+    endpoints) set delta = sigma * sum received. After max(lmax) steps
+    every dependency has telescoped to level 1 and `bdone` halts the run.
+
+    Float note: per-vertex sums associate in combiner order; oracles
+    compare after the shared round-6, the PageRank convention.
+    vertex value = sum_s delta_s(v); per-source dist/sigma/delta arrays
+    ride `extra_state` (scalars broadcast per column), so mid-run resume
+    is exact."""
+
+    name = "betweenness"
+    combiner = "sum_by_key"
+    symmetrize = False
+
+    FWD, REV = 1.0, 2.0
+
+    def __init__(self, sources: list[int], max_levels: int = 64):
+        self.sources = [int(s) for s in sources]
+        self.S = len(self.sources)
+        if not self.S:
+            raise ValueError("betweenness needs >= 1 source")
+        self.max_supersteps = 2 * int(max_levels) + 4
+        self._dist: Optional[np.ndarray] = None   # (S, n) int32, -1 unvisited
+        self._sigma: Optional[np.ndarray] = None  # (S, n) path counts
+        self._delta: Optional[np.ndarray] = None  # (S, n) dependencies
+        self._lmax: Optional[np.ndarray] = None   # (S,) BFS depth per source
+        self._phase = 0
+        self._bi = 0
+        self._fwdm: Optional[np.ndarray] = None
+
+    def aggregators(self):
+        return {
+            "newly": AggregatorSpec(init=0.0, op="sum"),
+            "maxl": AggregatorSpec(
+                init=[-1] * self.S,
+                merge_fn=lambda a, b: [max(x, y) for x, y in zip(a, b)],
+            ),
+            "bdone": AggregatorSpec(init=0.0, op="max"),
+        }
+
+    def init_values(self, shard):
+        return np.zeros(shard.n, np.float64)
+
+    def extra_state(self):
+        if self._dist is None:
+            return None
+        n = self._dist.shape[1]
+        cols: dict = {}
+        for si in range(self.S):
+            cols[f"d{si}"] = self._dist[si].astype(np.int64)
+            cols[f"g{si}"] = self._sigma[si].copy()
+            cols[f"t{si}"] = self._delta[si].copy()
+            cols[f"lm{si}"] = np.full(n, int(self._lmax[si]), np.int64)
+        cols["ph"] = np.full(n, self._phase, np.int64)
+        cols["bi"] = np.full(n, self._bi, np.int64)
+        return cols
+
+    def load_extra(self, state):
+        S = self.S
+        self._dist = np.stack(
+            [state[f"d{si}"].astype(np.int32) for si in range(S)]
+        )
+        self._sigma = np.stack(
+            [state[f"g{si}"].astype(np.float64) for si in range(S)]
+        )
+        self._delta = np.stack(
+            [state[f"t{si}"].astype(np.float64) for si in range(S)]
+        )
+        if len(state["ph"]):
+            self._phase = int(state["ph"][0])
+            self._bi = int(state["bi"][0])
+            self._lmax = np.array(
+                [int(state[f"lm{si}"][0]) for si in range(S)], np.int64
+            )
+        else:  # empty shard: scalars are irrelevant, keep defaults
+            self._lmax = np.full(S, -1, np.int64)
+
+    def _fwd_mask(self, shard):
+        if self._fwdm is None:
+            if shard.edge_weights is None:
+                raise ValueError("betweenness needs the direction-tagged CSR")
+            self._fwdm = shard.edge_weights == self.FWD
+        return self._fwdm
+
+    @staticmethod
+    def _dir_edges(shard, rows: np.ndarray, emask_dir: np.ndarray):
+        rowmask = np.zeros(shard.n, bool)
+        rowmask[rows] = True
+        em = rowmask[shard.edge_src_local] & emask_dir
+        return shard.indices[em], shard.edge_src_local[em]
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        S, n = self.S, shard.n
+        if self._dist is None:
+            self._dist = np.full((S, n), -1, np.int32)
+            self._sigma = np.zeros((S, n))
+            self._delta = np.zeros((S, n))
+            self._lmax = np.full(S, -1, np.int64)
+            for si, s in enumerate(self.sources):
+                rows = np.flatnonzero(shard.vids == np.int64(s))
+                self._dist[si, rows] = 0
+                self._sigma[si, rows] = 1.0
+        if (
+            self._phase == 0
+            and ctx.superstep > 0
+            and ctx.aggr_global.get("newly", 1.0) == 0.0
+        ):
+            self._phase = 1
+            self._bi = 0
+            self._lmax = np.array(
+                [int(x) for x in ctx.aggr_global.get("maxl", [-1] * S)], np.int64
+            )
+
+        fwd = self._fwd_mask(shard)
+        dsts: list[np.ndarray] = []
+        keys: list[np.ndarray] = []
+        vals: list[np.ndarray] = []
+        if self._phase == 0:
+            t = ctx.superstep
+            # seeds count as this superstep's visits at ss0, else the
+            # empty ss0 inbox reads as a finished BFS and flips the phase
+            # before the wavefront starts
+            newly = int((self._dist == 0).sum()) if t == 0 else 0
+            if not inbox.empty:
+                k = inbox.key.astype(np.int64)
+                i = inbox.idx
+                unv = self._dist[k, i] == -1
+                if unv.any():
+                    self._dist[k[unv], i[unv]] = t
+                    self._sigma[k[unv], i[unv]] = inbox.val[unv]
+                    newly = int(unv.sum())
+            for si in range(S):
+                rows = np.flatnonzero(self._dist[si] == t)
+                if len(rows):
+                    d, srl = self._dir_edges(shard, rows, fwd)
+                    dsts.append(d)
+                    keys.append(np.full(len(d), float(si)))
+                    vals.append(self._sigma[si][srl])
+            out.aggr = {
+                "newly": float(newly),
+                "maxl": [int(self._dist[si].max(initial=-1)) for si in range(S)],
+                "bdone": 0.0,
+            }
+        else:
+            bi = self._bi
+            if not inbox.empty:
+                k = inbox.key.astype(np.int64)
+                i = inbox.idx
+                lvl = self._lmax[k] - bi
+                dki = self._dist[k, i].astype(np.int64)
+                ok = (dki == lvl) & (dki > 0)
+                if ok.any():
+                    ko, io = k[ok], i[ok]
+                    self._delta[ko, io] = self._sigma[ko, io] * inbox.val[ok]
+            for si in range(S):
+                lvl = int(self._lmax[si]) - bi
+                if lvl < 1:
+                    continue
+                rows = np.flatnonzero(self._dist[si] == lvl)
+                if len(rows):
+                    d, srl = self._dir_edges(shard, rows, ~fwd)
+                    dsts.append(d)
+                    keys.append(np.full(len(d), float(si)))
+                    vals.append(
+                        (1.0 + self._delta[si][srl]) / self._sigma[si][srl]
+                    )
+            values[:] = self._delta.sum(axis=0)
+            done = 1.0 if bi >= int(self._lmax.max(initial=0)) else 0.0
+            self._bi = bi + 1
+            out.aggr = {
+                "newly": 0.0,
+                "maxl": [int(x) for x in self._lmax],
+                "bdone": done,
+            }
+        if dsts:
+            out.out_dst = np.concatenate(dsts)
+            out.out_key = np.concatenate(keys)
+            out.out_val = np.concatenate(vals)
+            out.sent = len(out.out_dst)
+        return out
+
+    def master_halt(self, superstep, aggr_global, totals):
+        if aggr_global.get("bdone", 0.0) >= 1.0:
+            return True
+        return superstep + 1 >= self.max_supersteps
+
+
 class LabelPropagation(VertexProgram):
     """Synchronous LPA, our documented spec (no reference program exists):
     init label = own id; each superstep every vertex adopts the most
@@ -1528,6 +1740,7 @@ BUILTIN_PROGRAMS = {
     "mis": MaximalIndependentSet,
     "coloring": GreedyColoring,
     "matching": MaximalMatching,
+    "betweenness": Betweenness,
     "kcore": KCore,
     "neighborhood_exact": NeighborhoodExact,
     "harmonic_centrality": HarmonicCentrality,

@@ -421,3 +421,120 @@ def test_k_truss_matches_bruteforce(graph, tmp_path, k):
         for l, h, s in zip(got["lo"], got["hi"], got["sup"])
     }
     assert got_d == want
+
+
+def _brandes_directed(pairs, sources, verts):
+    """Reference Brandes (directed, unweighted) over distinct pairs."""
+    adj = {int(v): [] for v in verts}
+    radj = {int(v): [] for v in verts}
+    for a, b in pairs:
+        adj[int(a)].append(int(b))
+        radj[int(b)].append(int(a))
+    bc = {int(v): 0.0 for v in verts}
+    for s in sources:
+        dist = {int(v): -1 for v in verts}
+        sigma = {int(v): 0.0 for v in verts}
+        dist[s], sigma[s] = 0, 1.0
+        order, frontier = [], [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                order.append(v)
+            for v in frontier:
+                for w in adj[v]:
+                    if dist[w] == -1:
+                        dist[w] = dist[v] + 1
+                        nxt.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            frontier = list(dict.fromkeys(nxt))
+        delta = {int(v): 0.0 for v in verts}
+        for w in reversed(order):
+            for v in radj[w]:
+                if dist[v] == dist[w] - 1 and dist[v] != -1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_matches_brandes(graph, tmp_path):
+    from graphlite_ray.pipelines.linkgraph import betweenness_scores
+
+    src, dst = graph
+    pairs = sorted({(int(a), int(b)) for a, b in zip(src, dst)})
+    verts = np.unique(np.concatenate([src, dst]))
+    sources = [int(v) for v in sorted(verts)[:4]]
+
+    got = (
+        betweenness_scores(
+            _edges_ds(src, dst), sources, str(tmp_path / "bc"), P=4
+        )
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+    want = _brandes_directed(pairs, sources, verts)
+    assert got["vertex_id"].tolist() == [int(v) for v in verts]
+    for v, g in zip(got["vertex_id"], got["betweenness"]):
+        assert abs(g - want[int(v)]) < 1e-9, (v, g, want[int(v)])
+
+
+def test_betweenness_resume_midrun(graph, tmp_path):
+    """Per-source dist/sigma/delta and the phase scalars ride extra_state:
+    a run checkpointed mid-flight (typically inside the forward phase)
+    resumes to values identical to an uninterrupted run."""
+    from graphlite_ray.pipelines.linkgraph import betweenness_scores
+
+    src, dst = graph
+    verts = np.unique(np.concatenate([src, dst]))
+    sources = [int(v) for v in sorted(verts)[:4]]
+
+    full = (
+        betweenness_scores(
+            _edges_ds(src, dst), sources, str(tmp_path / "full"), P=4
+        )
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+    from graphlite_ray.programs import Betweenness
+
+    def _tagged():
+        from graphlite_ray.pipelines.linkgraph import betweenness_scores as _  # noqa
+        import pyarrow as pa
+
+        pairs = sorted({(int(a), int(b)) for a, b in zip(src, dst)})
+        s2 = np.array([p[0] for p in pairs], np.int64)
+        d2 = np.array([p[1] for p in pairs], np.int64)
+        w = np.concatenate(
+            [np.full(len(s2), Betweenness.FWD), np.full(len(s2), Betweenness.REV)]
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": np.concatenate([s2, d2]),
+                    "dst": np.concatenate([d2, s2]),
+                    "weight": w,
+                }
+            )
+        )
+
+    part = run_on_edge_dataset(
+        Betweenness(sources), _tagged(), str(tmp_path / "rez"), P=4,
+        tag="bcdir", max_supersteps=3, ckpt_every=2,
+    )
+    assert not part.halted
+    resumed = run_on_edge_dataset(
+        Betweenness(sources), _tagged(), str(tmp_path / "rez"), P=4,
+        tag="bcdir", resume=True,
+    )
+    assert resumed.halted
+    got = (
+        resumed.values()
+        .select_columns(["vertex_id", "value"])
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+    assert got["vertex_id"].tolist() == full["vertex_id"].tolist()
+    assert np.array_equal(got["value"].to_numpy(), full["betweenness"].to_numpy())
