@@ -79,22 +79,31 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
 
     from graphlite_ray.pipelines.corpus import corpus_clean
     from graphlite_ray.pipelines.linkgraph import (
+        betweenness_scores,
+        coloring_labels,
         hits_tagged_edges,
         host_edge_counts,
+        matching_labels,
+        mis_labels,
         prepare_edges,
         prepare_graph,
         run_algorithm,
         run_on_edge_dataset,
         scc_labels,
     )
-    from graphlite_ray.pipelines.triangles import triangle_count, vertex_triangle_counts
+    from graphlite_ray.pipelines.triangles import (
+        k_truss,
+        triangle_count,
+        vertex_triangle_counts,
+    )
     from graphlite_ray.pipelines import relational as R
     from graphlite_ray.sources.io import read_parquet_clean
     from graphlite_ray.sources.pages import pages_path
     from graphlite_ray.stages.dedup import minhash_dedup, simhash_dedup
     from graphlite_ray.stages.multimodal import decode_images, synthetic_media_table
     from graphlite_ray.stages.similarity import knn_bruteforce, read_embeddings
-    from graphlite_ray.stages.textstats import QualityScorer, lm_score
+    from graphlite_ray.pipelines.graphstats import degree_assortativity
+    from graphlite_ray.stages.textstats import QualityScorer, inverted_index, lm_score
     from graphlite_ray.functions.sketches import (
         approx_distinct_per_group,
         histogram_quantiles,
@@ -308,6 +317,41 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
                 P=P,
             ).count(),
         )
+        _timed(
+            "mis",
+            lambda: mis_labels(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                work, P=P,
+            ).count(),
+        )
+        _timed(
+            "coloring",
+            lambda: coloring_labels(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                work, P=P,
+            ).count(),
+        )
+        _timed(
+            "matching",
+            lambda: matching_labels(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                work, P=P,
+            ).count(),
+        )
+        _timed(
+            "betweenness",
+            lambda: betweenness_scores(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                ppr_seeds, work, P=P,
+            ).count(),
+        )
+        _timed(
+            "k_truss",
+            lambda: k_truss(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                k=3, work_dir=f"{work}/truss", B=num_cpus,
+            ).count(),
+        )
         _timed("corpus_clean", lambda: corpus_clean(docs).count())
         _timed("pricing_summary", lambda: R.q_pricing_summary(sf_dir))
         _timed(
@@ -320,6 +364,14 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             ).count(),
         )
         _timed("lm_score", lambda: lm_score(docs).count())
+        _timed("inverted_index", lambda: inverted_index(docs).count())
+        _timed(
+            "assortativity",
+            lambda: degree_assortativity(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                f"{work}/assort",
+            ),
+        )
         _timed("minhash_dedup", lambda: minhash_dedup(docs, threshold=0.8))
         _timed("simhash_dedup", lambda: simhash_dedup(docs, max_hamming=3))
         _timed("join_revenue", lambda: R.q_native_join_revenue(sf_dir))

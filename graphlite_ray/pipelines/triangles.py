@@ -24,6 +24,7 @@ materialization of edges or wedges.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 import numpy as np
@@ -573,6 +574,9 @@ def k_truss(
             )
 
         surv_dir = os.path.join(rdir, "surviving")
+        # a re-run in the same work dir must not append to last run's
+        # shard files (write_parquet names files per run): replace whole
+        shutil.rmtree(surv_dir, ignore_errors=True)
         sup.map_batches(_keep, batch_format="pyarrow").write_parquet(surv_dir)
         surv = ray.data.read_parquet(surv_dir)
         n = surv.count()
