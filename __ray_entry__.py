@@ -602,6 +602,30 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _q_modularity(sf_dir: str):
+    """Newman modularity of the LPA communities over the simple page graph
+    — DuckDB oracle recomputes labels via the shared LPA CTE and scores
+    them independently (`_modularity_oracle_sql`)."""
+    import pyarrow as pa
+    import ray.data
+
+    from graphlite_ray.pipelines.graphstats import community_modularity
+    from graphlite_ray.pipelines.linkgraph import prepare_edges, run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm("label_propagation", pages, work, P=8, resume=True)
+    labels = res.values().map_batches(
+        lambda t: pa.table({"vertex_id": t["vertex_id"], "label": t["value"]}),
+        batch_format="pyarrow",
+    )
+    edges_dir = prepare_edges(pages, work, P=8)
+    df = community_modularity(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]), labels, work
+    )
+    df["modularity"] = _round_half_away(df["modularity"], 6)
+    return df
+
+
 def _q_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness (sources = the 5-page seed set
     shared with personalized PageRank) — DuckDB oracle replays the
@@ -1599,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": _q_assortativity,
         "graph_truss3": _q_ktruss,
         "graph_betweenness": _q_betweenness,
+        "graph_modularity": _q_modularity,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
         "graph_coloring": _q_coloring,
@@ -2119,14 +2144,16 @@ def _cc_oracle_sql(edges_glob: str) -> str:
     )
 
 
-def _lpa_oracle_sql(edges_glob: str, max_rounds: int = 19) -> str:
-    """Synchronous LPA with the engine's exact tie-break (most frequent
-    neighbor label, ties -> MIN label; programs.py:352-399) and halt rule
-    (no changes, or the 20-superstep cap = 19 update rounds). The mode is
-    a (v, label) count + row_number window per iteration; multiplicity of
-    parallel symmetrized edges counts, as in the engine's message sums."""
+def _lpa_cte(edges_glob: str, max_rounds: int = 19) -> str:
+    """The shared `se, lp` CTE fragment replaying synchronous LPA with the
+    engine's exact tie-break (most frequent neighbor label, ties -> MIN
+    label; programs.py LabelPropagation) and halt rule (no changes, or the
+    20-superstep cap = 19 update rounds). The mode is a (v, label) count +
+    row_number window per iteration; multiplicity of parallel symmetrized
+    edges counts, as in the engine's message sums. Used by the LPA oracle
+    AND the modularity oracle (which scores these labels)."""
     return (
-        f"WITH RECURSIVE {_sym_edges_cte(edges_glob)}, "
+        f"{_sym_edges_cte(edges_glob)}, "
         "lp(iter, v, val, changes) AS ("
         "SELECT 0, v, v, 1::BIGINT FROM (SELECT DISTINCT src AS v FROM se) "
         "UNION ALL "
@@ -2141,9 +2168,47 @@ def _lpa_oracle_sql(edges_glob: str, max_rounds: int = 19) -> str:
         "FROM (SELECT e.dst AS v, p2.val AS l, count(*) AS c "
         "FROM lp p2 JOIN se e ON e.src = p2.v GROUP BY e.dst, p2.val)"
         ") WHERE rn = 1) w ON w.v = p.v "
-        f"WHERE p.changes > 0 AND p.iter < {max_rounds})) "
+        f"WHERE p.changes > 0 AND p.iter < {max_rounds}))"
+    )
+
+
+def _lpa_oracle_sql(edges_glob: str, max_rounds: int = 19) -> str:
+    return (
+        f"WITH RECURSIVE {_lpa_cte(edges_glob, max_rounds)} "
         "SELECT v AS vertex_id, val AS value FROM lp "
         "WHERE iter = (SELECT max(iter) FROM lp) ORDER BY vertex_id"
+    )
+
+
+def _modularity_oracle_sql(edges_glob: str) -> str:
+    """Newman modularity of the LPA labels over the canonical simple
+    graph, replayed independently: the shared `_lpa_cte` produces the
+    labels, the canonical pair dedup mirrors `_canonical_simple_edges`,
+    and Q uses the same fixed per-community float64 term as
+    `community_modularity` with the shared ROUND(,6) absorbing
+    cross-community summation association."""
+    return (
+        f"WITH RECURSIVE {_lpa_cte(edges_glob)}, "
+        "labs AS MATERIALIZED (SELECT v, val AS label FROM lp "
+        "WHERE iter = (SELECT max(iter) FROM lp)), "
+        "sedge AS (SELECT DISTINCT least(src, dst) AS lo, "
+        f"greatest(src, dst) AS hi FROM read_parquet('{edges_glob}') "
+        "WHERE src <> dst), "
+        "le AS (SELECT a.label AS la, b.label AS lb FROM sedge s "
+        "JOIN labs a ON a.v = s.lo JOIN labs b ON b.v = s.hi), "
+        "comm AS (SELECT label, CAST(sum(e) AS BIGINT) AS mc, "
+        "CAST(sum(d) AS BIGINT) AS dc FROM ("
+        "SELECT la AS label, 1 AS e, 0 AS d FROM le WHERE la = lb "
+        "UNION ALL SELECT la, 0, 1 FROM le "
+        "UNION ALL SELECT lb, 0, 1 FROM le) GROUP BY label), "
+        "mm AS (SELECT CAST(sum(dc) / 2 AS BIGINT) AS m FROM comm) "
+        "SELECT mm.m AS n_edges, "
+        "(SELECT count(DISTINCT val) FROM lp "
+        "WHERE iter = (SELECT max(iter) FROM lp)) AS n_communities, "
+        "ROUND((SELECT sum(CAST(mc AS DOUBLE) / mm.m - "
+        "(CAST(dc AS DOUBLE) / (2.0 * mm.m)) * "
+        "(CAST(dc AS DOUBLE) / (2.0 * mm.m))) FROM comm), 6) AS modularity "
+        "FROM mm"
     )
 
 
@@ -2453,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS reciprocity "
             "FROM d LEFT JOIN d r ON r.src = d.dst AND r.dst = d.src"
         ),
+        "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_betweenness": _betweenness_oracle_sql(
             edges_glob, _ppr_seeds(_ORACLE_SF)
         ),

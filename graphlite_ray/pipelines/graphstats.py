@@ -278,3 +278,103 @@ def degree_assortativity(
         else 0.0
     )
     return pd.DataFrame({"n_edges": [n], "assortativity": [r]})
+
+
+def community_modularity(
+    edges: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    work_dir: str,
+    B: int = 16,
+) -> pd.DataFrame:
+    """Newman modularity Q of a vertex labeling over the SIMPLE undirected
+    graph (self-loops dropped, parallel/reciprocal edges collapsed — the
+    triangle-family convention):
+
+        Q = sum over communities c of  m_c/m - (D_c/(2m))^2
+
+    with m = simple edges, m_c = intra-community edges, D_c = community
+    degree sum. `labels` is any (vertex_id, label:int64) Dataset (LPA
+    labels in the driver query). Plan: labels written hash-bucketed once,
+    each canonical edge attaches both endpoint labels via two
+    co-partitioned merges, per-batch partials aggregate (label, m_c, D_c)
+    in one bucketed shuffle; m = sum(D_c)/2 exactly. Q's per-community
+    terms use ONE fixed float64 expression; the cross-community sum
+    associates freely and oracles compare after the shared round-6
+    (PageRank convention). Returns one row:
+    (n_edges, n_communities, modularity)."""
+    from graphlite_ray.pipelines.joins import attach_from_bucketed, write_bucketed
+    from graphlite_ray.pipelines.triangles import _canonical_simple_edges
+
+    simple = _canonical_simple_edges(edges, B=B)
+    lab_dir = write_bucketed(
+        labels, "vertex_id", B, f"{work_dir}/mod_labels", columns=["vertex_id", "label"]
+    )
+    with_lo = attach_from_bucketed(simple, "lo", lab_dir, B, "vertex_id").map_batches(
+        lambda df: df[["lo", "hi", "label"]].rename(columns={"label": "la"}),
+        batch_format="pandas",
+    )
+    both = attach_from_bucketed(with_lo, "hi", lab_dir, B, "vertex_id").map_batches(
+        lambda df: df[["lo", "hi", "la", "label"]].rename(columns={"label": "lb"}),
+        batch_format="pandas",
+    )
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        la = df["la"].to_numpy(np.int64)
+        lb = df["lb"].to_numpy(np.int64)
+        intra = la == lb
+        lab = np.concatenate([la[intra], la, lb])
+        e = np.concatenate(
+            [
+                np.ones(int(intra.sum()), np.int64),
+                np.zeros(2 * len(la), np.int64),
+            ]
+        )
+        d = np.concatenate(
+            [np.zeros(int(intra.sum()), np.int64), np.ones(2 * len(la), np.int64)]
+        )
+        out = pd.DataFrame({"label": lab, "e": e, "d": d})
+        return out.groupby("label", as_index=False)[["e", "d"]].sum()
+
+    def _sum_comm(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("label", as_index=False)[["e", "d"]].sum()
+        return out.astype({"e": "int64", "d": "int64"})
+
+    # one row per community with >= 1 edge endpoint — stays a Dataset
+    # (web-scale labelings have graph-sized community counts)
+    comm = grouped_map_bucketed(
+        both.map_batches(_partials, batch_format="pandas"), ["label"], _sum_comm, B=B
+    ).materialize()  # consumed twice: m, then the term sum
+
+    # distinct-label count without a driver-side value list: per-batch
+    # pre-dedup, one groupby, count the grouped rows
+    n_comm = int(
+        labels.map_batches(
+            lambda t: pa.table(
+                {"label": np.unique(t["label"].to_numpy(zero_copy_only=False))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("label")
+        .count()
+        .count()
+    )
+
+    dsum = comm.sum("d")
+    m = int(dsum if not isinstance(dsum, dict) else dsum["sum(d)"] or 0) // 2
+    if m == 0:
+        return pd.DataFrame(
+            {"n_edges": [0], "n_communities": [n_comm], "modularity": [0.0]}
+        )
+    fm = float(m)
+
+    def _terms(df: pd.DataFrame) -> pd.DataFrame:
+        mc = df["e"].to_numpy(np.int64).astype(np.float64)
+        dc = df["d"].to_numpy(np.int64).astype(np.float64)
+        t = mc / fm - (dc / (2.0 * fm)) * (dc / (2.0 * fm))
+        return pd.DataFrame({"q": [float(np.add.reduce(t))]})
+
+    parts = comm.map_batches(_terms, batch_format="pandas").to_pandas()
+    q = float(parts["q"].sum())
+    return pd.DataFrame(
+        {"n_edges": [m], "n_communities": [n_comm], "modularity": [q]}
+    )

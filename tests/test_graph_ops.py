@@ -538,3 +538,33 @@ def test_betweenness_resume_midrun(graph, tmp_path):
     )
     assert got["vertex_id"].tolist() == full["vertex_id"].tolist()
     assert np.array_equal(got["value"].to_numpy(), full["betweenness"].to_numpy())
+
+
+def test_modularity_matches_bruteforce(graph, tmp_path):
+    from graphlite_ray.pipelines.graphstats import community_modularity
+
+    src, dst = graph
+    verts = np.unique(np.concatenate([src, dst]))
+    labels_np = (verts % 3).astype(np.int64)  # arbitrary 3-community split
+    labels = ray.data.from_arrow(
+        pa.table({"vertex_id": verts, "label": labels_np})
+    )
+    got = community_modularity(
+        _edges_ds(src, dst), labels, str(tmp_path / "mod"), B=4
+    )
+
+    pairs = _simple_pairs(src, dst)
+    lab = dict(zip(verts.tolist(), labels_np.tolist()))
+    m = len(pairs)
+    mc, dc = {}, {}
+    for a, b in pairs:
+        if lab[a] == lab[b]:
+            mc[lab[a]] = mc.get(lab[a], 0) + 1
+        dc[lab[a]] = dc.get(lab[a], 0) + 1
+        dc[lab[b]] = dc.get(lab[b], 0) + 1
+    q = sum(
+        mc.get(c, 0) / m - (dc[c] / (2 * m)) ** 2 for c in dc
+    )
+    assert int(got["n_edges"].iloc[0]) == m
+    assert int(got["n_communities"].iloc[0]) == 3
+    assert abs(got["modularity"].iloc[0] - q) < 1e-12
