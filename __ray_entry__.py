@@ -602,6 +602,25 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _q_triangles_approx(sf_dir: str):
+    """DOULION approximate triangle count at pct=50 — the deterministic
+    hash sample is SQL-replayable, so even the APPROXIMATE count is
+    exactly oracled (count over the same sampled edge set x (100/pct)^3);
+    estimator accuracy vs the exact sibling is measured in bench.py."""
+    import pandas as pd
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.triangles import approx_triangle_count
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    est = approx_triangle_count(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]), pct=50
+    )
+    return pd.DataFrame({"n_triangles_est": [est]})
+
+
 def _q_modularity(sf_dir: str):
     """Newman modularity of the LPA communities over the simple page graph
     — DuckDB oracle recomputes labels via the shared LPA CTE and scores
@@ -1624,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_truss3": _q_ktruss,
         "graph_betweenness": _q_betweenness,
         "graph_modularity": _q_modularity,
+        "triangle_count_approx": _q_triangles_approx,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
         "graph_coloring": _q_coloring,
@@ -2422,6 +2442,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS n_triangles "
             f"FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
             f"JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+        ),
+        "triangle_count_approx": (
+            # DOULION replay: the SAME deterministic pair-hash sample
+            # (pipelines/triangles.py::_edge_sample_mask, pct=50), exact
+            # count over the sampled graph, one fixed float scale
+            f"WITH e AS (SELECT a, b FROM (SELECT DISTINCT "
+            f"least(src, dst) AS a, greatest(src, dst) AS b "
+            f"FROM read_parquet('{edges_glob}') WHERE src <> dst) "
+            "WHERE ((a % 2147483648) * 2654435761 % 4294967296 "
+            "+ (b % 2147483648) * 40503) % 4294967296 % 100 < 50) "
+            "SELECT CAST(count(*) AS DOUBLE) * 2.0 * 2.0 * 2.0 "
+            "AS n_triangles_est "
+            "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
         ),
         # --- iterative graph algorithms: recursive-CTE replays of the
         # engine's recurrence + halt rule (see the builder docstrings) -----

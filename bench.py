@@ -92,6 +92,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         scc_labels,
     )
     from graphlite_ray.pipelines.triangles import (
+        approx_triangle_count,
         k_truss,
         triangle_count,
         vertex_triangle_counts,
@@ -274,7 +275,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             "connected_components",
             lambda: run_algorithm("connected_components", pages, work, P=P),
         )
-        _timed(
+        tri_exact = _timed(
             "triangles",
             lambda: triangle_count(
                 ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
@@ -282,6 +283,18 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
                 B=num_cpus,  # shuffle buckets scale with compute, unlike BSP P
             ),
         )
+        tri_est = _timed(
+            "triangles_approx",
+            lambda: approx_triangle_count(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                pct=50, work_dir=f"{work}/tria", B=num_cpus,
+            ),
+        )
+        tri_accuracy = {
+            "exact": int(tri_exact),
+            "doulion_pct50": tri_est,
+            "rel_err": round(abs(tri_est - tri_exact) / max(tri_exact, 1), 4),
+        }
         _timed(
             "vertex_triangles",
             lambda: vertex_triangle_counts(
@@ -418,6 +431,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "join_strategy": join_strategy,
         "lsh_recall": lsh_recall,
         "ivf_recall": ivf_recall,
+        "tri_accuracy": tri_accuracy,
     }
     shutil.rmtree(base_work, ignore_errors=True)
     ray.shutdown()

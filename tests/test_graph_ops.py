@@ -568,3 +568,33 @@ def test_modularity_matches_bruteforce(graph, tmp_path):
     assert int(got["n_edges"].iloc[0]) == m
     assert int(got["n_communities"].iloc[0]) == 3
     assert abs(got["modularity"].iloc[0] - q) < 1e-12
+
+
+def test_approx_triangles_deterministic_and_exact_at_full_sample(graph, tmp_path):
+    from graphlite_ray.pipelines.triangles import (
+        _edge_sample_mask,
+        approx_triangle_count,
+        triangle_count,
+    )
+
+    src, dst = graph
+    exact = triangle_count(_edges_ds(src, dst))
+    # pct=100 keeps every edge: the estimator must equal the exact count
+    assert approx_triangle_count(_edges_ds(src, dst), pct=100) == float(exact)
+
+    # pct=50: equals the brute-force count over the SAME deterministic
+    # sample, scaled
+    pairs = np.array(sorted(_simple_pairs(src, dst)), np.int64)
+    m = _edge_sample_mask(pairs[:, 0], pairs[:, 1], 50)
+    kept = {tuple(p) for p in pairs[m]}
+    adj = {}
+    for a, b in kept:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = {
+        tuple(sorted((a, b, c)))
+        for a, b in kept
+        for c in adj[a] & adj[b]
+    }
+    got = approx_triangle_count(_edges_ds(src, dst), pct=50)
+    assert got == len(tris) * 8.0
