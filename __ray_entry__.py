@@ -602,6 +602,23 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _q_coreness(sf_dir: str):
+    """Full coreness (k-core decomposition) of the simple page graph via
+    H-index iteration — DuckDB oracle replays the rounds with the same
+    row_number H-index (`_coreness_oracle_sql`); a pytest proves equality
+    with classic minimum-degree peeling."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import coreness_labels, prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return coreness_labels(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work, P=8, resume=True,
+    )
+
+
 def _q_triangles_approx(sf_dir: str):
     """DOULION approximate triangle count at pct=50 — the deterministic
     hash sample is SQL-replayable, so even the APPROXIMATE count is
@@ -1643,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_truss3": _q_ktruss,
         "graph_betweenness": _q_betweenness,
         "graph_modularity": _q_modularity,
+        "graph_coreness": _q_coreness,
         "triangle_count_approx": _q_triangles_approx,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
@@ -1976,6 +1994,40 @@ def _matching_oracle_sql(edges_glob: str) -> str:
         "ON a.t = b.v AND b.t = a.v) mt ON mt.v = m.v "
         "WHERE m.unm > 0 AND m.unm < m.prevunm AND m.r < 200)) "
         "SELECT v AS vertex_id, partner "
+        "FROM cs WHERE r = (SELECT max(r) FROM cs) ORDER BY vertex_id"
+    )
+
+
+def _coreness_oracle_sql(edges_glob: str) -> str:
+    """Round-for-round replay of the H-index coreness iteration
+    (programs.py::Coreness): core_0 = simple-graph degree; per round
+    core := least(core, H) with H = max(least(rank, neighbor core)) over
+    neighbors ranked by core desc (the row_number H-index). Universe +
+    adjacency: distinct symmetrized non-loop edges, matching
+    `coreness_labels`' canonical dedup; the changes guard stops at the
+    fixpoint."""
+    return (
+        "WITH RECURSIVE sd AS (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM read_parquet('{edges_glob}') UNION ALL "
+        f"SELECT dst, src FROM read_parquet('{edges_glob}')) "
+        "WHERE src <> dst), "
+        "cs(r, v, core, ch) AS ("
+        "SELECT 0, src, CAST(count(*) AS BIGINT), 1::BIGINT "
+        "FROM sd GROUP BY src "
+        "UNION ALL "
+        "SELECT r + 1, v, newc, "
+        "sum(CASE WHEN newc <> core THEN 1 ELSE 0 END) OVER ()::BIGINT "
+        "FROM ("
+        "SELECT m.r AS r, m.v AS v, m.core AS core, "
+        "least(m.core, hx.h) AS newc "
+        "FROM cs m JOIN ("
+        "SELECT src AS v, max(least(rn, c)) AS h FROM ("
+        "SELECT e.src AS src, q.core AS c, row_number() OVER "
+        "(PARTITION BY e.src ORDER BY q.core DESC) AS rn "
+        "FROM sd e JOIN cs q ON q.v = e.dst) GROUP BY src) hx "
+        "ON hx.v = m.v "
+        "WHERE m.ch > 0 AND m.r < 100)) "
+        "SELECT v AS vertex_id, core AS coreness "
         "FROM cs WHERE r = (SELECT max(r) FROM cs) ORDER BY vertex_id"
     )
 
@@ -2553,6 +2605,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM d LEFT JOIN d r ON r.src = d.dst AND r.dst = d.src"
         ),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
+        "graph_coreness": _coreness_oracle_sql(edges_glob),
         "graph_betweenness": _betweenness_oracle_sql(
             edges_glob, _ppr_seeds(_ORACLE_SF)
         ),

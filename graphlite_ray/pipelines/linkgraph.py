@@ -376,6 +376,40 @@ def coloring_labels(
     return res.values().map_batches(_out, batch_format="pyarrow")
 
 
+def coreness_labels(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    P: int = 8,
+    resume: bool = False,
+    max_rounds: int = 256,
+) -> "ray.data.Dataset":
+    """edges (src:int64, dst:int64) -> Dataset (vertex_id, coreness):
+    full k-core decomposition of the SIMPLE undirected graph
+    (`programs.Coreness` H-index iteration). Edges are deduped to
+    canonical non-loop pairs here — a duplicated neighbor would
+    double-count in the H multiset."""
+    from graphlite_ray.pipelines.triangles import _canonical_simple_edges
+
+    simple = _canonical_simple_edges(edges).map_batches(
+        lambda t: pa.table({"src": t["lo"], "dst": t["hi"]}),
+        batch_format="pyarrow",
+    )
+    res = run_on_edge_dataset(
+        "coreness", simple, work_dir, P=P, tag="simple", resume=resume,
+        max_rounds=max_rounds, max_supersteps=max_rounds + 2,
+    )
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex_id": t["vertex_id"],
+                "coreness": t["value"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+
+    return res.values().map_batches(_out, batch_format="pyarrow")
+
+
 def betweenness_scores(
     edges: "ray.data.Dataset",
     sources: list[int],

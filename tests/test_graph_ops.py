@@ -598,3 +598,37 @@ def test_approx_triangles_deterministic_and_exact_at_full_sample(graph, tmp_path
     }
     got = approx_triangle_count(_edges_ds(src, dst), pct=50)
     assert got == len(tris) * 8.0
+
+
+def test_coreness_matches_peeling(graph, tmp_path):
+    """H-index iteration == classic minimum-degree peeling coreness."""
+    from graphlite_ray.pipelines.linkgraph import coreness_labels
+
+    src, dst = graph
+    got = (
+        coreness_labels(_edges_ds(src, dst), str(tmp_path / "core"), P=4)
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )
+
+    pairs = _simple_pairs(src, dst)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    core = {}
+    live = {v: set(ns) for v, ns in adj.items()}
+    degs = {v: len(ns) for v, ns in live.items()}
+    kmax = 0
+    while live:
+        v = min(live, key=lambda x: (degs[x], x))
+        kmax = max(kmax, degs[v])
+        core[v] = kmax
+        for w in live[v]:
+            live[w].discard(v)
+            degs[w] -= 1
+        del live[v], degs[v]
+
+    gd = dict(zip(got["vertex_id"].astype(int), got["coreness"].astype(int)))
+    assert gd == core
