@@ -1313,6 +1313,28 @@ def _q_doc_token_df(sf_dir: str):
     return out.sort_values("token", ignore_index=True)
 
 
+_CMS_W, _CMS_D = 16, 3  # query-scale knobs: small width FORCES collisions
+# so the one-sided overestimate is actually exercised
+
+
+def _q_doc_cms_counts(sf_dir: str):
+    """Count-min-sketch token-count estimates over the full vocabulary
+    (width 16 x depth 3 — collisions guaranteed at this width, so the
+    sketch is doing real work) — deterministic FNV-salt hash family, so
+    the APPROXIMATE estimates are exactly oracled in SQL. Candidate
+    enumeration = the vocabulary here; per-batch local heavy hitters are
+    the at-scale candidate source (`functions/sketches.py::cms_estimates`
+    docstring)."""
+    from graphlite_ray.functions.sketches import cms_estimates, cms_token_table
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import token_doc_frequency
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cms = cms_token_table(docs, width=_CMS_W, depth=_CMS_D).to_pandas()
+    vocab = sorted(token_doc_frequency(docs).to_pandas()["token"])
+    return cms_estimates(cms, vocab, _CMS_W, _CMS_D)
+
+
 def _q_doc_inverted_index(sf_dir: str):
     """Inverted index (token -> df, cf, doc_id:tf postings sorted by
     doc_id) — DuckDB string_agg oracle, bit-exact on the postings
@@ -1717,6 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "doc_token_df": _q_doc_token_df,
         "doc_inverted_index": _q_doc_inverted_index,
+        "doc_cms_counts": _q_doc_cms_counts,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
         "doc_contamination": _q_doc_contamination,
@@ -2329,6 +2352,56 @@ def _utf8_bytes_sql(strvar: str) -> str:
         "[224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] "
         "ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, "
         "128 + (cp // 64) % 64, 128 + cp % 64] END))"
+    )
+
+
+def _fnv_tok_sql(prefix_byte: int) -> str:
+    """SQL expression (HUGEINT in [0, 2^64)): `hash_strings(tok,
+    salt=prefix_byte-42)` — the library FNV-1a-64 with the seed prefix,
+    replayed byte-for-byte (the simhash oracle's machinery, parameterized
+    on the salt prefix byte for the CMS hash family)."""
+    M64 = "18446744073709551616::HUGEINT"
+    PRIME = "1099511628211::HUGEINT"
+    OFF = "14695981039346656037::HUGEINT"
+    HALF = "9223372036854775808::HUGEINT"
+    wrap = f"CAST(acc - CASE WHEN acc >= {HALF} THEN {M64} ELSE 0::HUGEINT END AS BIGINT)"
+    step = (
+        f"((xor({wrap}, CAST(byte AS BIGINT))::HUGEINT + "
+        f"CASE WHEN xor({wrap}, CAST(byte AS BIGINT)) < 0 THEN {M64} "
+        f"ELSE 0::HUGEINT END) * {PRIME}) % {M64}"
+    )
+    utf8 = _utf8_bytes_sql("tok")
+    return (
+        f"list_reduce(list_concat([{OFF}], "
+        f"list_transform(list_concat([{int(prefix_byte)},0,0,0,0,0,0,0], {utf8}), "
+        f"x -> x::HUGEINT)), (acc, byte) -> {step})"
+    )
+
+
+def _cms_oracle_sql(width: int, depth: int) -> str:
+    """Exact replay of the CMS estimates (functions/sketches.py::
+    cms_token_table + cms_estimates over the full vocabulary): per salt r,
+    bucket = fnv(tok, prefix 42+r) % width; cell = sum of counts of every
+    token in it; estimate = min over rows — an approximate operator with
+    an exact SQL oracle because the hash family is deterministic."""
+    bucket = "CASE " + " ".join(
+        f"WHEN r = {r} THEN CAST({_fnv_tok_sql(42 + r)} % {width} AS BIGINT)"
+        for r in range(depth)
+    ) + " END"
+    rs = ", ".join(f"({r})" for r in range(depth))
+    return (
+        "WITH toks AS (SELECT unnest(list_filter("
+        f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '')) AS tok "
+        "FROM documents), "
+        "tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks "
+        "GROUP BY tok), "
+        f"hb AS (SELECT tok, c, r, {bucket} AS bucket "
+        f"FROM tc CROSS JOIN (VALUES {rs}) rs(r)), "
+        "cms AS (SELECT r, bucket, CAST(sum(c) AS BIGINT) AS cc "
+        "FROM hb GROUP BY r, bucket) "
+        "SELECT h.tok AS token, CAST(min(cms.cc) AS BIGINT) AS n_est "
+        "FROM hb h JOIN cms ON cms.r = h.r AND cms.bucket = h.bucket "
+        "GROUP BY h.tok ORDER BY token"
     )
 
 
@@ -3181,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{_WS}')) AS token "
             "FROM documents) WHERE token <> '' GROUP BY token ORDER BY token"
         ),
+        "doc_cms_counts": _cms_oracle_sql(_CMS_W, _CMS_D),
         "doc_inverted_index": (
             "WITH tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
             "FROM ("

@@ -316,3 +316,88 @@ def histogram_quantiles(
         .to_pandas()
         .sort_values(group_col, ignore_index=True)
     )
+
+
+def cms_token_table(
+    docs, width: int = 1024, depth: int = 4, B: int = 16
+):
+    """Count-min sketch of the corpus token multiset (Cormode &
+    Muthukrishnan 2005) as a SPARSE mergeable table: one row per touched
+    cell, (row:int64, bucket:int64, c:int64), c = sum of counts of every
+    token hashing there. Cell totals are order-independent sums, so the
+    sketch is a deterministic function of the input multiset (the
+    sketches-module contract) and merges across corpora by summing cells.
+
+    Row r's bucket for a token is `hash_strings(token, salt=r) % width` —
+    depth independent FNV variants via the library's salt prefix, the
+    same hash family the simhash oracle already replays byte-for-byte in
+    SQL. Size <= depth*width rows regardless of corpus size; estimate
+    error <= e*N/width with prob 1 - e^-depth, always >= the true count.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data  # noqa: F401
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.functions.hashing import hash_strings
+    from graphlite_ray.functions.tokenize import lower_tokens
+
+    def _cells(t: "pa.Table") -> "pa.Table":
+        toks: list[str] = []
+        for text in t["text"].to_pylist():
+            toks.extend(lower_tokens(text))
+        if not toks:
+            e = np.empty(0, np.int64)
+            return pa.table({"row": e, "bucket": e.copy(), "c": e.copy()})
+        u, c = np.unique(np.asarray(toks, object), return_counts=True)
+        rows, buckets, cs = [], [], []
+        for r in range(depth):
+            b = (hash_strings(u.tolist(), salt=r) % np.uint64(width)).astype(np.int64)
+            # per-batch cell pre-combine
+            cell, inv = np.unique(b, return_inverse=True)
+            cc = np.bincount(inv, weights=c).astype(np.int64)
+            rows.append(np.full(len(cell), r, np.int64))
+            buckets.append(cell)
+            cs.append(cc)
+        return pa.table(
+            {
+                "row": np.concatenate(rows),
+                "bucket": np.concatenate(buckets),
+                "c": np.concatenate(cs),
+            }
+        )
+
+    def _sum_cells(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(["row", "bucket"], as_index=False)["c"].sum()
+        return out.astype({"c": "int64"})
+
+    return grouped_map_bucketed(
+        docs.map_batches(_cells, batch_format="pyarrow"),
+        ["row", "bucket"],
+        _sum_cells,
+        B=B,
+    )
+
+
+def cms_estimates(cms_df, tokens: list[str], width: int, depth: int):
+    """Point estimates for a candidate token list from a collected sparse
+    CMS (pandas (row, bucket, c)): est(t) = min over rows of the cell
+    count. The candidate list is the caller's (per-batch local heavy
+    hitters at scale; the full vocabulary when it is enumerable)."""
+    import pandas as pd
+
+    from graphlite_ray.functions.hashing import hash_strings
+
+    cell = {(int(r), int(b)): int(c) for r, b, c in cms_df.to_numpy()}
+    ests = []
+    for t in tokens:
+        est = None
+        for r in range(depth):
+            b = int(hash_strings([t], salt=r)[0] % np.uint64(width))
+            v = cell.get((r, b), 0)
+            est = v if est is None else min(est, v)
+        ests.append(int(est or 0))
+    return pd.DataFrame({"token": list(tokens), "n_est": ests}).astype(
+        {"n_est": "int64"}
+    )

@@ -312,3 +312,31 @@ def test_inverted_index_hand_checked(ray_session):
         out[["token", "df", "cf", "postings"]].astype({"df": "int64", "cf": "int64"}),
         want.astype({"df": "int64", "cf": "int64"}),
     )
+
+
+def test_cms_one_sided_and_exact_when_wide(ray_session):
+    import pyarrow as pa
+
+    from graphlite_ray.functions.sketches import cms_estimates, cms_token_table
+    from graphlite_ray.functions.tokenize import lower_tokens
+
+    texts = ["a b a c", "b b d", "a e", None]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": texts})
+    )
+    true = {}
+    for t in texts:
+        for tok in lower_tokens(t):
+            true[tok] = true.get(tok, 0) + 1
+
+    # tight width -> collisions; estimates are NEVER below the truth
+    cms = cms_token_table(docs, width=2, depth=2, B=2).to_pandas()
+    est = cms_estimates(cms, sorted(true), 2, 2)
+    assert all(
+        int(n) >= true[t] for t, n in zip(est["token"], est["n_est"])
+    )
+
+    # wide sketch -> no collisions -> exact counts
+    cms2 = cms_token_table(docs, width=4096, depth=3, B=2).to_pandas()
+    est2 = cms_estimates(cms2, sorted(true), 4096, 3)
+    assert {t: int(n) for t, n in zip(est2["token"], est2["n_est"])} == true
