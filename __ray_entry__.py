@@ -602,6 +602,71 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _q_vertex_cover(sf_dir: str):
+    """2-approximation vertex cover = the endpoint set of the maximal
+    matching (every edge has a matched endpoint, else the matching was
+    not maximal; at most 2x optimal since any cover takes >= 1 endpoint
+    per matched edge) — derived from `programs.MaximalMatching`, oracled
+    by the matching replay's matched endpoints."""
+    import pyarrow as pa
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import matching_labels, prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    m = matching_labels(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work, P=8, resume=True,
+    )
+
+    def _cover(t: pa.Table) -> pa.Table:
+        p = t["partner"].to_numpy(zero_copy_only=False)
+        v = t["vertex_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"vertex_id": v[p != -1]})
+
+    return m.map_batches(_cover, batch_format="pyarrow").to_pandas().sort_values(
+        "vertex_id", ignore_index=True
+    )
+
+
+def _q_component_sizes(sf_dir: str):
+    """Weakly-connected component size distribution (size -> number of
+    components) — one bucketed count over the CC labels, oracled via the
+    CC min-label CTE + double group-by."""
+    import pyarrow as pa
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm("connected_components", pages, work, P=8, resume=True)
+    labels = res.values().map_batches(
+        lambda t: pa.table({"label": t["value"]}), batch_format="pyarrow"
+    )
+
+    def _csize(g):
+        out = g.groupby("label", as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    sizes = grouped_map_bucketed(labels, ["label"], _csize, B=16)
+
+    def _hist(g):
+        out = g.groupby("n", as_index=False).size()
+        return out.rename(columns={"n": "size", "size": "n_components"}).astype(
+            {"n_components": "int64"}
+        )
+
+    return (
+        grouped_map_bucketed(sizes, ["n"], _hist, B=4)
+        .to_pandas()
+        .groupby("size", as_index=False)["n_components"]
+        .sum()  # bucket partials for the same size merge here (<= B rows)
+        .astype({"n_components": "int64"})
+        .sort_values("size", ignore_index=True)
+    )
+
+
 def _q_coreness(sf_dir: str):
     """Full coreness (k-core decomposition) of the simple page graph via
     H-index iteration — DuckDB oracle replays the rounds with the same
@@ -1683,6 +1748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_betweenness": _q_betweenness,
         "graph_modularity": _q_modularity,
         "graph_coreness": _q_coreness,
+        "graph_vertex_cover": _q_vertex_cover,
+        "graph_component_sizes": _q_component_sizes,
         "triangle_count_approx": _q_triangles_approx,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
@@ -2679,6 +2746,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_coreness": _coreness_oracle_sql(edges_glob),
+        "graph_vertex_cover": (
+            "SELECT vertex_id FROM ("
+            + _matching_oracle_sql(edges_glob)
+            + ") WHERE partner <> -1 ORDER BY vertex_id"
+        ),
+        "graph_component_sizes": (
+            "SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM ("
+            "SELECT value, CAST(count(*) AS BIGINT) AS size FROM ("
+            + _cc_oracle_sql(edges_glob)
+            + ") GROUP BY value) GROUP BY size ORDER BY size"
+        ),
         "graph_betweenness": _betweenness_oracle_sql(
             edges_glob, _ppr_seeds(_ORACLE_SF)
         ),

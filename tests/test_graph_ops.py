@@ -632,3 +632,21 @@ def test_coreness_matches_peeling(graph, tmp_path):
 
     gd = dict(zip(got["vertex_id"].astype(int), got["coreness"].astype(int)))
     assert gd == core
+
+
+def test_vertex_cover_covers_every_edge(graph, tmp_path):
+    """Matching endpoints form a vertex cover (the 2-approximation)."""
+    from graphlite_ray.pipelines.linkgraph import matching_labels
+
+    src, dst = graph
+    df = matching_labels(
+        _edges_ds(src, dst), str(tmp_path / "vc"), P=4
+    ).to_pandas()
+    cover = set(df.loc[df.partner != -1, "vertex_id"].astype(int))
+    keep = src != dst
+    assert all(
+        int(a) in cover or int(b) in cover
+        for a, b in zip(src[keep], dst[keep])
+    )
+    # 2-approx bound: |cover| = 2 |matching| <= 2 |any cover|
+    assert len(cover) % 2 == 0
