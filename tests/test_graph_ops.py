@@ -650,3 +650,41 @@ def test_vertex_cover_covers_every_edge(graph, tmp_path):
     )
     # 2-approx bound: |cover| = 2 |matching| <= 2 |any cover|
     assert len(cover) % 2 == 0
+
+
+@pytest.mark.parametrize(
+    "maker",
+    ["mis", "coloring", "matching", "coreness", "betweenness"],
+)
+def test_new_programs_partition_invariance(graph, tmp_path, maker):
+    """Every round-4 program is a deterministic function of the graph:
+    P=2 and P=5 runs must be row-identical (SURVEY §5 item 3)."""
+    from graphlite_ray.pipelines import linkgraph as L
+
+    src, dst = graph
+    verts = np.unique(np.concatenate([src, dst]))
+    sources = [int(v) for v in sorted(verts)[:3]]
+
+    def run(P, sub):
+        wd = str(tmp_path / f"{maker}_{sub}")
+        if maker == "mis":
+            ds = L.mis_labels(_edges_ds(src, dst), wd, P=P)
+        elif maker == "coloring":
+            ds = L.coloring_labels(_edges_ds(src, dst), wd, P=P)
+        elif maker == "matching":
+            ds = L.matching_labels(_edges_ds(src, dst), wd, P=P)
+        elif maker == "coreness":
+            ds = L.coreness_labels(_edges_ds(src, dst), wd, P=P)
+        else:
+            ds = L.betweenness_scores(_edges_ds(src, dst), sources, wd, P=P)
+        df = ds.to_pandas().sort_values("vertex_id", ignore_index=True)
+        return df
+
+    a, b = run(2, "p2"), run(5, "p5")
+    assert a.columns.tolist() == b.columns.tolist()
+    assert a["vertex_id"].tolist() == b["vertex_id"].tolist()
+    val = [c for c in a.columns if c != "vertex_id"][0]
+    if a[val].dtype.kind == "f":
+        assert np.allclose(a[val].to_numpy(), b[val].to_numpy(), atol=1e-9)
+    else:
+        assert a[val].tolist() == b[val].tolist()
