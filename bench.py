@@ -81,6 +81,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     from graphlite_ray.pipelines.linkgraph import (
         betweenness_scores,
         coloring_labels,
+        coreness_labels,
         hits_tagged_edges,
         host_edge_counts,
         matching_labels,
@@ -103,10 +104,11 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     from graphlite_ray.stages.dedup import minhash_dedup, simhash_dedup
     from graphlite_ray.stages.multimodal import decode_images, synthetic_media_table
     from graphlite_ray.stages.similarity import knn_bruteforce, read_embeddings
-    from graphlite_ray.pipelines.graphstats import degree_assortativity
+    from graphlite_ray.pipelines.graphstats import community_modularity, degree_assortativity
     from graphlite_ray.stages.textstats import QualityScorer, inverted_index, lm_score
     from graphlite_ray.functions.sketches import (
         approx_distinct_per_group,
+        cms_token_table,
         histogram_quantiles,
     )
 
@@ -364,6 +366,34 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
                 ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
                 k=3, work_dir=f"{work}/truss", B=num_cpus,
             ).count(),
+        )
+        _timed(
+            "coreness",
+            lambda: coreness_labels(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                work, P=P,
+            ).count(),
+        )
+
+        def _modularity():
+            import pyarrow as pa
+
+            lpa = run_algorithm("label_propagation", pages, work, P=P)
+            labels = lpa.values().map_batches(
+                lambda t: pa.table(
+                    {"vertex_id": t["vertex_id"], "label": t["value"]}
+                ),
+                batch_format="pyarrow",
+            )
+            return community_modularity(
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                labels, f"{work}/mod",
+            )
+
+        _timed("modularity", _modularity)
+        _timed(
+            "cms_sketch",
+            lambda: cms_token_table(docs, width=1024, depth=4).count(),
         )
         _timed("corpus_clean", lambda: corpus_clean(docs).count())
         _timed("pricing_summary", lambda: R.q_pricing_summary(sf_dir))

@@ -579,6 +579,11 @@ def k_truss(
         shutil.rmtree(surv_dir, ignore_errors=True)
         sup.map_batches(_keep, batch_format="pyarrow").write_parquet(surv_dir)
         surv = ray.data.read_parquet(surv_dir)
+        if k == 3:
+            # one pass IS the fixpoint for k=3: the dropped edges have
+            # support 0, i.e. are in no triangle, so removing them cannot
+            # change any surviving edge's support
+            return surv
         n = surv.count()
         if n == 0:
             return surv  # empty truss, schema preserved
