@@ -399,8 +399,64 @@ def _triangles_impl(
     return with_deg.map_batches(_final, batch_format="pandas")
 
 
+def _edge_support_broadcast(simple: "ray.data.Dataset", B: int) -> "ray.data.Dataset":
+    """Broadcast-path edge support (edge set fits the object store): one
+    `ray.put` of the sorted pair array + degrees replaces the degree
+    shuffle, both degree attaches and the pair-bucket write — the same
+    small-graph shortcut the triangle counters take."""
+    e_ref, d_ref = _broadcast_refs(simple)
+    oriented = _orient_broadcast(simple, d_ref)
+    cache: dict = {}
+
+    def _close_credit(g: pd.DataFrame) -> pd.DataFrame:
+        if "e" not in cache:
+            cache["e"] = ray.get(e_ref)
+        e = cache["e"]
+        a_s, b_s, starts, ends = _wedge_spans(g)
+        los, his = [], []
+        for s, t in zip(starts, ends):
+            kk = t - s
+            if kk < 2:
+                continue
+            nbrs = b_s[s:t]
+            i, j = np.triu_indices(kk, k=1)
+            w = np.empty(len(i), PAIR_DTYPE)
+            w["lo"], w["hi"] = nbrs[i], nbrs[j]
+            pos = np.clip(np.searchsorted(e, w), 0, len(e) - 1)
+            hit = e[pos] == w
+            if hit.any():
+                a = np.full(int(hit.sum()), a_s[s])
+                wl, wh = w["lo"][hit], w["hi"][hit]
+                los.append(np.concatenate([np.minimum(a, wl), np.minimum(a, wh), wl]))
+                his.append(np.concatenate([np.maximum(a, wl), np.maximum(a, wh), wh]))
+        e0 = np.empty(0, np.int64)
+        if not los:
+            return pd.DataFrame({"lo": e0, "hi": e0.copy(), "c": e0.copy()})
+        pr = np.stack([np.concatenate(los), np.concatenate(his)], axis=1)
+        u, c = np.unique(pr, axis=0, return_counts=True)
+        return pd.DataFrame({"lo": u[:, 0], "hi": u[:, 1], "c": c.astype(np.int64)})
+
+    credits = grouped_map_bucketed(oriented, ["a"], _close_credit, B=B)
+    zeros = simple.map_batches(
+        lambda t: pa.table(
+            {"lo": t["lo"], "hi": t["hi"], "c": np.zeros(t.num_rows, np.int64)}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _sum_sup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lo", "hi"], as_index=False)["c"].sum()
+        return out.rename(columns={"c": "sup"}).astype({"sup": "int64"})
+
+    return grouped_map_bucketed(credits.union(zeros), ["lo", "hi"], _sum_sup, B)
+
+
 def edge_support(
-    simple: "ray.data.Dataset", work_dir: str, B: int = 16
+    simple: "ray.data.Dataset",
+    work_dir: str,
+    B: int = 16,
+    n_edges: int | None = None,
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Per-edge triangle support over a canonical simple edge set (lo, hi):
     -> (lo, hi, sup), sup = number of triangles containing the edge,
@@ -408,7 +464,13 @@ def edge_support(
     triangle counters; each closed wedge (a; lo, hi) credits its THREE
     edges as canonical pairs, credits pre-aggregate per closure bucket and
     sum in one bucketed shuffle on the pair key. Nothing graph-sized
-    touches the driver."""
+    touches the driver.
+
+    When the caller knows the edge count (`n_edges`, e.g. the k-truss
+    peeling loop tracks it) and it fits `broadcast_limit`, the broadcast
+    path skips the degree shuffle + attaches + pair-bucket write."""
+    if n_edges is not None and n_edges <= broadcast_limit:
+        return _edge_support_broadcast(simple, B)
     os.makedirs(work_dir, exist_ok=True)
 
     def _ends(t: pa.Table) -> pa.Table:
@@ -540,6 +602,7 @@ def k_truss(
     work_dir: str | None = None,
     B: int = 16,
     max_rounds: int = 100,
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """k-truss of the simple undirected graph: the maximal subgraph whose
     every edge closes >= k-2 triangles WITHIN the subgraph (k >= 3).
@@ -556,11 +619,14 @@ def k_truss(
     work_dir = work_dir or tempfile.mkdtemp(prefix="glr_truss_")
     os.makedirs(work_dir, exist_ok=True)
 
-    cur = _canonical_simple_edges(edges, B=B)
-    prev_n = -1
+    cur = _canonical_simple_edges(edges, B=B).materialize()
+    n_cur = cur.count()  # known per round -> edge_support can pick the
+    # broadcast path without an extra counting pass
     for r in range(max_rounds):
         rdir = os.path.join(work_dir, f"round_{r}")
-        sup = edge_support(cur, rdir, B=B)
+        sup = edge_support(
+            cur, rdir, B=B, n_edges=n_cur, broadcast_limit=broadcast_limit
+        )
 
         def _keep(t: pa.Table) -> pa.Table:
             s = t["sup"].to_numpy(zero_copy_only=False)
@@ -587,9 +653,9 @@ def k_truss(
         n = surv.count()
         if n == 0:
             return surv  # empty truss, schema preserved
-        if n == prev_n:
+        if n == n_cur:
             return surv  # fixpoint: sup column is the within-truss support
-        prev_n = n
+        n_cur = n
         cur = surv.select_columns(["lo", "hi"])
     raise RuntimeError(f"k_truss: no fixpoint within {max_rounds} rounds")
 
