@@ -602,6 +602,34 @@ def _q_reciprocity(sf_dir: str):
     return df
 
 
+def _seeded_lpa_seeds(sf_dir: str) -> dict:
+    """Deterministic class seeds for semi-supervised label spreading: the
+    vertex ids of synthetic pages 0..9, alternating classes 0/1."""
+    from graphlite_ray.functions.hashing import ids_from_urls
+    from graphlite_ray.sources.pages import url_of
+
+    n = _pages_n(sf_dir)
+    ids = ids_from_urls([url_of(i, n) for i in range(10)])
+    return {int(v): i % 2 for i, v in enumerate(ids)}
+
+
+def _q_seeded_lpa(sf_dir: str):
+    """Semi-supervised label spreading from 10 fixed class seeds
+    (programs.SeededLabelPropagation) — DuckDB oracle replays the seeded
+    mode recurrence with the seed clamp (`_seeded_lpa_oracle_sql`)."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm(
+        "seeded_lpa", pages, work, P=8, resume=True,
+        seeds=_seeded_lpa_seeds(sf_dir),
+    )
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    return df.rename(columns={"value": "label"}).sort_values(
+        "vertex_id", ignore_index=True
+    )
+
+
 def _q_vertex_cover(sf_dir: str):
     """2-approximation vertex cover = the endpoint set of the maximal
     matching (every edge has a matched endpoint, else the matching was
@@ -1750,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coreness": _q_coreness,
         "graph_vertex_cover": _q_vertex_cover,
         "graph_component_sizes": _q_component_sizes,
+        "graph_seeded_labels": _q_seeded_lpa,
         "triangle_count_approx": _q_triangles_approx,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
@@ -2085,6 +2114,41 @@ def _matching_oracle_sql(edges_glob: str) -> str:
         "WHERE m.unm > 0 AND m.unm < m.prevunm AND m.r < 200)) "
         "SELECT v AS vertex_id, partner "
         "FROM cs WHERE r = (SELECT max(r) FROM cs) ORDER BY vertex_id"
+    )
+
+
+def _seeded_lpa_oracle_sql(edges_glob: str, seeds: dict, max_rounds: int = 29) -> str:
+    """Round replay of SeededLabelPropagation: init = seed class or -1;
+    per round, NON-seed vertices adopt the most frequent class among
+    LABELED neighbors (multiplicity counts, ties -> min class — the LPA
+    mode machinery); seeds are clamped; halt on a no-change round."""
+    sv = ", ".join(f"({int(v)}, {int(c)})" for v, c in sorted(seeds.items()))
+    return (
+        f"WITH RECURSIVE {_sym_edges_cte(edges_glob)}, "
+        f"seeds(v, c) AS (VALUES {sv}), "
+        "sl(iter, v, val, changes) AS ("
+        "SELECT 0, u.v, coalesce(s.c, -1::BIGINT), 1::BIGINT "
+        "FROM (SELECT DISTINCT src AS v FROM se) u "
+        "LEFT JOIN seeds s ON s.v = u.v "
+        "UNION ALL "
+        "SELECT iter + 1, v, newval, "
+        "sum(CASE WHEN newval <> val THEN 1 ELSE 0 END) OVER () "
+        "FROM ("
+        "SELECT p.iter, p.v, p.val, "
+        "CASE WHEN sd.v IS NOT NULL THEN p.val "
+        "ELSE coalesce(w.l, p.val) END AS newval "
+        "FROM sl p "
+        "LEFT JOIN seeds sd ON sd.v = p.v "
+        "LEFT JOIN (SELECT v, l FROM ("
+        "SELECT v, l, row_number() OVER "
+        "(PARTITION BY v ORDER BY c DESC, l ASC) AS rn "
+        "FROM (SELECT e.dst AS v, p2.val AS l, count(*) AS c "
+        "FROM sl p2 JOIN se e ON e.src = p2.v "
+        "WHERE p2.val <> -1 GROUP BY e.dst, p2.val)"
+        ") WHERE rn = 1) w ON w.v = p.v "
+        f"WHERE p.changes > 0 AND p.iter < {max_rounds})) "
+        "SELECT v AS vertex_id, val AS label FROM sl "
+        "WHERE iter = (SELECT max(iter) FROM sl) ORDER BY vertex_id"
     )
 
 
@@ -2746,6 +2810,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_coreness": _coreness_oracle_sql(edges_glob),
+        "graph_seeded_labels": _seeded_lpa_oracle_sql(
+            edges_glob, _seeded_lpa_seeds(_ORACLE_SF)
+        ),
         "graph_vertex_cover": (
             "SELECT vertex_id FROM ("
             + _matching_oracle_sql(edges_glob)

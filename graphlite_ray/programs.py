@@ -1102,6 +1102,66 @@ class LabelPropagation(VertexProgram):
         return superstep + 1 >= self.max_supersteps
 
 
+class SeededLabelPropagation(LabelPropagation):
+    """Semi-supervised label SPREADING (the web-spam / topic-seed
+    propagation pattern): seed vertices carry fixed class labels (clamped
+    every round), everyone else starts UNLABELED (-1) and adopts the most
+    frequent class among LABELED neighbors (ties -> MIN class, the LPA
+    tie-break); unlabeled vertices send nothing. Non-seed vertices may
+    keep flipping with their neighborhood majority until the no-change
+    round halts the run (inherited rule). Vertices unreachable from any
+    seed stay -1.
+
+    `seeds` is a small {vertex_id: class} dict shipped inside the program
+    closure (the broadcast-small-side idiom); seed CLASSES, not vertex
+    ids, flow as messages, so the label universe stays tiny and the
+    two-level (dst, label) combine stays skew-proof."""
+
+    name = "seeded_lpa"
+
+    def __init__(self, seeds: dict[int, int], max_supersteps: int = 30):
+        super().__init__(max_supersteps=max_supersteps)
+        if not seeds:
+            raise ValueError("seeded_lpa needs >= 1 seed")
+        items = sorted((int(v), int(c)) for v, c in seeds.items())
+        self._seed_ids = np.array([v for v, _ in items], np.int64)
+        self._seed_cls = np.array([c for _, c in items], np.int64)
+
+    def _seed_rows(self, shard):
+        present = np.isin(shard.vids, self._seed_ids)
+        rows = np.flatnonzero(present)
+        cls = self._seed_cls[
+            np.searchsorted(self._seed_ids, shard.vids[rows])
+        ]
+        return rows, cls
+
+    def init_values(self, shard):
+        v = np.full(shard.n, -1, np.int64)
+        rows, cls = self._seed_rows(shard)
+        v[rows] = cls
+        return v
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut(aggr={"changes": 0.0})
+        if ctx.superstep > 0 and not inbox.empty:
+            order = np.lexsort((inbox.key, -inbox.val, inbox.idx))
+            idx_sorted = inbox.idx[order]
+            first = np.ones(len(idx_sorted), bool)
+            first[1:] = idx_sorted[1:] != idx_sorted[:-1]
+            rows = idx_sorted[first]
+            winners = inbox.key[order][first].astype(np.int64)
+            clamp = np.isin(shard.vids[rows], self._seed_ids)
+            rows, winners = rows[~clamp], winners[~clamp]
+            changed = winners != values[rows]
+            out.aggr["changes"] = float(changed.sum())
+            values[rows] = winners
+        labeled = values != -1
+        out.out_dst, out.out_key = _scatter_to_neighbors(shard, values, labeled)
+        out.out_val = np.ones(len(out.out_dst), np.int64)
+        out.sent = len(out.out_dst)
+        return out
+
+
 class KCore(VertexProgram):
     """k-core membership by synchronous peeling (our spec; oracle-tested):
     on the symmetrized graph, every vertex starts with its degree; a vertex
@@ -1799,6 +1859,7 @@ BUILTIN_PROGRAMS = {
     "hits": HITS,
     "connected_components": ConnectedComponents,
     "label_propagation": LabelPropagation,
+    "seeded_lpa": SeededLabelPropagation,
     "sssp": SSSP,
     "sssp_sym": SymSSSP,
     "mis": MaximalIndependentSet,

@@ -688,3 +688,52 @@ def test_new_programs_partition_invariance(graph, tmp_path, maker):
         assert np.allclose(a[val].to_numpy(), b[val].to_numpy(), atol=1e-9)
     else:
         assert a[val].tolist() == b[val].tolist()
+
+
+def test_seeded_lpa_matches_round_replay(graph, tmp_path):
+    """Seeded spreading == sequential replay of the documented rounds;
+    seeds stay clamped, unreachable vertices stay -1."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+    from graphlite_ray.programs import SeededLabelPropagation
+
+    src, dst = graph
+    verts = np.unique(np.concatenate([src, dst]))
+    seeds = {int(v): i % 2 for i, v in enumerate(sorted(verts)[:6])}
+
+    res = run_on_edge_dataset(
+        SeededLabelPropagation(seeds), _edges_ds(src, dst),
+        str(tmp_path / "slpa"), P=4,
+    )
+    got = {
+        r["vertex_id"]: int(r["value"])
+        for r in res.values().take_all()
+    }
+
+    # sequential replay over the symmetrized MULTIGRAPH (multiplicity
+    # counts, matching the engine's message sums)
+    nbrs = {}
+    for a, b in zip(src, dst):
+        nbrs.setdefault(int(a), []).append(int(b))
+        nbrs.setdefault(int(b), []).append(int(a))
+    lab = {int(v): seeds.get(int(v), -1) for v in verts}
+    for _ in range(29):
+        new = dict(lab)
+        changed = 0
+        for v in verts:
+            v = int(v)
+            if v in seeds:
+                continue
+            cnt = {}
+            for w in nbrs.get(v, []):
+                if lab[w] != -1:
+                    cnt[lab[w]] = cnt.get(lab[w], 0) + 1
+            if cnt:
+                best = min(cnt, key=lambda c: (-cnt[c], c))
+                if best != lab[v]:
+                    changed += 1
+                new[v] = best
+        lab = new
+        if changed == 0:
+            break
+    assert got == lab
+    assert all(got[v] == c for v, c in seeds.items())
