@@ -613,6 +613,27 @@ def _seeded_lpa_seeds(sf_dir: str) -> dict:
     return {int(v): i % 2 for i, v in enumerate(ids)}
 
 
+def _q_bipartite(sf_dir: str):
+    """Per-component bipartiteness (composed CC -> parity BFS over one
+    shared graph layout) — DuckDB oracle 2-colors independently: BFS
+    distances from the CC roots, parity = dist % 2, component flagged by
+    any monochromatic edge (the BFS-layer odd-cycle criterion)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import bipartite_components, prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return (
+        bipartite_components(
+            ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+            work, P=8, resume=True,
+        )
+        .to_pandas()
+        .sort_values("component", ignore_index=True)
+    )
+
+
 def _q_seeded_lpa(sf_dir: str):
     """Semi-supervised label spreading from 10 fixed class seeds
     (programs.SeededLabelPropagation) — DuckDB oracle replays the seeded
@@ -1779,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_vertex_cover": _q_vertex_cover,
         "graph_component_sizes": _q_component_sizes,
         "graph_seeded_labels": _q_seeded_lpa,
+        "graph_bipartite": _q_bipartite,
         "triangle_count_approx": _q_triangles_approx,
         "graph_diameter": _q_diameter,
         "graph_mis": _q_mis,
@@ -2114,6 +2136,37 @@ def _matching_oracle_sql(edges_glob: str) -> str:
         "WHERE m.unm > 0 AND m.unm < m.prevunm AND m.r < 200)) "
         "SELECT v AS vertex_id, partner "
         "FROM cs WHERE r = (SELECT max(r) FROM cs) ORDER BY vertex_id"
+    )
+
+
+def _bipartite_oracle_sql(edges_glob: str) -> str:
+    """Independent 2-colorability check per weakly-connected component:
+    CC labels via the min-label CTE (MATERIALIZED — referenced four
+    times), BFS distances from each component's root via the
+    recursive-walk pattern (UNION dedup), parity = dist % 2, and a
+    component is bipartite iff no symmetrized edge (self-loops included —
+    an odd 1-cycle) joins equal parities."""
+    return (
+        "SELECT component, n_vertices, is_bipartite FROM ("
+        "WITH RECURSIVE lab AS MATERIALIZED ("
+        + _cc_oracle_sql(edges_glob)
+        + "), "
+        f"se2 AS (SELECT src, dst FROM read_parquet('{edges_glob}') "
+        f"UNION SELECT dst, src FROM read_parquet('{edges_glob}')), "
+        "roots AS (SELECT DISTINCT value AS v FROM lab), "
+        "w(v, d) AS (SELECT v, 0 FROM roots UNION "
+        "SELECT se2.dst, w.d + 1 FROM w JOIN se2 ON se2.src = w.v "
+        "WHERE w.d < 80), "  # page-graph eccentricity bound; matches the
+        # engine cap family (diameter oracle: 150)
+        "par AS (SELECT v, min(d) % 2 AS p FROM w GROUP BY v), "
+        "bad AS (SELECT DISTINCT l.value AS comp FROM se2 e "
+        "JOIN par a ON a.v = e.src JOIN par b ON b.v = e.dst "
+        "JOIN lab l ON l.vertex_id = e.src WHERE a.p = b.p) "
+        "SELECT l.value AS component, CAST(count(*) AS BIGINT) AS n_vertices, "
+        "CAST(CASE WHEN max(CASE WHEN bad.comp IS NULL THEN 0 ELSE 1 END) = 1 "
+        "THEN 0 ELSE 1 END AS BIGINT) AS is_bipartite "
+        "FROM lab l LEFT JOIN bad ON bad.comp = l.value "
+        "GROUP BY l.value) ORDER BY component"
     )
 
 
@@ -2810,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_coreness": _coreness_oracle_sql(edges_glob),
+        "graph_bipartite": _bipartite_oracle_sql(edges_glob),
         "graph_seeded_labels": _seeded_lpa_oracle_sql(
             edges_glob, _seeded_lpa_seeds(_ORACLE_SF)
         ),

@@ -376,6 +376,67 @@ def coloring_labels(
     return res.values().map_batches(_out, batch_format="pyarrow")
 
 
+def bipartite_components(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    P: int = 8,
+    resume: bool = False,
+) -> "ray.data.Dataset":
+    """edges -> Dataset (component, n_vertices, is_bipartite): per
+    weakly-connected component, whether it is 2-colorable. TWO composed
+    BSP runs over ONE shared graph layout: ConnectedComponents produces
+    the roots (min-id labels), then `programs.BipartiteCheck` reads the
+    CC checkpoint's per-partition value shards directly at init (same
+    partition function — no shuffle) and runs the parity BFS. The final
+    rollup joins parity/conflict back to the labels with one bucketed
+    attach and aggregates per component."""
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.pipelines.joins import attach_from_bucketed, write_bucketed
+    from graphlite_ray.programs import BipartiteCheck
+
+    cc = run_on_edge_dataset(
+        "connected_components", edges, work_dir, P=P, resume=resume
+    )
+    labels_dir = storage.join(cc.ckpt_dir, f"ss_{cc.final_superstep}")
+    bp = run_on_edge_dataset(
+        BipartiteCheck(labels_dir), edges, work_dir, P=P, resume=resume
+    )
+
+    B = 16
+    lab_dir = write_bucketed(
+        cc.values().map_batches(
+            lambda t: pa.table({"vertex_id": t["vertex_id"], "comp": t["value"]}),
+            batch_format="pyarrow",
+        ),
+        "vertex_id", B, storage.join(work_dir, "bip_labels"),
+    )
+    joined = attach_from_bucketed(
+        bp.values().map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex_id": t["vertex_id"],
+                    "pv": t["value"].to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "vertex_id", lab_dir, B, "vertex_id",
+    )
+
+    def _roll(g):
+        agg = g.groupby("comp").agg(
+            n_vertices=("vertex_id", "size"),
+            worst=("pv", "max"),
+        )
+        agg = agg.reset_index()
+        agg["is_bipartite"] = (agg["worst"] < 2).astype(np.int64)
+        return agg.drop(columns=["worst"]).rename(columns={"comp": "component"}).astype(
+            {"n_vertices": "int64"}
+        )
+
+    return grouped_map_bucketed(joined, ["comp"], _roll, B=B)
+
+
 def coreness_labels(
     edges: "ray.data.Dataset",
     work_dir: str,

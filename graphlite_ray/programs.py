@@ -776,6 +776,118 @@ class MaximalMatching(VertexProgram):
         return superstep + 1 >= self.max_supersteps
 
 
+class BipartiteCheck(VertexProgram):
+    """Per-component bipartiteness by parity BFS, COMPOSED on the
+    ConnectedComponents program's checkpointed output — the multi-program
+    composition pattern: `labels_dir` points at the CC run's final
+    `values_p{part}.parquet` shards; both programs share one graph
+    partitioning, so each partition reads exactly its own label file at
+    init (no shuffle, no broadcast).
+
+    Roots = each component's min-id vertex (its CC label). Parity BFS:
+    a newly visited vertex adopts 1 - min(sender parity) and broadcasts
+    its parity once (raw messages — the receiver needs the actual parity
+    multiset); since all first-arrival senders sit at BFS depth t-1, the
+    adopted parity IS dist % 2, so a same-parity edge exists iff the
+    component has an odd cycle (the classic BFS-layer argument — what the
+    SQL oracle checks independently). Every same-parity edge is caught:
+    its later-visited endpoint always fires a message into the other
+    (self-loops conflict with themselves one superstep after the visit).
+
+    value = parity + 2*conflict (0..3); the pipeline wrapper aggregates
+    conflict per component. Halt: `newly` hits 0 (no messages in flight —
+    only newly visited vertices send)."""
+
+    name = "bipartite"
+    value_dtype = np.dtype(np.int64)
+    combiner = "none"
+    symmetrize = True
+
+    def __init__(self, labels_dir: str, max_levels: int = 300):
+        self.labels_dir = labels_dir
+        self.max_supersteps = int(max_levels) + 2
+        self._comp: Optional[np.ndarray] = None
+        self._parity: Optional[np.ndarray] = None
+        self._conflict: Optional[np.ndarray] = None
+
+    def aggregators(self):
+        return {"newly": AggregatorSpec(init=0.0, op="sum")}
+
+    def init_values(self, shard):
+        return np.full(shard.n, -1, np.int64)
+
+    def extra_state(self):
+        if self._comp is None:
+            return None
+        return {
+            "c": self._comp,
+            "p": self._parity,
+            "x": self._conflict.astype(np.int64),
+        }
+
+    def load_extra(self, state):
+        self._comp = state["c"].astype(np.int64)
+        self._parity = state["p"].astype(np.int64)
+        self._conflict = state["x"].astype(bool)
+
+    def _load_labels(self, shard):
+        from graphlite_ray.state import storage
+
+        t = storage.read_table(
+            storage.join(self.labels_dir, f"values_p{shard.part_id}.parquet")
+        )
+        ids = t["vertex_id"].to_numpy()
+        vals = t["value"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ids, shard.vids)
+        if len(ids) != shard.n or not np.array_equal(ids[pos], shard.vids):
+            raise ValueError(
+                "bipartite: labels shard does not cover this partition "
+                "(CC must run on the SAME graph layout)"
+            )
+        return vals[pos]
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        if self._comp is None:
+            self._comp = self._load_labels(shard)
+            self._parity = np.full(shard.n, -1, np.int64)
+            self._conflict = np.zeros(shard.n, bool)
+            self._parity[shard.vids == self._comp] = 0
+        newly_rows = np.empty(0, np.int64)
+        if ctx.superstep == 0:
+            newly_rows = np.flatnonzero(self._parity == 0)
+        elif not inbox.empty:
+            i = inbox.idx
+            v = inbox.val.astype(np.int64)
+            unv = self._parity[i] == -1
+            if unv.any():
+                iu, vu = i[unv], v[unv]
+                order = np.lexsort((vu, iu))
+                iu_o, vu_o = iu[order], vu[order]
+                first = np.ones(len(iu_o), bool)
+                first[1:] = iu_o[1:] != iu_o[:-1]
+                newly_rows = iu_o[first]
+                self._parity[newly_rows] = 1 - vu_o[first]
+            # post-adoption: any sender parity equal to the receiver's
+            # marks the monochromatic edge
+            self._conflict[i[v == self._parity[i]]] = True
+        if len(newly_rows):
+            mask = np.zeros(shard.n, bool)
+            mask[newly_rows] = True
+            out.out_dst, out.out_src, out.out_val = scatter_to_neighbors_with_src(
+                shard, self._parity.astype(np.int64), mask
+            )
+            out.sent = len(out.out_dst)
+        values[:] = self._parity + 2 * self._conflict.astype(np.int64)
+        out.aggr = {"newly": float(len(newly_rows))}
+        return out
+
+    def master_halt(self, superstep, aggr_global, totals):
+        if superstep >= 1 and aggr_global.get("newly", 1.0) == 0.0:
+            return True
+        return superstep + 1 >= self.max_supersteps
+
+
 class Coreness(VertexProgram):
     """Full k-core decomposition (coreness number per vertex) by H-index
     iteration (Montresor, De Pellegrini & Miorandi 2013): start at
@@ -1867,6 +1979,7 @@ BUILTIN_PROGRAMS = {
     "matching": MaximalMatching,
     "betweenness": Betweenness,
     "coreness": Coreness,
+    "bipartite": BipartiteCheck,
     "kcore": KCore,
     "neighborhood_exact": NeighborhoodExact,
     "harmonic_centrality": HarmonicCentrality,

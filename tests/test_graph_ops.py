@@ -737,3 +737,67 @@ def test_seeded_lpa_matches_round_replay(graph, tmp_path):
             break
     assert got == lab
     assert all(got[v] == c for v, c in seeds.items())
+
+
+def test_bipartite_components(graph, tmp_path):
+    """Composed CC -> parity-BFS pipeline: per-component bipartiteness vs
+    a brute-force 2-coloring, with planted bipartite (star, even cycle),
+    non-bipartite (triangle, self-loop) components beside the random
+    graph."""
+    from graphlite_ray.pipelines.linkgraph import bipartite_components
+
+    src, dst = graph
+    extra_src = np.array(
+        # star 1000-(1001..1004)          even 6-cycle 2000..2005
+        [1000, 1000, 1000, 1000, 2000, 2001, 2002, 2003, 2004, 2005,
+         # triangle 3000..3002            self-loop 4000
+         3000, 3001, 3002, 4000],
+        np.int64,
+    )
+    extra_dst = np.array(
+        [1001, 1002, 1003, 1004, 2001, 2002, 2003, 2004, 2005, 2000,
+         3001, 3002, 3000, 4000],
+        np.int64,
+    )
+    s = np.concatenate([src, extra_src])
+    d = np.concatenate([dst, extra_dst])
+
+    got = (
+        bipartite_components(_edges_ds(s, d), str(tmp_path / "bip"), P=4)
+        .to_pandas()
+        .sort_values("component", ignore_index=True)
+    )
+
+    # brute force: 2-color every component over the symmetrized simple view
+    adj = {}
+    for a, b in zip(s, d):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    seen, want = set(), {}
+    for v0 in sorted(adj):
+        if v0 in seen:
+            continue
+        col, comp, ok = {v0: 0}, [v0], True
+        queue = [v0]
+        while queue:
+            u = queue.pop()
+            for w in adj[u]:
+                if w == u:
+                    ok = False
+                    continue
+                if w not in col:
+                    col[w] = 1 - col[u]
+                    comp.append(w)
+                    queue.append(w)
+                elif col[w] == col[u]:
+                    ok = False
+        seen.update(comp)
+        want[min(comp)] = (len(comp), int(ok))
+
+    gd = {
+        int(c): (int(n), int(b))
+        for c, n, b in zip(got["component"], got["n_vertices"], got["is_bipartite"])
+    }
+    assert gd == want
+    assert want[1000][1] == 1 and want[2000][1] == 1     # planted bipartite
+    assert want[3000][1] == 0 and want[4000][1] == 0     # planted odd
