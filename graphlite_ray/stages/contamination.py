@@ -89,20 +89,49 @@ def decontaminate(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_drop_max: int = 1_000_000,
+    work_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Drop training docs whose benchmark-shingle overlap >= threshold
-    (streaming filter; the kept corpus is the output)."""
+    (streaming filter; the kept corpus is the output).
+
+    Scale shape (r5 — replaces the per-row `filter(lambda)` + unguarded
+    `take_all` of the drop set): the threshold filter is a vectorized
+    `map_batches` over the score stream; the drop-id set is size-gated
+    like `q_customers_without_orders` — a `limit(max+1)` probe decides
+    between broadcasting the ids (`ray.put`, one corpus pass, no shuffle)
+    and the bucketed streaming anti-join (`anti_join_bucketed`: one
+    shuffle each side, no driver-side id set) when a dirty corpus drops
+    more than `broadcast_drop_max` documents."""
+    import pyarrow as pa
+
     bench = benchmark_shingle_hashes(bench_docs, k=k, text_col=text_col)
     scored = contamination_scores(docs, bench, k=k, id_col=id_col, text_col=text_col)
-    drop_ds = scored.filter(lambda r: r["contaminated_frac"] >= threshold)
-    drop = {r[id_col] for r in drop_ds.take_all()}
-    ref = ray.put(drop)
 
-    class _Keep:
-        def __init__(self):
-            self.drop = ray.get(ref)
+    def _over(t: "pa.Table") -> "pa.Table":
+        keep = np.asarray(t["contaminated_frac"].to_numpy()) >= threshold
+        return pa.table({id_col: t[id_col].to_numpy(zero_copy_only=False)[keep]})
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[~batch[id_col].isin(self.drop)]
+    drop_ds = scored.map_batches(_over, batch_format="pyarrow")
+    # fused guard probe: one limited take both collects the broadcast set
+    # and proves it fits (a max+1-th row switches strategies)
+    head = drop_ds.limit(broadcast_drop_max + 1).take_all()
+    if len(head) <= broadcast_drop_max:
+        drop = {r[id_col] for r in head}
+        ref = ray.put(drop)
 
-    return docs.map_batches(_Keep, batch_format="pandas", concurrency=(1, 8))
+        class _Keep:
+            def __init__(self):
+                self.drop = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return batch[~batch[id_col].isin(self.drop)]
+
+        return docs.map_batches(_Keep, batch_format="pandas", concurrency=(1, 8))
+
+    import tempfile
+
+    from graphlite_ray.pipelines.joins import anti_join_bucketed
+
+    work = work_dir or tempfile.mkdtemp(prefix="glr_decontam_", dir="/tmp")
+    return anti_join_bucketed(docs, id_col, drop_ds, id_col, work)
