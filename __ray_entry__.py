@@ -1100,6 +1100,84 @@ def _q_doc_tokens(sf_dir: str):
     return docs.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4))
 
 
+def _q_doc_bpe_tokens(sf_dir: str):
+    """Subword token budget per document: vocab-driven BPE merges applied
+    rank-ordered per word (stages/bpe.py — merge table loaded once per
+    actor, word counts memoized). The oracle replays the merge loop as
+    nested replace() calls from the SAME merge list (bpe_doc_counts_sql),
+    bit-exact integer counts."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.bpe import bpe_token_counts
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_token_counts(docs, concurrency=(1, 4))
+
+
+_EMBED_DIM, _EMBED_BUCKETS = 32, 4096
+
+
+def _embed_weights_path() -> str:
+    """Stage the deterministic 'model checkpoint' once (idempotent); both
+    the TextEmbedder actors and the DuckDB oracle read this SAME file."""
+    from graphlite_ray.stages.inference import stage_weights
+
+    os.makedirs("/tmp/glr_cache", exist_ok=True)
+    return stage_weights(
+        f"/tmp/glr_cache/embed_w_d{_EMBED_DIM}_b{_EMBED_BUCKETS}_s7.parquet",
+        dim=_EMBED_DIM,
+        n_buckets=_EMBED_BUCKETS,
+        seed=7,
+    )
+
+
+def _q_doc_embed_text(sf_dir: str):
+    """Model-inference exemplar: hashing-trick linear embedder with weights
+    loaded once per actor (stages/inference.py TextEmbedder). Output long
+    format (doc_id, dim, value) with the shared 6-digit rounding; the
+    oracle joins the staged weights parquet against the FNV hash replay."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.inference import embed_corpus
+
+    wpath = _embed_weights_path()
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = embed_corpus(docs, wpath, concurrency=(1, 4))
+
+    def _long(t: pa.Table) -> pa.Table:
+        from graphlite_ray.functions.rounding import round_half_away
+        from graphlite_ray.stages.similarity import list_col_to_matrix
+
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        E = list_col_to_matrix(t["embedding"]).astype(np.float64)
+        n, d = E.shape
+        return pa.table(
+            {
+                "doc_id": np.repeat(ids, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), n),
+                "value": round_half_away(E.reshape(-1), 6),
+            }
+        )
+
+    return emb.map_batches(_long, batch_format="pyarrow")
+
+
+def _q_emb_text_near_dup(sf_dir: str):
+    """The emb_* suite fed end-to-end from TEXT via the inference stage
+    (r4 verdict item 5): embed the corpus, then the broadcast-exact cosine
+    near-dup over the pipeline-produced embeddings."""
+    from graphlite_ray.functions.rounding import round_half_away
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.dedup import embedding_near_dup_exact
+    from graphlite_ray.stages.inference import embed_corpus
+
+    wpath = _embed_weights_path()
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = embed_corpus(docs, wpath, concurrency=(1, 4))
+    res = embedding_near_dup_exact(emb, tau=0.9)
+    out = res.pairs.copy()
+    out["score"] = round_half_away(out["score"], 6)
+    return out.astype({"a": "int64", "b": "int64"})
+
+
 def _q_doc_quality_sqlable(sf_dir: str):
     import ray.data
 
@@ -1870,6 +1948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": _q_doc_split,
         "props_rollup": _q_props_rollup,
         "doc_token_count": _q_doc_tokens,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_embed_text": _q_doc_embed_text,
+        "emb_text_near_dup": _q_emb_text_near_dup,
         "doc_quality": _q_doc_quality_sqlable,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2562,6 +2643,30 @@ def _fnv_tok_sql(prefix_byte: int) -> str:
     )
 
 
+def _embed_sql_cte() -> str:
+    """Shared CTE chain: documents -> (doc_id, dim, v) hashing-trick
+    embedding, the EXACT replay of `stages/inference.TextEmbedder`
+    (same FNV hash, same staged weights parquet, float64 sums).
+    `e` is MATERIALIZED — three downstream references must not re-run
+    the FNV fold per reference."""
+    wpath = _embed_weights_path()
+    fnv = _fnv_tok_sql(42)
+    return (
+        "toks AS (SELECT doc_id, unnest(list_filter("
+        f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '')) AS tok "
+        "FROM documents), "
+        f"hb AS (SELECT doc_id, CAST({fnv} % {_EMBED_BUCKETS} AS BIGINT) "
+        "AS bucket FROM toks), "
+        f"wts AS (SELECT bucket, dim, w FROM '{wpath}'), "
+        "esum AS (SELECT hb.doc_id, wts.dim, SUM(wts.w) AS v "
+        "FROM hb JOIN wts ON wts.bucket = hb.bucket GROUP BY hb.doc_id, wts.dim), "
+        f"dims AS (SELECT unnest(generate_series(0, {_EMBED_DIM - 1})) AS dim), "
+        "e AS MATERIALIZED (SELECT d.doc_id, dims.dim, COALESCE(esum.v, 0.0) AS v "
+        "FROM documents d CROSS JOIN dims "
+        "LEFT JOIN esum ON esum.doc_id = d.doc_id AND esum.dim = dims.dim)"
+    )
+
+
 def _cms_oracle_sql(width: int, depth: int) -> str:
     """Exact replay of the CMS estimates (functions/sketches.py::
     cms_token_table + cms_estimates over the full vocabulary): per salt r,
@@ -2695,6 +2800,8 @@ SELECT doc_id, raw & 9223372036854775807 AS fp FROM folded ORDER BY doc_id
 
 
 def oracle_sql() -> dict[str, str]:
+    from graphlite_ray.stages.bpe import bpe_doc_counts_sql
+
     edges_glob = _staged_edges_glob()
     host_glob = os.path.join(_host_edges_dir(_ORACLE_SF), "*.parquet")
     sssp_src = _sssp_source(_ORACLE_SF)
@@ -3367,6 +3474,28 @@ def oracle_sql() -> dict[str, str]:
             f"'{_WS}'), x -> x <> '')) AS n_tokens FROM ded ORDER BY doc_id"
         ),
         "doc_langid": _langid_oracle_sql(),
+        # BPE: oracle generated from the SAME merge table as the stage
+        # (stages/bpe.py bpe_doc_counts_sql) — one constant, two replays
+        "doc_bpe_tokens": bpe_doc_counts_sql("documents"),
+        # inference exemplar: embedding = staged-weights join over the FNV
+        # token-hash replay; scores rounded by the shared convention
+        "doc_embed_text": (
+            f"WITH {_embed_sql_cte()} "
+            "SELECT doc_id, dim, ROUND(v, 6) AS value FROM e "
+            "ORDER BY doc_id, dim"
+        ),
+        "emb_text_near_dup": (
+            f"WITH {_embed_sql_cte()}, "
+            "norms AS (SELECT doc_id, GREATEST(sqrt(SUM(v * v)), 1e-12) AS nrm "
+            "FROM e GROUP BY doc_id), "
+            "dots AS (SELECT e1.doc_id AS a, e2.doc_id AS b, "
+            "SUM(e1.v * e2.v) AS dot FROM e e1 JOIN e e2 "
+            "ON e1.dim = e2.dim AND e1.doc_id < e2.doc_id GROUP BY 1, 2), "
+            "sc AS (SELECT a, b, dot / (na.nrm * nb.nrm) AS s FROM dots "
+            "JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b) "
+            "SELECT a, b, ROUND(s, 6) AS score FROM sc WHERE s >= 0.9 "
+            "ORDER BY a, b"
+        ),
         "doc_tfidf": (
             # tf per (doc, token); df = docs per token; score = tf*ln(N/df)
             # half-away-rounded to 6; rank on the ROUNDED score, token asc

@@ -408,6 +408,13 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         )
         _timed("lm_score", lambda: lm_score(docs).count())
         _timed("inverted_index", lambda: inverted_index(docs).count())
+
+        from graphlite_ray.stages.bpe import bpe_token_counts
+        from graphlite_ray.stages.inference import embed_corpus, stage_weights
+
+        _timed("bpe_tokens", lambda: bpe_token_counts(docs).count())
+        wpath = stage_weights("/tmp/glr_bench/embed_w.parquet")
+        _timed("embed_text", lambda: embed_corpus(docs, wpath).count())
         _timed(
             "assortativity",
             lambda: degree_assortativity(
@@ -417,6 +424,24 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         )
         _timed("minhash_dedup", lambda: minhash_dedup(docs, threshold=0.8))
         _timed("simhash_dedup", lambda: simhash_dedup(docs, max_hamming=3))
+
+        def _cluster_distributed():
+            # the BSP clustering tail at >guard scale: 150k docs in 100k
+            # verified pairs (star components), driver path disabled
+            import pandas as pd
+
+            from graphlite_ray.stages.dedup import cluster_pairs
+
+            hub = np.arange(50_000, dtype=np.int64) * 3
+            cp = pd.DataFrame(
+                {
+                    "a": np.concatenate([hub, hub]),
+                    "b": np.concatenate([hub + 1, hub + 2]),
+                }
+            )
+            return len(cluster_pairs(cp, driver_max=0, work_dir=f"{work}/clus"))
+
+        _timed("cluster_distributed", _cluster_distributed)
         _timed("join_revenue", lambda: R.q_native_join_revenue(sf_dir))
         join_strategy = dict(R.LAST_JOIN_STRATEGY)
         _timed("media_decode", lambda: decode_images(media_imgs).count())

@@ -107,3 +107,112 @@ def test_decontaminate_bucketed_path_matches_broadcast(ray_session, work_dir):
     )
     assert len(kept_b) < len(docs_rows)  # something was dropped
     pd.testing.assert_frame_equal(kept_b, kept_s)
+
+
+# --------------------------------------------------- BPE tokenizer stage
+
+
+def test_bpe_count_matches_duckdb_replay():
+    import duckdb
+
+    from graphlite_ray.stages.bpe import BPETokenizer, bpe_count_sql_expr
+
+    words = [
+        "the", "their", "thethe", "and", "understanding", "a", "xyz",
+        "hello", "world", "information", "88mph", "anan", "ananan",
+        "toto", "thth", "ererer", "madder", "of", "often",
+    ]
+    tok = BPETokenizer()
+    con = duckdb.connect()
+    expr = bpe_count_sql_expr("w")
+    for w in words:
+        sql = con.execute(f"SELECT {expr} FROM (SELECT ? AS w)", [w]).fetchone()[0]
+        assert tok._count(w) == sql, w
+
+
+def test_bpe_vocab_file_roundtrip(tmp_path):
+    from graphlite_ray.stages.bpe import (
+        BPETokenizer,
+        DEFAULT_MERGES,
+        read_merges_file,
+        write_merges_file,
+    )
+
+    p = write_merges_file(str(tmp_path / "merges.txt"))
+    assert read_merges_file(p) == DEFAULT_MERGES
+    a = BPETokenizer()
+    b = BPETokenizer(merges_path=p)
+    for w in ("understanding", "tokenization", "graphs"):
+        assert a._count(w) == b._count(w)
+
+
+def test_bpe_token_counts_pipeline(ray_session):
+    from graphlite_ray.stages.bpe import bpe_token_counts, BPETokenizer
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "The quick brown fox"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "understanding understanding"},
+        ]
+    )
+    out = bpe_token_counts(docs).to_pandas().set_index("doc_id").sort_index()
+    tok = BPETokenizer()
+    assert out.loc[1, "words"] == 4
+    assert out.loc[1, "bpe_tokens"] == sum(
+        tok._count(w) for w in ("the", "quick", "brown", "fox")
+    )
+    assert out.loc[2, "words"] == 0 and out.loc[2, "bpe_tokens"] == 0
+    assert out.loc[3, "bpe_tokens"] == 2 * tok._count("understanding")
+
+
+# ------------------------------------------- model-inference exemplar
+
+
+def test_text_embedder_deterministic_and_cached_weights(ray_session, tmp_path):
+    from graphlite_ray.stages.inference import (
+        TextEmbedder,
+        embed_corpus,
+        load_weights,
+        make_weights,
+        stage_weights,
+    )
+
+    p = stage_weights(str(tmp_path / "w.parquet"), dim=8, n_buckets=64, seed=7)
+    W = load_weights(p)
+    np.testing.assert_array_equal(W, make_weights(8, 64, 7))
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "hello world hello"},
+            {"doc_id": 2, "text": ""},
+        ]
+    )
+    out = embed_corpus(docs, p).to_pandas().set_index("vec_id").sort_index()
+    # manual forward: sum of hashed-bucket weight rows
+    from graphlite_ray.functions.hashing import hash_strings
+
+    b = (hash_strings(["hello", "world", "hello"]) % np.uint64(64)).astype(int)
+    expect = W[b].sum(axis=0)
+    np.testing.assert_allclose(np.array(out.loc[1, "embedding"]), expect, rtol=0, atol=0)
+    np.testing.assert_array_equal(np.array(out.loc[2, "embedding"]), np.zeros(8))
+
+
+def test_embedded_corpus_feeds_emb_suite(ray_session, tmp_path):
+    """Pipeline-produced embeddings run through the existing emb_* ops."""
+    from graphlite_ray.stages.dedup import embedding_near_dup_exact
+    from graphlite_ray.stages.inference import embed_corpus, stage_weights
+    from graphlite_ray.stages.similarity import knn_bruteforce
+
+    p = stage_weights(str(tmp_path / "w.parquet"), dim=16, n_buckets=256, seed=7)
+    rows = [{"doc_id": i, "text": f"common words everywhere plus topic {i % 3}"} for i in range(30)]
+    emb = embed_corpus(ray.data.from_items(rows), p)
+    first = emb.take(2)
+    Q = np.stack([np.array(r["embedding"]) for r in first])
+    knn = knn_bruteforce(emb, Q, k=5)
+    assert set(knn["query_id"]) == {0, 1} and len(knn) == 10
+    # identical texts (same i%3 topic) must be exact near-dups at tau~1
+    res = embedding_near_dup_exact(emb, tau=0.999999)
+    same_topic = {(a, b) for a in range(30) for b in range(a + 1, 30) if a % 3 == b % 3}
+    got = set(map(tuple, res.pairs[["a", "b"]].to_numpy()))
+    assert same_topic <= got
