@@ -624,7 +624,7 @@ def _q_bipartite(sf_dir: str):
 
     pages, work = _graph_work(sf_dir)
     edges_dir = prepare_edges(pages, work, P=8)
-    return (
+    out = (
         bipartite_components(
             ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
             work, P=8, resume=True,
@@ -632,6 +632,12 @@ def _q_bipartite(sf_dir: str):
         .to_pandas()
         .sort_values("component", ignore_index=True)
     )
+    # the oracle's parity BFS carries a depth cap (80): only comparable when
+    # the engine run converged by fixpoint, not its own superstep cap
+    from graphlite_ray.pipelines.linkgraph import assert_halted_by_fixpoint
+
+    assert_halted_by_fixpoint("bipartite")
+    return out
 
 
 def _q_seeded_lpa(sf_dir: str):
@@ -795,6 +801,11 @@ def _q_betweenness(sf_dir: str):
         P=8,
         resume=True,
     ).to_pandas()
+    # the oracle's forward BFS caps at 80 levels: only comparable when the
+    # engine run converged by fixpoint (r4 ADVICE cap-divergence guard)
+    from graphlite_ray.pipelines.linkgraph import assert_halted_by_fixpoint
+
+    assert_halted_by_fixpoint("betweenness")
     df["betweenness"] = _round_half_away(df["betweenness"], 6)
     return df.sort_values("vertex_id", ignore_index=True)
 
@@ -971,10 +982,16 @@ def _q_mis(sf_dir: str):
 
     pages, work = _graph_work(sf_dir)
     edges_dir = prepare_edges(pages, work, P=8)
-    return mis_labels(
+    out = mis_labels(
         ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
         work, P=8, resume=True,
     )
+    # the oracle's round replay caps at 80 rounds: only comparable when the
+    # engine run converged by fixpoint (r4 ADVICE cap-divergence guard)
+    from graphlite_ray.pipelines.linkgraph import assert_halted_by_fixpoint
+
+    assert_halted_by_fixpoint("mis")
+    return out
 
 
 def _q_coloring(sf_dir: str):

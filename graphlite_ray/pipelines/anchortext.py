@@ -46,6 +46,18 @@ def anchor_rows(pages: "ray.data.Dataset") -> "ray.data.Dataset":
                 srcs.append(u)
                 dsts.append(d)
                 texts.append(a)
+        if not srcs:
+            # explicitly typed empty table: object-dtype pandas would type
+            # these as null columns and break schema unification on
+            # anchor-sparse corpora (r4 ADVICE)
+            return pa.table(
+                {
+                    "dst_url": pa.array([], pa.string()),
+                    "anchor_text": pa.array([], pa.string()),
+                    "src_url": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         df = pd.DataFrame(
             {"src_url": srcs, "dst_url": dsts, "anchor_text": texts}
         )

@@ -80,7 +80,9 @@ def prepare_urlmap(work_dir: str, P: int) -> None:
     marker = storage.join(work_dir, f"_URLMAP_P{P}_SUCCESS")
     if storage.exists(marker):
         return
-    staged = ray.data.read_parquet(storage.join(work_dir, "edges"))
+    staged = ray.data.read_parquet(
+        storage.join(work_dir, "edges"), columns=["src_url", "dst_url"]
+    )
 
     def _pairs(batch: pa.Table) -> pa.Table:
         from graphlite_ray.functions.hashing import ids_from_urls
@@ -141,6 +143,37 @@ def prepare_graph(pages_dir: str, work_dir: str, P: int, symmetrize: bool = Fals
     return graph_dir
 
 
+# Outcome of the most recent BSP run per program name (halted flag +
+# superstep count): queries whose DuckDB oracles carry a recursion cap
+# assert against this that the engine run reached FIXPOINT rather than its
+# own superstep cap — the guard the r4 ADVICE asked for (diverging caps on
+# the two sides would otherwise fail silently on deeper graphs). Same
+# registry pattern as relational.LAST_JOIN_STRATEGY.
+LAST_BSP_OUTCOME: dict[str, dict] = {}
+
+
+def _record_outcome(program: VertexProgram, result: BSPResult) -> BSPResult:
+    LAST_BSP_OUTCOME[program.name] = {
+        "halted": result.halted,
+        "supersteps_run": result.supersteps_run,
+        "final_superstep": result.final_superstep,
+    }
+    return result
+
+
+def assert_halted_by_fixpoint(program_name: str) -> None:
+    """Raise unless the last BSP run of `program_name` terminated by its
+    own fixpoint rule (engine rule C4), not by hitting max_supersteps —
+    the precondition for a capped recursive SQL oracle to be comparable."""
+    out = LAST_BSP_OUTCOME.get(program_name)
+    if out is None or not out["halted"]:
+        raise AssertionError(
+            f"BSP run for '{program_name}' was stopped by its superstep cap "
+            f"(outcome: {out}); the capped SQL oracle is not comparable — "
+            "raise the program bound"
+        )
+
+
 def run_algorithm(
     algo: str | VertexProgram,
     pages_dir: str,
@@ -158,7 +191,7 @@ def run_algorithm(
     )
     graph_dir = prepare_graph(pages_dir, work_dir, P, symmetrize=program.symmetrize)
     ckpt_dir = storage.join(work_dir, f"ckpt_{program.name}")
-    return run_bsp(
+    return _record_outcome(program, run_bsp(
         program,
         graph_dir,
         ckpt_dir,
@@ -166,7 +199,7 @@ def run_algorithm(
         ckpt_every=ckpt_every,
         resume=resume,
         routing=routing,
-    )
+    ))
 
 
 def run_on_edges(
@@ -207,7 +240,7 @@ def run_on_edges(
         build_graph_shards(edges, P, graph_dir, symmetrize=program.symmetrize)
         _mark_done(graph_dir)
     ckpt_dir = storage.join(work_dir, f"ckpt_{program.name}")
-    return run_bsp(
+    return _record_outcome(program, run_bsp(
         program,
         graph_dir,
         ckpt_dir,
@@ -215,7 +248,7 @@ def run_on_edges(
         ckpt_every=ckpt_every,
         resume=resume,
         routing=routing,
-    )
+    ))
 
 
 def run_on_edge_dataset(
@@ -243,7 +276,7 @@ def run_on_edge_dataset(
         build_graph_shards(edges, P, graph_dir, symmetrize=program.symmetrize)
         _mark_done(graph_dir)
     ckpt_dir = storage.join(work_dir, f"ckpt_{program.name}")
-    return run_bsp(
+    return _record_outcome(program, run_bsp(
         program,
         graph_dir,
         ckpt_dir,
@@ -251,7 +284,7 @@ def run_on_edge_dataset(
         ckpt_every=ckpt_every,
         resume=resume,
         routing=routing,
-    )
+    ))
 
 
 def hits_tagged_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -839,7 +839,11 @@ class BipartiteCheck(VertexProgram):
         ids = t["vertex_id"].to_numpy()
         vals = t["value"].to_numpy().astype(np.int64)
         pos = np.searchsorted(ids, shard.vids)
-        if len(ids) != shard.n or not np.array_equal(ids[pos], shard.vids):
+        # clip before indexing: same-length-but-different-ids shards would
+        # otherwise hit an IndexError before the intended ValueError (r4
+        # ADVICE)
+        pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
+        if len(ids) != shard.n or not np.array_equal(ids[pos_c], shard.vids):
             raise ValueError(
                 "bipartite: labels shard does not cover this partition "
                 "(CC must run on the SAME graph layout)"

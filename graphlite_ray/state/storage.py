@@ -64,6 +64,13 @@ def rmtree(path: str) -> None:
         fs.delete_dir(p)
 
 
+def remove(path: str) -> None:
+    """Delete one file (no-op when absent)."""
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type != pafs.FileType.NotFound:
+        fs.delete_file(p)
+
+
 def listdir(path: str) -> list[str]:
     """Base names of the directory's entries ([] when absent)."""
     fs, p = resolve(path)

@@ -216,3 +216,81 @@ def test_embedded_corpus_feeds_emb_suite(ray_session, tmp_path):
     same_topic = {(a, b) for a in range(30) for b in range(a + 1, 30) if a % 3 == b % 3}
     got = set(map(tuple, res.pairs[["a", "b"]].to_numpy()))
     assert same_topic <= got
+
+
+# ---------------------------------------------- incremental graph update
+
+
+def _shard_bytes(d):
+    import hashlib, os
+
+    out = {}
+    for n in sorted(os.listdir(d)):
+        if n.endswith(".parquet"):
+            out[n] = hashlib.sha256(open(os.path.join(d, n), "rb").read()).hexdigest()
+    return out
+
+
+def _rand_edges(n, seed, weighted=False):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, 400, n).astype(np.int64)
+    dst = rng.randint(0, 400, n).astype(np.int64)
+    cols = {"src": src, "dst": dst}
+    if weighted:
+        cols["weight"] = rng.rand(n)
+    return pd.DataFrame(cols)
+
+
+@pytest.mark.parametrize("weighted,sym", [(False, False), (True, False), (False, True)])
+def test_add_edges_merge_equals_one_shot_build(ray_session, tmp_path, weighted, sym):
+    from graphlite_ray.state.csr import add_edges, build_graph_shards, load_graph_meta
+
+    full = _rand_edges(2000, seed=1, weighted=weighted)
+    half1, half2 = full.iloc[:1000], full.iloc[1000:]
+
+    one_shot = str(tmp_path / "one")
+    build_graph_shards(ray.data.from_pandas(full), 5, one_shot, symmetrize=sym)
+
+    merged = str(tmp_path / "merged")
+    build_graph_shards(ray.data.from_pandas(half1), 5, merged, symmetrize=sym)
+    meta = add_edges(merged, ray.data.from_pandas(half2))
+
+    assert _shard_bytes(one_shot) == _shard_bytes(merged)
+    assert meta == load_graph_meta(one_shot)
+
+
+def test_add_edges_idempotent_with_delta_id(ray_session, tmp_path):
+    from graphlite_ray.state.csr import add_edges, build_graph_shards, load_graph_meta
+    from graphlite_ray.state import storage
+
+    base = _rand_edges(500, seed=2)
+    delta = _rand_edges(300, seed=3)
+    d = str(tmp_path / "g")
+    build_graph_shards(ray.data.from_pandas(base), 4, d)
+    add_edges(d, ray.data.from_pandas(delta), delta_id="snap1")
+    m1 = load_graph_meta(d)
+    # simulate a crash AFTER all partitions merged but BEFORE meta landed:
+    # markers present -> re-run must skip every partition (no double-apply)
+    for p in range(4):
+        storage.write_json_atomic({"p": p}, storage.join(d, f"delta_snap1_p{p}.done"))
+    add_edges(d, ray.data.from_pandas(delta), delta_id="snap1")
+    assert load_graph_meta(d) == m1
+
+
+def test_pagerank_identical_after_incremental_merge(ray_session, tmp_path):
+    from graphlite_ray.engine import run_bsp
+    from graphlite_ray.programs import PageRank
+    from graphlite_ray.state.csr import add_edges, build_graph_shards
+
+    full = _rand_edges(1500, seed=5)
+    one_shot = str(tmp_path / "one")
+    merged = str(tmp_path / "m")
+    build_graph_shards(ray.data.from_pandas(full), 4, one_shot)
+    build_graph_shards(ray.data.from_pandas(full.iloc[:700]), 4, merged)
+    add_edges(merged, ray.data.from_pandas(full.iloc[700:]), delta_id="d1")
+
+    r1 = run_bsp(PageRank(), one_shot, str(tmp_path / "c1"), max_supersteps=30)
+    r2 = run_bsp(PageRank(), merged, str(tmp_path / "c2"), max_supersteps=30)
+    v1 = r1.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    v2 = r2.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    pd.testing.assert_frame_equal(v1, v2)
