@@ -889,6 +889,42 @@ def _q_graph_neighborhood_approx(sf_dir: str):
     return df
 
 
+def _q_graph_hyperball_balls(sf_dir: str):
+    """Per-vertex HyperBall registers at the final radius, fully
+    DuckDB-oracled (r4 verdict item 9: SQL-replay the register updates):
+    reg_sum is the bit-exact integer sum of the vertex's 64 registers;
+    est is the bias-corrected HLL ball estimate (deterministic function of
+    the registers, 6-digit rounded). The oracle rebuilds every register
+    from scratch — recursive BFS ball membership + the splitmix64 hash
+    replayed in SQL (`_splitmix64_sql`) — so the entire HyperBall
+    machinery (hash, bucket, rho, max-merge, estimator) is verified
+    end-to-end; the companion `graph_neighborhood_approx` query remains
+    the rows-only telescoped-sum view of the same run."""
+    from graphlite_ray.functions.sketches import estimate_registers
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm(
+        "hyperball", pages, work, P=8, resume=True,
+        p=6, radius=_NF_RADIUS, source_mod=_NF_SOURCE_MOD,
+    )
+
+    def _per_vertex(t: pa.Table) -> pa.Table:
+        regs = np.stack(
+            [np.asarray(v, np.uint8) for v in t["value"].to_pylist()]
+        ) if t.num_rows else np.zeros((0, 64), np.uint8)
+        est = estimate_registers(regs) if t.num_rows else np.zeros(0)
+        return pa.table(
+            {
+                "vertex_id": t["vertex_id"],
+                "reg_sum": regs.astype(np.int64).sum(axis=1),
+                "est": _round_half_away(pd.Series(est), 6).to_numpy(),
+            }
+        )
+
+    return res.values().map_batches(_per_vertex, batch_format="pyarrow")
+
+
 _HC_RADIUS = 6
 _HC_SOURCE_MOD = 4  # sources = vids % 4 == 0 (uniform over hashed ids)
 
@@ -1383,20 +1419,69 @@ def _planted_near_dup_corpus(sf_dir: str, n_plant: int = 60, cos: float = 0.85):
     return emb.union(ray.data.from_arrow(t))
 
 
+_LSH_NBITS, _LSH_TABLES, _LSH_TAU = 8, 16, 0.7
+
+
+def _stage_lsh_inputs(sf_dir: str) -> tuple[str, str]:
+    """Stage the planted LSH corpus (long format: vec_id, dim, val — exact
+    float64 view of the float32 embeddings) and the seeded hyperplane
+    matrix (dim, bit, w) so the DuckDB oracle replays the bucketer from
+    the SAME inputs. Idempotent per sf."""
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.stages.dedup import HyperplaneBucketer
+    from graphlite_ray.stages.similarity import list_col_to_matrix
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    os.makedirs("/tmp/glr_cache", exist_ok=True)
+    cpath = f"/tmp/glr_cache/lsh_{sf_name}_corpus.parquet"
+    ppath = f"/tmp/glr_cache/lsh_{sf_name}_planes.parquet"
+    if os.path.exists(cpath) and os.path.exists(ppath):
+        return cpath, ppath
+    rows = _planted_near_dup_corpus(sf_dir).take_all()
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    V = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    n, d = V.shape
+    t = pa.table(
+        {
+            "vec_id": np.repeat(ids, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "val": V.reshape(-1),
+        }
+    )
+    tmp = f"{cpath}.tmp.{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, cpath)
+    planes = HyperplaneBucketer(
+        dim=d, nbits=_LSH_NBITS, n_tables=_LSH_TABLES, seed=42
+    ).planes
+    di, bi = np.divmod(
+        np.arange(planes.size, dtype=np.int64), np.int64(planes.shape[1])
+    )
+    pt = pa.table({"dim": di, "bit": bi, "w": planes.reshape(-1)})
+    tmp = f"{ppath}.tmp.{os.getpid()}"
+    pq.write_table(pt, tmp)
+    os.replace(tmp, ppath)
+    return cpath, ppath
+
+
 def _q_emb_near_dup_lsh(sf_dir: str):
     """OR-amplified hyperplane-LSH near-dup (the scale path) at its
     tau=0.7 design point (nbits=8, 16 independent tables), over the corpus
     plus deterministic planted near-duplicates at cosine 0.85 — so the
     query emits a NON-EMPTY verified pair set (the r3 version ran tau=0.98
-    on a near-uniform corpus and proved nothing with 0 rows). Rows-only:
-    LSH recall is approximate by design; every emitted pair is exact-
-    cosine-verified >= tau (precision 1.0), pytest asserts the pairs are a
-    subset of `embedding_near_dup_exact` on the identical corpus, and
+    on a near-uniform corpus and proved nothing with 0 rows). r5: fully
+    DuckDB-oracled — the staged corpus + staged hyperplanes let the oracle
+    replay sign-bucketing, OR-amplification and the exact cosine verify
+    (`_lsh_oracle_sql`); pytest additionally asserts subset-of-exact, and
     bench.py quantifies recall per run."""
     from graphlite_ray.stages.dedup import embedding_near_dup
 
+    _stage_lsh_inputs(sf_dir)  # oracle inputs (cheap, cached per sf)
     ds = _planted_near_dup_corpus(sf_dir)
-    res = embedding_near_dup(ds, tau=0.7, nbits=8, n_tables=16)
+    res = embedding_near_dup(
+        ds, tau=_LSH_TAU, nbits=_LSH_NBITS, n_tables=_LSH_TABLES
+    )
     out = res.pairs[["a", "b"]].sort_values(["a", "b"], ignore_index=True)
     if not len(out):
         out = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
@@ -1904,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": _q_link_prediction,
         "graph_neighborhood": _q_graph_neighborhood,
         "graph_neighborhood_approx": _q_graph_neighborhood_approx,
+        "graph_hyperball_balls": _q_graph_hyperball_balls,
         "graph_bowtie": _q_graph_bowtie,
         "graph_harmonic": _q_graph_harmonic,
         "graph_scc": _q_graph_scc,
@@ -2684,6 +2770,118 @@ def _embed_sql_cte() -> str:
     )
 
 
+_M64_SQL = "18446744073709551616::HUGEINT"
+_HALF64_SQL = "9223372036854775808::HUGEINT"
+
+
+def _xor64_sql(a: str, b: str) -> str:
+    """Bitwise xor of two HUGEINT values in [0, 2^64): wrap both to signed
+    BIGINT (two's complement), xor, unwrap — the FNV replay's trick."""
+    wa = f"CAST(({a}) - CASE WHEN ({a}) >= {_HALF64_SQL} THEN {_M64_SQL} ELSE 0::HUGEINT END AS BIGINT)"
+    wb = f"CAST(({b}) - CASE WHEN ({b}) >= {_HALF64_SQL} THEN {_M64_SQL} ELSE 0::HUGEINT END AS BIGINT)"
+    x = f"xor({wa}, {wb})"
+    return f"(({x})::HUGEINT + CASE WHEN ({x}) < 0 THEN {_M64_SQL} ELSE 0::HUGEINT END)"
+
+
+def _mul64_sql(z: str, M: int) -> str:
+    """(z * M) mod 2^64 for HUGEINT z in [0, 2^64) and a 64-bit constant:
+    32-bit split keeps every intermediate < 2^65 (a direct product would
+    overflow HUGEINT's 128-bit range)."""
+    Mh, Ml = M >> 32, M & 0xFFFFFFFF
+    return (
+        f"((((({z}) // 4294967296) * {Ml} + (({z}) % 4294967296) * {Mh}) "
+        f"% 4294967296) * 4294967296 + (({z}) % 4294967296) * {Ml}) % {_M64_SQL}"
+    )
+
+
+def _splitmix64_sql(x: str) -> str:
+    """SQL expression (HUGEINT in [0, 2^64)): `functions.sketches.mix64`
+    — the splitmix64 finalizer — replayed bit-for-bit (verified against
+    the numpy side in pytest). Feeds the HyperBall register oracle."""
+    GAMMA = 0x9E3779B97F4A7C15
+    M1 = 0xBF58476D1CE4E5B9
+    M2 = 0x94D049BB133111EB
+    z0 = f"((({x})::HUGEINT + {GAMMA}::HUGEINT) % {_M64_SQL})"
+    z1 = _mul64_sql(_xor64_sql(z0, f"({z0}) // 1073741824"), M1)
+    z2 = _mul64_sql(_xor64_sql(z1, f"({z1}) // 134217728"), M2)
+    return _xor64_sql(z2, f"({z2}) // 2147483648")
+
+
+def _hyperball_oracle_sql(edges_glob: str, p: int = 6) -> str:
+    """Ground-truth HyperBall registers: ball membership by recursive BFS
+    from the mod-`_NF_SOURCE_MOD` sources (radius `_NF_RADIUS`), register
+    index/rho from the splitmix64 replay, per-register MAX merge, then the
+    bias-corrected HLL estimate (alpha_64 = 0.709) with the linear-counting
+    small-range branch — `functions.sketches.estimate_registers` in SQL.
+    The 2^-rho terms are exact powers of two well inside float64's
+    mantissa, so the register sum is order-independent and exact."""
+    m = 1 << p
+    mix = _splitmix64_sql("u")
+    shift = 1 << (64 - p)
+    return (
+        "WITH RECURSIVE "
+        f"se AS (SELECT src, dst FROM read_parquet('{edges_glob}')), "
+        "verts AS (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM se UNION ALL SELECT dst FROM se)), "
+        f"src AS (SELECT v AS u FROM verts WHERE v % {_NF_SOURCE_MOD} = 0), "
+        "w(u, v, d) AS (SELECT u, u, 0 FROM src "
+        "UNION SELECT w.u, se.dst, w.d + 1 FROM w JOIN se ON se.src = w.v "
+        f"WHERE w.d < {_NF_RADIUS}), "
+        "mem AS (SELECT DISTINCT u, v FROM w), "
+        f"h AS MATERIALIZED (SELECT u, {mix} AS hv FROM src), "
+        f"hb AS (SELECT u, CAST(hv // {shift} AS BIGINT) AS bucket, "
+        f"CAST({64 - p} AS BIGINT) - "
+        f"(CASE WHEN hv % {shift} = 0 THEN 0 "
+        f"ELSE length(bin(CAST(hv % {shift} AS BIGINT))) END) + 1 AS rho "
+        "FROM h), "
+        "regs AS (SELECT mem.v, hb.bucket, MAX(hb.rho) AS reg "
+        "FROM mem JOIN hb ON hb.u = mem.u GROUP BY mem.v, hb.bucket), "
+        "agg AS (SELECT v, SUM(power(2.0, -reg)) AS s_nz, "
+        "COUNT(*) AS nz, SUM(reg) AS reg_sum FROM regs GROUP BY v), "
+        "est AS (SELECT verts.v, COALESCE(agg.reg_sum, 0) AS reg_sum, "
+        f"COALESCE(agg.s_nz, 0) + ({m} - COALESCE(agg.nz, 0)) AS sinv, "
+        f"{m} - COALESCE(agg.nz, 0) AS zeros "
+        "FROM verts LEFT JOIN agg ON agg.v = verts.v), "
+        f"raw AS (SELECT v, reg_sum, zeros, 0.709 * {m} * {m} / sinv AS E "
+        "FROM est) "
+        "SELECT v AS vertex_id, CAST(reg_sum AS BIGINT) AS reg_sum, "
+        f"ROUND(CASE WHEN E <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m} * ln({m}::DOUBLE / zeros) ELSE E END, 6) AS est "
+        "FROM raw ORDER BY vertex_id"
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    """Replay of `stages/dedup.HyperplaneBucketer` + `embedding_near_dup`
+    over the staged corpus/planes: per-(vector, hyperplane) dot sign ->
+    per-table bucket key -> candidate pairs colliding in ANY table (the
+    OR-amplification) -> exact-cosine verify at tau. Same inputs, same
+    strict `dot > 0` sign rule, same max(norm, 1e-12) guard."""
+    cpath, ppath = _stage_lsh_inputs(_ORACLE_SF)
+    nb = _LSH_NBITS
+    return (
+        f"WITH c AS MATERIALIZED (SELECT * FROM '{cpath}'), "
+        f"pl AS (SELECT * FROM '{ppath}'), "
+        "s AS MATERIALIZED (SELECT c.vec_id, pl.bit, SUM(c.val * pl.w) AS dot "
+        "FROM c JOIN pl ON pl.dim = c.dim GROUP BY c.vec_id, pl.bit), "
+        f"bk AS (SELECT vec_id, bit // {nb} AS tbl, "
+        f"SUM(CASE WHEN dot > 0 THEN 1 << (bit % {nb}) ELSE 0 END) AS bucket "
+        f"FROM s GROUP BY vec_id, bit // {nb}), "
+        "cand AS (SELECT DISTINCT b1.vec_id AS a, b2.vec_id AS b FROM bk b1 "
+        "JOIN bk b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket "
+        "AND b1.vec_id < b2.vec_id), "
+        "nrm AS MATERIALIZED (SELECT vec_id, "
+        "GREATEST(sqrt(SUM(val * val)), 1e-12) AS n FROM c GROUP BY vec_id), "
+        "dt AS (SELECT cand.a, cand.b, SUM(ca.val * cb.val) AS dot "
+        "FROM cand JOIN c ca ON ca.vec_id = cand.a "
+        "JOIN c cb ON cb.vec_id = cand.b AND cb.dim = ca.dim "
+        "GROUP BY cand.a, cand.b) "
+        "SELECT dt.a, dt.b FROM dt "
+        "JOIN nrm na ON na.vec_id = dt.a JOIN nrm nb2 ON nb2.vec_id = dt.b "
+        f"WHERE dt.dot / (na.n * nb2.n) >= {_LSH_TAU} ORDER BY a, b"
+    )
+
+
 def _cms_oracle_sql(width: int, depth: int) -> str:
     """Exact replay of the CMS estimates (functions/sketches.py::
     cms_token_table + cms_estimates over the full vocabulary): per salt r,
@@ -3256,6 +3454,10 @@ def oracle_sql() -> dict[str, str]:
         # approximate by design (HLL registers); its accuracy is asserted
         # against the ORACLED exact sibling in pytest (rel err < 0.2) and
         # quantified per bench run, same pattern as distinct_users_approx.
+        # The REGISTERS themselves are exactly oracled (r5): the sibling
+        # graph_hyperball_balls query replays hash+bucket+rho+max-merge+
+        # estimator per vertex in pure SQL.
+        "graph_hyperball_balls": _hyperball_oracle_sql(edges_glob),
         "link_prediction": (
             # independent replay: undirected adjacency self-join wedges,
             # per-pair CN/AA sums, degree join for Jaccard, existing-edge
@@ -3767,12 +3969,16 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_counts": (
             "SELECT label, count(*) AS n FROM embeddings GROUP BY label ORDER BY label"
         ),
+        # r5: the splitmix64 hash IS now SQL-replayed (_splitmix64_sql,
+        # HyperBall oracle) and the LSH bucketer is fully oracled below.
+        "emb_near_dup_lsh": _lsh_oracle_sql(),
         # Rows-only queries, each with its pytest exactness oracle:
-        #   distinct_users_approx — HyperLogLog estimate over our
-        #     splitmix64 hash (not SQL-replicable); the exact counterpart
+        #   distinct_users_approx — HLL estimate; the exact counterpart
         #     `distinct_users` IS oracled, pytest bounds the sketch error
-        #   emb_near_dup_lsh / emb_knn_ivf — approximate-by-design scale
-        #     variants of the ORACLED exact queries (emb_near_dup /
-        #     emb_knn); precision-1.0 / recall asserted in pytest (and
-        #     measured per bench run: lsh_recall / ivf_recall)
+        #   emb_knn_ivf — approximate-by-design scale variant of the
+        #     ORACLED exact emb_knn; recall asserted in pytest (and
+        #     measured per bench run: ivf_recall)
+        #   graph_neighborhood_approx — telescoped-SUM view of the
+        #     HyperBall run whose registers ARE exactly oracled
+        #     (graph_hyperball_balls)
     }

@@ -294,3 +294,22 @@ def test_pagerank_identical_after_incremental_merge(ray_session, tmp_path):
     v1 = r1.values().to_pandas().sort_values("vertex_id", ignore_index=True)
     v2 = r2.values().to_pandas().sort_values("vertex_id", ignore_index=True)
     pd.testing.assert_frame_equal(v1, v2)
+
+
+# ------------------------------------------------ splitmix64 SQL replay
+
+
+def test_splitmix64_sql_replay_bit_exact():
+    import duckdb
+
+    import __ray_entry__ as E
+    from graphlite_ray.functions.sketches import mix64
+
+    con = duckdb.connect()
+    ids = np.array([0, 1, 42, 7, 123456789, 2**62 + 12345, 2**63 - 1], np.int64)
+    expr = E._splitmix64_sql("x")
+    for i in ids:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT {int(i)}::HUGEINT AS x)"
+        ).fetchone()[0]
+        assert int(got) == int(mix64(np.array([i], np.int64))[0]), i
