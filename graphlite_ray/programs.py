@@ -901,24 +901,34 @@ class Coreness(VertexProgram):
     unlike the fixed-k `KCore` program this yields the whole
     decomposition in one run.
 
-    Dense variant: every vertex rebroadcasts its value each round
-    (combiner "none" — the H-index needs the neighbor value MULTISET);
-    O(E) messages per round for a round count that is tiny in practice
-    (bounded by graph degeneracy chains). The sparse changed-only variant
-    with per-edge caches is the documented scale upgrade.
+    Sparse (default, r5): CHANGED-ONLY rebroadcast with a per-edge
+    neighbor-value cache — superstep 0 seeds every vertex's cache with its
+    neighbors' degrees (the one full-broadcast round), after which only
+    vertices whose value CHANGED send, and receivers patch the cached
+    multiset in place (slot found by vectorized per-row binary search over
+    the within-row-sorted dst ids). Message volume drops from O(E) per
+    round to O(changed-vertex degree sum) — the documented scale upgrade
+    the r4 verdict asked for. The cache rides `extra_state`, so mid-run
+    resume restores it exactly. `dense=True` keeps the original
+    full-rebroadcast behavior (pytest proves the two bit-identical).
 
     Runs on the SIMPLE undirected graph: the caller dedups to canonical
-    pairs (a duplicated neighbor would double-count in the H multiset)
-    and strips self-loops; the CSR symmetrize then adds each direction
-    exactly once. Halt: the `changes` aggregator reaches 0."""
+    pairs (a duplicated neighbor would double-count in the H multiset —
+    and the sparse cache maps one slot per (v, u) pair) and strips
+    self-loops; the CSR symmetrize then adds each direction exactly once.
+    Halt: the `changes` aggregator reaches 0."""
 
     name = "coreness"
     value_dtype = np.dtype(np.int64)
     combiner = "none"
     symmetrize = True
 
-    def __init__(self, max_rounds: int = 256):
+    def __init__(self, max_rounds: int = 256, dense: bool = False):
         self.max_supersteps = int(max_rounds) + 2
+        self.dense = bool(dense)
+        self._nb = None        # per-edge cached neighbor value (sorted slots)
+        self._order = None     # edge slot -> within-row dst-sorted position
+        self._sorted_dst = None
 
     def aggregators(self):
         return {"changes": AggregatorSpec(init=0.0, op="sum")}
@@ -926,20 +936,104 @@ class Coreness(VertexProgram):
     def init_values(self, shard):
         return (shard.indptr[1:] - shard.indptr[:-1]).astype(np.int64)
 
+    def extra_state(self):
+        if self.dense or self._nb is None:
+            return None
+        return {"nb": self._nb}
+
+    def load_extra(self, state):
+        self._nb = state["nb"].astype(np.int64)
+
+    def _ensure_cache(self, shard):
+        # lexsort only permutes WITHIN rows (edge_src_local is already
+        # grouped), so indptr segments stay valid for the sorted view
+        if self._order is None:
+            self._order = np.lexsort((shard.indices, shard.edge_src_local))
+            self._sorted_dst = shard.indices[self._order]
+        if self._nb is None:
+            self._nb = np.zeros(shard.nnz, np.int64)
+
+    def _slots(self, shard, rows, srcs):
+        """Vectorized lower_bound of each message's sender id inside its
+        destination row's dst-sorted edge segment -> cache slot."""
+        lo = shard.indptr[rows].copy()
+        hi = shard.indptr[rows + 1].copy()
+        sd = self._sorted_dst
+        while True:
+            open_m = lo < hi
+            if not open_m.any():
+                break
+            mid = (lo + hi) >> 1
+            less = open_m & (sd[np.minimum(mid, len(sd) - 1)] < srcs)
+            lo = np.where(less, mid + 1, lo)
+            hi = np.where(open_m & ~less, mid, hi)
+        return lo
+
+    def _h_index(self, vals, rows_rep, n_groups):
+        """Segmented H-index: rows_rep is the dense group id per value."""
+        order = np.lexsort((-vals, rows_rep))
+        vv = vals[order]
+        rr = rows_rep[order]
+        first = np.ones(len(rr), bool)
+        first[1:] = rr[1:] != rr[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(rr)))
+        rank = np.arange(len(rr), dtype=np.int64) - np.repeat(starts, counts) + 1
+        return np.maximum.reduceat(np.minimum(rank, vv), starts)
+
     def compute(self, ctx, shard, values, active, inbox):
+        if self.dense:
+            return self._compute_dense(ctx, shard, values, active, inbox)
+        out = ComputeOut()
+        self._ensure_cache(shard)
+        changes = 0
+        if ctx.superstep == 0:
+            # seed round: every vertex broadcasts its degree
+            out.out_dst, out.out_src, out.out_val = scatter_to_neighbors_with_src(
+                shard, values.astype(np.int64), np.ones(shard.n, bool)
+            )
+            out.sent = len(out.out_dst)
+            out.aggr = {"changes": 1.0}
+            out.halted = active.copy()
+            return out
+        senders = np.zeros(shard.n, bool)
+        if not inbox.empty:
+            rows = inbox.idx
+            slots = self._slots(shard, rows, inbox.src.astype(np.int64))
+            self._nb[slots] = inbox.val.astype(np.int64)
+            touched = np.unique(rows)
+            cnt = (shard.indptr[touched + 1] - shard.indptr[touched]).astype(
+                np.int64
+            )
+            seg = np.repeat(shard.indptr[touched], cnt) + (
+                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            h = self._h_index(
+                self._nb[seg], np.repeat(np.arange(len(touched)), cnt), len(touched)
+            )
+            newv = np.minimum(values[touched], h)
+            changed = newv != values[touched]
+            changes = int(changed.sum())
+            values[touched] = newv
+            senders[touched[changed]] = True
+        out.out_dst, out.out_src, out.out_val = scatter_to_neighbors_with_src(
+            shard, values.astype(np.int64), senders
+        )
+        out.sent = len(out.out_dst)
+        out.aggr = {"changes": float(changes)}
+        out.halted = active.copy()  # messages reactivate (C3)
+        return out
+
+    def _compute_dense(self, ctx, shard, values, active, inbox):
         out = ComputeOut()
         changes = 0
         if ctx.superstep > 0 and not inbox.empty:
-            order = np.lexsort((-inbox.val, inbox.idx))
-            iv = inbox.idx[order]
-            vv = inbox.val[order].astype(np.int64)
-            first = np.ones(len(iv), bool)
-            first[1:] = iv[1:] != iv[:-1]
-            starts = np.flatnonzero(first)
-            counts = np.diff(np.append(starts, len(iv)))
-            rank = np.arange(len(iv), dtype=np.int64) - np.repeat(starts, counts) + 1
-            h = np.maximum.reduceat(np.minimum(rank, vv), starts)
-            rows = iv[starts]
+            iv_rows = inbox.idx
+            h_groups, inv = np.unique(iv_rows, return_inverse=True)
+            h = self._h_index(
+                inbox.val.astype(np.int64), inv.astype(np.int64), len(h_groups)
+            )
+            rows = h_groups
             newv = np.minimum(values[rows], h)
             changes = int((newv != values[rows]).sum())
             values[rows] = newv

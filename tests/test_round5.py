@@ -313,3 +313,64 @@ def test_splitmix64_sql_replay_bit_exact():
             f"SELECT {expr} FROM (SELECT {int(i)}::HUGEINT AS x)"
         ).fetchone()[0]
         assert int(got) == int(mix64(np.array([i], np.int64))[0]), i
+
+
+# -------------------------------------- sparse (changed-only) coreness
+
+
+def _simple_graph(seed=0, n=300, m=1500):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    keep = src != dst
+    e = np.unique(
+        np.stack(
+            [np.minimum(src[keep], dst[keep]), np.maximum(src[keep], dst[keep])], 1
+        ),
+        axis=0,
+    )
+    return e[:, 0], e[:, 1]
+
+
+def test_coreness_sparse_matches_dense_and_cuts_messages(ray_session, work_dir):
+    from graphlite_ray.pipelines.linkgraph import run_on_edges
+    from graphlite_ray.programs import Coreness
+
+    s, d = _simple_graph()
+    r_s = run_on_edges(Coreness(), s, d, f"{work_dir}/s", P=4)
+    r_d = run_on_edges(Coreness(dense=True), s, d, f"{work_dir}/d", P=4)
+    vs = r_s.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    vd = r_d.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        vs[["vertex_id", "value"]], vd[["vertex_id", "value"]]
+    )
+    # the whole point: changed-only sends move strictly less than O(E)/round
+    assert r_s.total_messages < 0.7 * r_d.total_messages
+
+
+def test_coreness_sparse_cache_survives_resume(ray_session, work_dir):
+    """The per-edge neighbor cache rides extra_state: stopping mid-run and
+    resuming must be bit-identical to an uninterrupted run."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edges
+    from graphlite_ray.programs import Coreness
+
+    s, d = _simple_graph(seed=3)
+    full = run_on_edges(
+        Coreness(), s, d, f"{work_dir}/full", P=4, ckpt_every=1
+    )
+    assert full.supersteps_run > 3
+    # run a fresh work dir only up to superstep 2, then resume to the end
+    part = run_on_edges(
+        Coreness(), s, d, f"{work_dir}/resume", P=4,
+        ckpt_every=1, max_supersteps=3,
+    )
+    assert not part.halted
+    res = run_on_edges(
+        Coreness(), s, d, f"{work_dir}/resume", P=4,
+        ckpt_every=1, resume=True,
+    )
+    v1 = full.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    v2 = res.values().to_pandas().sort_values("vertex_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        v1[["vertex_id", "value"]], v2[["vertex_id", "value"]]
+    )
