@@ -137,9 +137,13 @@ class MinHashBander:
                     sig[nonempty, p] = np.minimum.reduceat(v, starts_ne)
         return sig
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sig = self.signatures(batch["text"].tolist())
-        n = len(batch)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # Arrow in/out (r5 house style — see HyperplaneBucketer): texts are
+        # materialized once for the Python shingler either way, but the
+        # exploded band rows skip the pandas wrap on both sides of the
+        # band shuffle
+        sig = self.signatures(t["text"].to_pylist())
+        n = t.num_rows
         band_hash = np.zeros((n, self.bands), np.uint64)
         with np.errstate(over="ignore"):
             for j in range(self.bands):
@@ -148,9 +152,9 @@ class MinHashBander:
                 for r in range(self.rows):
                     h = (h ^ block[:, r]) * np.uint64(1099511628211)
                 band_hash[:, j] = h
-        ids = np.repeat(batch["doc_id"].to_numpy(), self.bands)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), self.bands)
         bands = np.tile(np.arange(self.bands, dtype=np.int64), n)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "band": bands,
                 "band_hash": band_hash.reshape(-1).astype(np.int64),
@@ -350,7 +354,7 @@ def minhash_dedup(
     band_rows = docs.map_batches(
         MinHashBander,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,  # signatures amortize per-batch overhead (measured)
         concurrency=(1, 8),
     )
@@ -525,13 +529,13 @@ class SimHasher:
     hashing/unpacking (a token instance contributes one ±1 vote per bit,
     identical to the count-weighted unique-token formulation)."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].tolist()
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
         n = len(texts)
         toks_all: list[str] = []
         counts = np.zeros(n, np.int64)
-        for i, t in enumerate(texts):
-            tk = lower_tokens(t)
+        for i, s in enumerate(texts):
+            tk = lower_tokens(s)
             counts[i] = len(tk)
             toks_all.extend(tk)
         out = np.zeros(n, np.uint64)
@@ -548,9 +552,9 @@ class SimHasher:
                     votes = np.add.reduceat(bits, starts_ne)
                     sig |= (votes > 0).astype(np.uint64) << np.uint64(j)
             out[ne] = sig
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": batch["doc_id"],
+                "doc_id": t["doc_id"],
                 "simhash": out.astype(np.int64),
             }
         )
@@ -583,7 +587,7 @@ def simhash_dedup(
     bucket task and raises (tune bands or pre-dedup exact copies) instead
     of silently grinding."""
     sh = docs.map_batches(
-        SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+        SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
 
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:

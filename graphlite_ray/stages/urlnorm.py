@@ -63,7 +63,12 @@ class UrlCanonicalizer:
     kernels over the whole batch; the prefix-lowercase splice and the
     query-param filter are per-row over URL-length strings (tens of
     bytes — bounded by key size, not document size, so this is not a
-    hot-path row loop in the per-token sense)."""
+    hot-path row loop in the per-token sense).
+
+    Stays pandas deliberately (r5 Arrow-native sweep): measured 50k
+    urls/batch, the regex kernels are 15% of stage time and the
+    irreducibly per-row splice/filter is 85% — an Arrow port moves only
+    the 15% and RE2 replacement cannot lowercase the prefix."""
 
     def __init__(self, url_col: str = "url"):
         self.url_col = url_col

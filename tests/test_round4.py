@@ -155,6 +155,8 @@ def _ray_docs(rows):
 def test_simhash_verify_is_distributed_and_exact(ray_session):
     """The Hamming verify now runs inside the band-bucket tasks; the
     driver result must equal a brute-force all-pairs Hamming check."""
+    import pyarrow as pa
+
     from graphlite_ray.stages.dedup import SimHasher, hamming64, simhash_dedup
 
     rng = np.random.RandomState(5)
@@ -170,7 +172,7 @@ def test_simhash_verify_is_distributed_and_exact(ray_session):
     res = simhash_dedup(_ray_docs(rows), max_hamming=3)
 
     # brute force over the same signatures
-    sh = SimHasher()(pd.DataFrame(rows))
+    sh = SimHasher()(pa.Table.from_pylist(rows)).to_pandas()
     sims = sh["simhash"].to_numpy()
     ids = sh["doc_id"].to_numpy()
     i, j = np.triu_indices(len(ids), k=1)
@@ -205,7 +207,7 @@ def test_minhash_bucket_guard_raises_not_truncates(ray_session):
         band_rows = docs.map_batches(
             D.MinHashBander,
             fn_constructor_kwargs={"num_perm": 64, "bands": 16, "k": 3},
-            batch_format="pandas",
+            batch_format="pyarrow",
             concurrency=1,
         )
         from graphlite_ray.functions.grouping import grouped_map_bucketed
