@@ -374,3 +374,37 @@ def test_coreness_sparse_cache_survives_resume(ray_session, work_dir):
     pd.testing.assert_frame_equal(
         v1[["vertex_id", "value"]], v2[["vertex_id", "value"]]
     )
+
+
+# ------------------------------------------------ vectorized wedge emit
+
+
+def test_emit_all_wedges_matches_loop():
+    from graphlite_ray.pipelines.triangles import _emit_all_wedges
+
+    rng = np.random.RandomState(1)
+    a = np.repeat(np.arange(150, dtype=np.int64), rng.randint(1, 40, 150))
+    b = rng.randint(0, 5000, len(a)).astype(np.int64)
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    starts = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
+    ends = np.concatenate((starts[1:], [len(a_s)]))
+    src, lo, hi = _emit_all_wedges(a_s, b_s, starts, ends)
+    srcs, los, his = [], [], []
+    for s, t in zip(starts, ends):
+        k = t - s
+        if k < 2:
+            continue
+        nbrs = b_s[s:t]
+        i, j = np.triu_indices(k, k=1)
+        srcs.append(np.full(len(i), a_s[s]))
+        los.append(nbrs[i])
+        his.append(nbrs[j])
+    assert np.array_equal(src, np.concatenate(srcs))
+    assert np.array_equal(lo, np.concatenate(los))
+    assert np.array_equal(hi, np.concatenate(his))
+    # empty and singleton runs
+    e0, e1, e2 = _emit_all_wedges(
+        np.array([7]), np.array([9]), np.array([0]), np.array([1])
+    )
+    assert len(e0) == len(e1) == len(e2) == 0
