@@ -475,6 +475,131 @@ def minhash_dedup(
     )
 
 
+def minhash_dedup_streaming(
+    docs: "ray.data.Dataset",
+    work_dir: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    B: int = 32,
+):
+    """Fully STREAMING MinHash near-dedup — the 100-TB path: candidate
+    pairs, texts and clusters never touch the driver (in `minhash_dedup`
+    the deduped pair list is still collected once to build the broadcast
+    verify map; here it stays a Dataset end to end).
+
+    Shape: band stage -> bucketed band groupby (candidate pairs) ->
+    bucketed pair dedup -> pair-slot files bucketed by member doc id ->
+    the CORPUS shuffles once against its slot bucket (texts attach
+    without a corpus disk copy) -> bucketed shuffle on the pair key ->
+    vectorized exact-Jaccard verify per pair bucket -> verified pairs
+    written as partitioned parquet (resumable) -> ConnectedComponents BSP
+    clustering. Two text all-to-alls total; every intermediate is
+    disk-bucketed or a Dataset.
+
+    Returns (pairs, clusters): Datasets (a, b, score) and
+    (doc_id, cluster_rep). Consume with write_parquet at scale."""
+    import shutil
+
+    from graphlite_ray.pipelines.joins import attach_from_bucketed
+
+    band_rows = docs.map_batches(
+        MinHashBander,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    cand = grouped_map_bucketed(
+        band_rows,
+        ["band", "band_hash"],
+        lambda g: _pairs_from_bucket_frame(g, ["band", "band_hash"], "doc_id"),
+        B=B,
+    )
+    # global pair dedup (the same pair surfaces from several bands)
+    cand = grouped_map_bucketed(
+        cand, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]), B=B
+    )
+
+    def _slots(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "a": np.concatenate([a, a]),
+                "b": np.concatenate([b, b]),
+                "role": np.repeat(np.array([0, 1], np.int64), n),
+            }
+        )
+
+    from graphlite_ray.pipelines.joins import write_bucketed
+
+    slots_dir = os.path.join(work_dir, "slots")
+    shutil.rmtree(slots_dir, ignore_errors=True)
+    write_bucketed(
+        cand.map_batches(_slots, batch_format="pyarrow"), "doc_id", B, slots_dir
+    )
+    joined = attach_from_bucketed(
+        docs, "doc_id", slots_dir, B, "doc_id", how="inner"
+    )
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["a", "b", "role"])  # dirty-corpus dup docs
+        left = g[g["role"] == 0].set_index(["a", "b"])["text"]
+        right = g[g["role"] == 1].set_index(["a", "b"])["text"]
+        keys = left.index.intersection(right.index)
+        if not len(keys):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        scores = _JaccardVerify(k).scores(
+            left.loc[keys].tolist(), right.loc[keys].tolist()
+        )
+        arr = np.asarray(keys.to_list(), np.int64).reshape(-1, 2)
+        keep = scores >= threshold
+        return pd.DataFrame(
+            {"a": arr[keep, 0], "b": arr[keep, 1], "score": scores[keep]}
+        )
+
+    dups = grouped_map_bucketed(joined, ["a", "b"], _verify, B=B)
+    pairs_dir = os.path.join(work_dir, "dup_pairs")
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    os.makedirs(pairs_dir, exist_ok=True)
+    dups.write_parquet(pairs_dir)
+    files = [f for f in os.listdir(pairs_dir) if f.endswith(".parquet")]
+    if not files:
+        empty_pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+        empty_cl = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_rep": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return empty_pairs, empty_cl
+    pairs_ds = ray.data.read_parquet(pairs_dir)
+    clusters = cluster_pairs_distributed(
+        pairs_ds, work_dir=os.path.join(work_dir, "cluster")
+    )
+    return ray.data.read_parquet(pairs_dir), clusters
+
+
 class _JaccardVerify:
     """Aligned text lists -> exact shingle-set Jaccard scores, computed
     over 64-bit shingle hashes (both sides hashed in ONE vectorized call;

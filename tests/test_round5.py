@@ -408,3 +408,43 @@ def test_emit_all_wedges_matches_loop():
         np.array([7]), np.array([9]), np.array([0]), np.array([1])
     )
     assert len(e0) == len(e1) == len(e2) == 0
+
+
+# --------------------------------------------- fully streaming minhash
+
+
+def test_minhash_streaming_matches_driver_path(ray_session, work_dir):
+    from graphlite_ray.stages.dedup import minhash_dedup, minhash_dedup_streaming
+
+    base = (
+        "pack my box with five dozen liquor jugs while the quick onyx "
+        "goblin jumps over the lazy dwarf in a bright cold morning"
+    )
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": 2 * i, "text": f"{base} tail {i}"})
+        rows.append({"doc_id": 2 * i + 1, "text": f"{base} tail {i} extra"})
+    docs = ray.data.from_items(rows)
+    drv = minhash_dedup(docs, threshold=0.6)
+    pairs_ds, clusters_ds = minhash_dedup_streaming(
+        docs, work_dir, threshold=0.6
+    )
+    sp = pairs_ds.to_pandas().sort_values(["a", "b"], ignore_index=True)
+    dp = drv.pairs.sort_values(["a", "b"], ignore_index=True)
+    assert len(dp) > 0
+    pd.testing.assert_frame_equal(
+        sp.astype({"a": "int64", "b": "int64"}), dp, check_like=True
+    )
+    sc = clusters_ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    dc = drv.clusters.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(sc.astype("int64"), dc)
+
+
+def test_minhash_streaming_empty_corpus(ray_session, work_dir):
+    from graphlite_ray.stages.dedup import minhash_dedup_streaming
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"totally unique words {i} " + " ".join(str(i + j) for j in range(20))} for i in range(8)]
+    )
+    pairs_ds, clusters_ds = minhash_dedup_streaming(docs, work_dir)
+    assert pairs_ds.count() == 0 and clusters_ds.count() == 0
