@@ -1283,6 +1283,30 @@ def _q_doc_minhash(sf_dir: str):
     return cl
 
 
+def _q_doc_minhash_stream(sf_dir: str):
+    """The fully STREAMING minhash path (candidate pairs / texts /
+    clusters never reach the driver — r5, `minhash_dedup_streaming`)
+    against the SAME exhaustive-Jaccard + reachability oracle as the
+    collected path: identical clusters from a disk-bucketed pipeline."""
+    import shutil
+    import tempfile
+
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.dedup import minhash_dedup_streaming
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    work = tempfile.mkdtemp(prefix="glr_mhs_", dir="/tmp")
+    try:
+        _, clusters = minhash_dedup_streaming(docs, work, threshold=0.7)
+        cl = clusters.to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    if not len(cl):
+        cl = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "cluster_rep": pd.Series([], dtype="int64")})
+    return cl.sort_values("doc_id", ignore_index=True).astype("int64")
+
+
 def _q_doc_ngram_jaccard(sf_dir: str):
     import ray.data
 
@@ -2058,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_minhash_dedup": _q_doc_minhash,
+        "doc_minhash_stream": _q_doc_minhash_stream,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_simhash_pairs": _q_doc_simhash,
         "emb_knn": _q_emb_knn,
@@ -3821,6 +3846,18 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT e.b AS v, r.l FROM reach r JOIN edges e ON e.a = r.v) "
             # min reachable id = the union-find representative
+            "SELECT v AS doc_id, min(l) AS cluster_rep FROM reach "
+            "GROUP BY v ORDER BY doc_id"
+        ),
+        # streaming path, same truth: the exhaustive-Jaccard reachability
+        # oracle doesn't care which pipeline produced the clusters
+        "doc_minhash_stream": (
+            _jaccard_pairs_sql(0.7).replace("WITH toks", "WITH RECURSIVE toks")
+            + ", edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs), "
+            "verts AS (SELECT DISTINCT a AS v FROM edges), "
+            "reach AS (SELECT v, v AS l FROM verts "
+            "UNION "
+            "SELECT e.b AS v, r.l FROM reach r JOIN edges e ON e.a = r.v) "
             "SELECT v AS doc_id, min(l) AS cluster_rep FROM reach "
             "GROUP BY v ORDER BY doc_id"
         ),

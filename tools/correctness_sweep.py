@@ -113,6 +113,16 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "CORRECTNESS_LOCAL_r05.json",
     )
+    if only:
+        # filtered runs MERGE into the recorded slate instead of
+        # overwriting it with a partial file
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(results)
+        results = merged
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     ray.shutdown()
