@@ -1571,7 +1571,7 @@ def _q_media_image_dims(sf_dir: str):
     bytes — oracled against the encoder's meta JSON sidecar."""
     from graphlite_ray.stages.multimodal import decode_images
 
-    media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "image")
+    media = _media_ds(sf_dir).filter(expr="media_type == 'image'")
     out = decode_images(media).to_pandas()
     return out[["media_id", "height", "width"]].sort_values(
         "media_id", ignore_index=True
@@ -1584,7 +1584,7 @@ def _q_media_image_stats(sf_dir: str):
     decode the BMP payload to reproduce the recorded pixel sum."""
     from graphlite_ray.stages.multimodal import decode_images
 
-    media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "image")
+    media = _media_ds(sf_dir).filter(expr="media_type == 'image'")
     return decode_images(media).to_pandas().sort_values("media_id", ignore_index=True)
 
 
@@ -1603,7 +1603,7 @@ def _q_media_audio_energy(sf_dir: str):
     energies are bit-identical to encode-side)."""
     from graphlite_ray.stages.multimodal import sample_audio_frames
 
-    media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "audio")
+    media = _media_ds(sf_dir).filter(expr="media_type == 'audio'")
     out = sample_audio_frames(media, every_n=4).to_pandas()
     out["energy"] = _round_half_away(out["energy"], 4)
     return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
@@ -1614,7 +1614,7 @@ def _q_media_video_frames(sf_dir: str):
     DuckDB-oracled against the encoder's recorded per-frame means."""
     from graphlite_ray.stages.multimodal import sample_video_frames
 
-    media = _media_ds(sf_dir).filter(lambda r: r["media_type"] == "video")
+    media = _media_ds(sf_dir).filter(expr="media_type == 'video'")
     out = sample_video_frames(media, every_n=2).to_pandas()
     out["mean_intensity"] = _round_half_away(out["mean_intensity"], 4)
     return out.sort_values(["media_id", "frame_idx"], ignore_index=True)
