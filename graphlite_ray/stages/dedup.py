@@ -201,19 +201,43 @@ class DedupResult:
     clusters: pd.DataFrame     # (doc_id, cluster_rep) for docs in any cluster
     n_candidates: int
 
-    def representatives(self, docs: "ray.data.Dataset", id_col: str = "doc_id"):
-        """Filter the corpus to cluster representatives + non-duplicates."""
-        drop = set(self.clusters[self.clusters["doc_id"] != self.clusters["cluster_rep"]]["doc_id"])
-        ref = ray.put(drop)
+    def representatives(
+        self,
+        docs: "ray.data.Dataset",
+        id_col: str = "doc_id",
+        broadcast_max: int = 1_000_000,
+        work_dir: str | None = None,
+    ):
+        """Filter the corpus to cluster representatives + non-duplicates.
+        Size-gated like `decontaminate` (r5): the drop-id set broadcasts
+        under `broadcast_max`, streams through `anti_join_bucketed`
+        beyond — a heavily duplicated web corpus drops a large fraction
+        of itself."""
+        drop_df = self.clusters[
+            self.clusters["doc_id"] != self.clusters["cluster_rep"]
+        ][["doc_id"]]
+        if len(drop_df) <= broadcast_max:
+            ref = ray.put(set(drop_df["doc_id"]))
 
-        class _Filter:
-            def __init__(self):
-                self.drop = ray.get(ref)
+            class _Filter:
+                def __init__(self):
+                    self.drop = ray.get(ref)
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                return batch[~batch[id_col].isin(self.drop)]
+                def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                    return batch[~batch[id_col].isin(self.drop)]
 
-        return docs.map_batches(_Filter, batch_format="pandas", concurrency=(1, 4))
+            return docs.map_batches(
+                _Filter, batch_format="pandas", concurrency=(1, 4)
+            )
+        import tempfile
+
+        from graphlite_ray.pipelines.joins import anti_join_bucketed
+
+        work = work_dir or tempfile.mkdtemp(prefix="glr_reps_", dir="/tmp")
+        drop_ds = ray.data.from_arrow(
+            pa.table({id_col: drop_df["doc_id"].to_numpy().astype(np.int64)})
+        )
+        return anti_join_bucketed(docs, id_col, drop_ds, id_col, work)
 
 
 def _cluster(pairs: pd.DataFrame) -> pd.DataFrame:

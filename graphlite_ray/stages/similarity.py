@@ -275,6 +275,95 @@ def build_ivf_index(
     return C
 
 
+def ivf_add_vectors(
+    index_dir: str,
+    emb: "ray.data.Dataset",
+    replicas: int = 2,
+    delta_id: str | None = None,
+) -> dict:
+    """Incremental IVF update (the vector-side sibling of
+    `state/csr.add_edges`, r5): assign NEW vectors against the EXISTING
+    centroids (same top-`replicas` multi-assignment rule as the build)
+    and append them into the touched cluster files — per-cluster merge,
+    no retrain, no rebuild, untouched clusters never read. The centroids
+    are the index's frozen quantizer; recall drifts only as the data
+    distribution drifts (standard IVF practice — retrain with
+    `build_ivf_index` when it does).
+
+    Crash-safe per cluster when `delta_id` is given: `delta_<id>_c{c}.done`
+    markers skip already-merged clusters on a re-run (without it, a re-run
+    double-appends). Returns {"clusters_touched": n, "rows_added": m}."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data  # noqa: F401
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    c_ref = ray.put(C)
+    R = max(1, min(replicas, len(C)))
+
+    class _Assign:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.select(["vec_id", "embedding"])
+            V = _normalize(list_col_to_matrix(t["embedding"]).astype(np.float64))
+            S = V @ self.C.T
+            if R == 1:
+                return t.append_column(
+                    "cluster", pa.array(np.argmax(S, axis=1).astype(np.int64))
+                )
+            top = np.argpartition(-S, R - 1, axis=1)[:, :R]
+            idx = np.repeat(np.arange(t.num_rows), R)
+            rep = t.take(pa.array(idx))
+            return rep.append_column(
+                "cluster", pa.array(top.reshape(-1).astype(np.int64))
+            )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        c = int(g["cluster"][0].as_py())
+        marker = (
+            os.path.join(index_dir, f"delta_{delta_id}_c{c}.done")
+            if delta_id is not None
+            else None
+        )
+        if marker is not None and os.path.exists(marker):
+            return pa.table({"cluster": [c], "n": [0]})
+        new = g.select(["vec_id", "embedding"])
+        path = os.path.join(index_dir, f"cluster_{c}.parquet")
+        if os.path.exists(path):
+            old = pq.read_table(path)
+            new = pa.concat_tables([old, new.cast(old.schema)])
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(new, tmp)
+        os.replace(tmp, path)
+        if marker is not None:
+            with open(marker, "w") as f:
+                f.write("ok")
+        return pa.table({"cluster": [c], "n": [g.num_rows]})
+
+    stats = (
+        emb.map_batches(
+            _Assign, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+        )
+        .groupby("cluster")
+        .map_groups(_merge, batch_format="pyarrow")
+        .take_all()
+    )
+    if delta_id is not None:
+        for c in range(len(C)):
+            m = os.path.join(index_dir, f"delta_{delta_id}_c{c}.done")
+            if os.path.exists(m):
+                os.remove(m)
+    return {
+        "clusters_touched": len(stats),
+        "rows_added": int(sum(r["n"] for r in stats)),
+    }
+
+
 def knn_ivf_indexed(
     index_dir: str,
     queries: np.ndarray,

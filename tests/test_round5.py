@@ -448,3 +448,125 @@ def test_minhash_streaming_empty_corpus(ray_session, work_dir):
     )
     pairs_ds, clusters_ds = minhash_dedup_streaming(docs, work_dir)
     assert pairs_ds.count() == 0 and clusters_ds.count() == 0
+
+
+def test_representatives_bucketed_path_matches_broadcast(ray_session, work_dir):
+    from graphlite_ray.stages.dedup import minhash_dedup
+
+    base = "shared sentence body for every duplicate document in this set"
+    rows = [{"doc_id": i, "text": f"{base} v{i % 5}"} for i in range(25)]
+    docs = ray.data.from_items(rows)
+    res = minhash_dedup(docs, threshold=0.5)
+    assert len(res.clusters) > 0
+    kept_b = (
+        res.representatives(docs).to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    kept_s = (
+        res.representatives(docs, broadcast_max=0, work_dir=work_dir)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(kept_b, kept_s)
+    assert len(kept_b) < len(rows)
+
+
+# ------------------------------------------------- incremental IVF add
+
+
+def test_ivf_add_vectors_equals_full_build_search(ray_session, tmp_path):
+    """Index half the corpus, ivf_add the rest with the SAME frozen
+    centroids: searches must return identical top-k to a one-shot index
+    built from those centroids (same quantizer => same cluster files up
+    to row order; knn dedups and ranks deterministically)."""
+    import pyarrow as pa
+
+    from graphlite_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_add_vectors,
+        knn_ivf_indexed,
+    )
+
+    rng = np.random.RandomState(0)
+    V = rng.standard_normal((400, 16)).astype(np.float32)
+
+    def _ds(lo, hi):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": np.arange(lo, hi, dtype=np.int64),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(V[lo:hi].reshape(-1), pa.float32()), 16
+                    ),
+                }
+            )
+        )
+
+    full_dir = str(tmp_path / "full")
+    build_ivf_index(_ds(0, 400), full_dir, n_clusters=8)
+
+    inc_dir = str(tmp_path / "inc")
+    build_ivf_index(_ds(0, 200), inc_dir, n_clusters=8)
+    # same centroids by construction? No — the sample differs. Freeze the
+    # quantizer: overwrite inc centroids with the full index's, re-add all
+    # rows missing from inc via the incremental path after clearing files.
+    import os, shutil
+
+    for f in os.listdir(inc_dir):
+        os.remove(os.path.join(inc_dir, f))
+    shutil.copy(
+        os.path.join(full_dir, "centroids.npy"),
+        os.path.join(inc_dir, "centroids.npy"),
+    )
+    r1 = ivf_add_vectors(inc_dir, _ds(0, 200), delta_id="d1")
+    r2 = ivf_add_vectors(inc_dir, _ds(200, 400), delta_id="d2")
+    assert r1["rows_added"] > 0 and r2["rows_added"] > 0
+
+    Q = V[:3].astype(np.float64)
+    a = knn_ivf_indexed(full_dir, Q, k=5, nprobe=8)
+    b = knn_ivf_indexed(inc_dir, Q, k=5, nprobe=8)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"], ignore_index=True),
+        b.sort_values(["query_id", "rank"], ignore_index=True),
+    )
+
+
+def test_ivf_add_vectors_idempotent_with_delta_id(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from graphlite_ray.stages.similarity import build_ivf_index, ivf_add_vectors
+
+    rng = np.random.RandomState(1)
+    V = rng.standard_normal((100, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(100, dtype=np.int64),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.reshape(-1), pa.float32()), 8
+                ),
+            }
+        )
+    )
+    d = str(tmp_path / "idx")
+    build_ivf_index(ds, d, n_clusters=4)
+    import pyarrow.parquet as pq
+
+    def _total():
+        return sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.startswith("cluster_")
+        )
+
+    before = _total()
+    ivf_add_vectors(d, ds, delta_id="s1")
+    mid = _total()
+    assert mid > before
+    # crash after merge, before marker cleanup: markers present -> no-op
+    for c in range(4):
+        with open(os.path.join(d, f"delta_s1_c{c}.done"), "w") as f:
+            f.write("ok")
+    ivf_add_vectors(d, ds, delta_id="s1")
+    assert _total() == mid
