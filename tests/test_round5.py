@@ -241,7 +241,7 @@ def _rand_edges(n, seed, weighted=False):
     return pd.DataFrame(cols)
 
 
-@pytest.mark.parametrize("weighted,sym", [(False, False), (True, False), (False, True)])
+@pytest.mark.parametrize("weighted,sym", [(False, False), (True, False), (False, True), (True, True)])
 def test_add_edges_merge_equals_one_shot_build(ray_session, tmp_path, weighted, sym):
     from graphlite_ray.state.csr import add_edges, build_graph_shards, load_graph_meta
 
