@@ -1231,6 +1231,22 @@ def _q_emb_text_near_dup(sf_dir: str):
     return out.astype({"a": "int64", "b": "int64"})
 
 
+_MIX_RATES = {"src0": 100, "src1": 70, "src2": 30, "src3": 5}  # others: 10
+
+
+def _q_doc_weighted_mix(sf_dir: str):
+    """Domain-weighted corpus mixing (stages/curation.weighted_mix): fixed
+    per-source keep percentages over the shared Knuth sampling hash —
+    leakage-free, shuffle-free, exactly SQL-replayable."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.curation import weighted_mix
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return weighted_mix(docs, _MIX_RATES, label_col="source", default_pct=10)
+
+
 def _q_doc_quality_sqlable(sf_dir: str):
     import ray.data
 
@@ -2076,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_rollup": _q_props_rollup,
         "doc_token_count": _q_doc_tokens,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_weighted_mix": _q_doc_weighted_mix,
         "doc_embed_text": _q_doc_embed_text,
         "emb_text_near_dup": _q_emb_text_near_dup,
         "doc_quality": _q_doc_quality_sqlable,
@@ -3925,6 +3942,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id FROM documents "
             "WHERE (doc_id * 2654435761) % 4294967296 % 100 < 5"
+        ),
+        "doc_weighted_mix": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 % 100 < CASE source "
+            + " ".join(
+                f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items())
+            )
+            + " ELSE 10 END ORDER BY doc_id"
         ),
         "doc_span_dedup": (
             # unnest 8-token chunks with position; keep-first replay via

@@ -122,3 +122,44 @@ def corpus_shuffle(
     ordered = keyed.sort("shuffle_key").materialize()  # scan contract
     scanned = exclusive_prefix_sum(ordered, "shuffle_key", "__one", out_col="position")
     return scanned.drop_columns(["__one"])
+
+
+def weighted_mix(
+    docs: "ray.data.Dataset",
+    rates: dict[str, int],
+    label_col: str = "source",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic DOMAIN-WEIGHTED corpus mixing — the data-mixing step
+    that sets per-source sampling rates before training (e.g. wiki 100%,
+    web 30%, forums 5%). Each row keeps iff
+
+        (id * KNUTH) mod 2^32 mod 100 < rates[label]
+
+    the shared Knuth sampling hash (`HashSampler` / `doc_sample` oracle),
+    so the mix is leakage-free, resumable (same rows kept on every run and
+    partition layout), composable with the split assigner (independent
+    streams would need a distinct salt), and exactly SQL-replayable.
+    Labels absent from `rates` keep `default_pct` percent. One streaming
+    pass, no shuffle."""
+    items = sorted(rates.items())
+    ref = ray.put(items)
+
+    class _Mix:
+        def __init__(self):
+            self.rates = dict(ray.get(ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (ids * np.uint64(KNUTH)) % np.uint64(KNUTH_MOD) % np.uint64(100)
+            labels = t[label_col].to_pylist()
+            pct = np.fromiter(
+                (self.rates.get(l, default_pct) for l in labels),
+                np.uint64,
+                len(labels),
+            )
+            return t.filter(pa.array(h < pct))
+
+    return docs.map_batches(_Mix, batch_format="pyarrow", concurrency=(1, 8))

@@ -575,3 +575,31 @@ def test_ivf_add_vectors_idempotent_with_delta_id(ray_session, tmp_path):
             f.write("ok")
     ivf_add_vectors(d, ds, delta_id="s1")
     assert _total() == mid
+
+
+# --------------------------------------------------- weighted corpus mix
+
+
+def test_weighted_mix_deterministic_and_rate_correct(ray_session):
+    from graphlite_ray.stages.curation import KNUTH, KNUTH_MOD, weighted_mix
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 3}"} for i in range(3000)
+    ]
+    docs = ray.data.from_items(rows)
+    rates = {"s0": 100, "s1": 50, "s2": 0}
+    out = weighted_mix(docs, rates, label_col="source").to_pandas()
+    # exact membership replay
+    ids = np.arange(3000, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (ids * np.uint64(KNUTH)) % np.uint64(KNUTH_MOD) % np.uint64(100)
+    pct = np.array([rates[f"s{i % 3}"] for i in range(3000)], np.uint64)
+    expect = np.flatnonzero(h < pct)
+    got = np.sort(out["doc_id"].to_numpy())
+    assert np.array_equal(got, expect)
+    # all of s0, none of s2
+    assert (out["source"] == "s2").sum() == 0
+    assert (out["source"] == "s0").sum() == 1000
+    # rerun identical (resumable / leakage-free)
+    out2 = weighted_mix(docs, rates, label_col="source").to_pandas()
+    assert np.array_equal(np.sort(out2["doc_id"].to_numpy()), got)
