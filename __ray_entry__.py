@@ -1231,6 +1231,17 @@ def _q_emb_text_near_dup(sf_dir: str):
     return out.astype({"a": "int64", "b": "int64"})
 
 
+def _q_doc_span_clean(sf_dir: str):
+    """Span dedup returning the CLEANED corpus (duplicate chunks removed,
+    survivors reassembled in position order — stages/dedup.span_dedup_clean);
+    oracle replays keep-first election + string_agg reassembly."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.dedup import span_dedup_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return span_dedup_clean(docs, chunk_tokens=8)
+
+
 _MIX_RATES = {"src0": 100, "src1": 70, "src2": 30, "src3": 5}  # others: 10
 
 
@@ -2086,6 +2097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "doc_shuffle": _q_doc_shuffle,
         "doc_span_dedup": _q_doc_span_dedup,
+        "doc_span_clean": _q_doc_span_clean,
         "doc_sequence_pack": _q_doc_sequence_pack,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_split_counts": _q_doc_split,
@@ -3970,6 +3982,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(a.n_chunks, 0) AS n_chunks, "
             "coalesce(a.kept_chunks, 0) AS kept_chunks "
             "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "doc_span_clean": (
+            # same chunking + keep-first election as doc_span_dedup, then
+            # position-ordered string_agg reassembly of the survivors
+            "WITH toks AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(text, '{_WS}'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "nch AS (SELECT doc_id, ts, "
+            "CAST(ceil(len(ts) / 8.0) AS BIGINT) AS nc FROM toks), "
+            "pos AS (SELECT doc_id, ts, unnest(range(nc)) AS p FROM nch), "
+            "chunks AS (SELECT doc_id, p, array_to_string("
+            "list_slice(ts, p * 8 + 1, p * 8 + 8), ' ') AS chunk FROM pos), "
+            "ranked AS (SELECT doc_id, p, chunk, row_number() OVER ("
+            "PARTITION BY chunk ORDER BY doc_id, p) AS rn FROM chunks), "
+            "clean AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY p) "
+            "AS clean_text FROM ranked WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text "
+            "FROM documents d LEFT JOIN clean c USING (doc_id) "
+            "ORDER BY d.doc_id"
         ),
         "doc_shuffle": (
             # seeded knuth31 high bits + id low bits; rank replayed by

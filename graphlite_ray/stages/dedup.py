@@ -1108,3 +1108,83 @@ def span_dedup(
         return out.astype({"n_chunks": "int64", "kept_chunks": "int64"})
 
     return grouped_map_bucketed(partials.union(zeros), ["doc_id"], _fold, B=8)
+
+
+def span_dedup_clean(
+    docs: "ray.data.Dataset",
+    chunk_tokens: int = 16,
+    B: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Span dedup that RETURNS THE CLEANED CORPUS (r5 — `span_dedup` is
+    the counting sibling): duplicate chunk occurrences are REMOVED and
+    each document's surviving chunks are reassembled in position order.
+
+      (doc_id, text) -> (doc_id, clean_text:string)
+
+    one row per input document ('' when every chunk was a duplicate or the
+    doc had no tokens). Same keep-first rule as `span_dedup` (the
+    (doc_id, pos)-smallest occurrence of each exact chunk text survives,
+    corpus-wide). Shape: chunk emit -> ONE bucketed shuffle on chunk text
+    (keeper election) -> ONE bucketed shuffle on doc_id (position-ordered
+    reassembly, folded with the all-docs empty rows). Both exchanges are
+    the same volume class as `exact_dedup`'s content-hash shuffle."""
+    from graphlite_ray.functions.grouping import auto_bucket_count
+    from graphlite_ray.functions.tokenize import tokens
+
+    if B is None:
+        B = auto_bucket_count(docs)
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        out_id, out_pos, out_chunk = [], [], []
+        for i, s in zip(ids, texts):
+            ts = tokens(s)
+            for p in range(0, len(ts), chunk_tokens):
+                out_id.append(i)
+                out_pos.append(p // chunk_tokens)
+                out_chunk.append(" ".join(ts[p : p + chunk_tokens]))
+        return pa.table(
+            {
+                "doc_id": np.array(out_id, np.int64),
+                "pos": np.array(out_pos, np.int64),
+                "chunk": out_chunk,
+            }
+        )
+
+    def _keepers(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["chunk", "doc_id", "pos"], kind="mergesort")
+        first = np.ones(len(s), bool)
+        first[1:] = s["chunk"].to_numpy()[1:] != s["chunk"].to_numpy()[:-1]
+        return s[first][["doc_id", "pos", "chunk"]]
+
+    kept = grouped_map_bucketed(
+        docs.map_batches(_chunks, batch_format="pyarrow"), ["chunk"], _keepers, B
+    )
+
+    def _markers(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                "pos": np.full(n, -1, np.int64),  # assemble-time sentinel
+                "chunk": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def _assemble(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["pos"] >= 0].sort_values(["doc_id", "pos"], kind="mergesort")
+        texts = real.groupby("doc_id")["chunk"].agg(" ".join)
+        all_ids = np.unique(g["doc_id"].to_numpy())
+        out = pd.DataFrame({"doc_id": all_ids})
+        out["clean_text"] = texts.reindex(all_ids).fillna("").to_numpy()
+        return out
+
+    return grouped_map_bucketed(
+        kept.union(docs.map_batches(_markers, batch_format="pyarrow")),
+        ["doc_id"],
+        _assemble,
+        B=8,
+    )

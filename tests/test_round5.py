@@ -603,3 +603,30 @@ def test_weighted_mix_deterministic_and_rate_correct(ray_session):
     # rerun identical (resumable / leakage-free)
     out2 = weighted_mix(docs, rates, label_col="source").to_pandas()
     assert np.array_equal(np.sort(out2["doc_id"].to_numpy()), got)
+
+
+# ---------------------------------------------------- span-clean corpus
+
+
+def test_span_dedup_clean_removes_duplicate_spans(ray_session):
+    from graphlite_ray.stages.dedup import span_dedup_clean
+
+    boiler = "one two three four"  # 4-token chunk with chunk_tokens=4
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": f"{boiler} alpha beta gamma delta"},
+            {"doc_id": 2, "text": f"{boiler} epsilon zeta eta theta"},
+            {"doc_id": 3, "text": ""},
+        ]
+    )
+    out = (
+        span_dedup_clean(docs, chunk_tokens=4)
+        .to_pandas()
+        .set_index("doc_id")["clean_text"]
+        .sort_index()
+    )
+    # doc 1 owns the boilerplate chunk (smallest (doc_id, pos)); doc 2's
+    # copy is removed, its unique chunk survives
+    assert out.loc[1] == f"{boiler} alpha beta gamma delta"
+    assert out.loc[2] == "epsilon zeta eta theta"
+    assert out.loc[3] == ""
