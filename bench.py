@@ -423,7 +423,31 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             ),
         )
         _timed("minhash_dedup", lambda: minhash_dedup(docs, threshold=0.8))
+
+        def _minhash_stream():
+            from graphlite_ray.stages.dedup import minhash_dedup_streaming
+
+            p, c = minhash_dedup_streaming(
+                docs, f"{work}/mhs", threshold=0.8
+            )
+            return c.count()
+
+        _timed("minhash_stream", _minhash_stream)
         _timed("simhash_dedup", lambda: simhash_dedup(docs, max_hamming=3))
+
+        from graphlite_ray.stages.curation import weighted_mix
+        from graphlite_ray.stages.dedup import span_dedup_clean
+
+        docs_src = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        _timed(
+            "weighted_mix",
+            lambda: weighted_mix(
+                docs_src, {"src0": 100, "src1": 70, "src2": 30}, default_pct=10
+            ).count(),
+        )
+        _timed("span_clean", lambda: span_dedup_clean(docs, chunk_tokens=8).count())
 
         def _cluster_distributed():
             # the BSP clustering tail at >guard scale: 150k docs in 100k
