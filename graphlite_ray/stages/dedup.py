@@ -718,23 +718,12 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
-def simhash_dedup(
-    docs: "ray.data.Dataset",
-    max_hamming: int = 3,
-    max_band_pairs: int = 2_000_000,
-) -> DedupResult:
-    """SimHash near-dedup: block on each of four 16-bit bands (any pair
-    within Hamming<=3 of 64 bits shares at least one exact 16-bit band by
-    pigeonhole... with 4 bands that guarantees Hamming<=3), verify
-    Hamming distance on the full signature.
-
-    The Hamming verify runs INSIDE the band-bucket tasks (both signatures
-    are already co-located there), so the driver only ever receives
-    verified duplicate pairs — never the raw candidate list. A corpus of
-    templated/boilerplate pages collides entire 16-bit bands and the
-    candidate count grows quadratically; `max_band_pairs` guards each
-    bucket task and raises (tune bands or pre-dedup exact copies) instead
-    of silently grinding."""
+def _simhash_scored(
+    docs: "ray.data.Dataset", max_hamming: int, max_band_pairs: int
+) -> "ray.data.Dataset":
+    """Shared core of both simhash paths: band blocking + IN-BUCKET
+    Hamming verify -> Dataset of verified (a, b, score) rows plus one
+    marker row (a=b=-1, score=candidate count) per bucket."""
     sh = docs.map_batches(
         SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
@@ -797,15 +786,33 @@ def simhash_dedup(
         outs.append(marker)
         return pd.concat(outs, ignore_index=True)
 
-    scored = (
-        grouped_map_bucketed(
-            sh.map_batches(_bands, batch_format="pandas"),
-            ["band", "band_hash"],
-            _verified_frame,
-            B=32,
-        )
-        .to_pandas()
+    return grouped_map_bucketed(
+        sh.map_batches(_bands, batch_format="pandas"),
+        ["band", "band_hash"],
+        _verified_frame,
+        B=32,
     )
+
+
+def simhash_dedup(
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    max_band_pairs: int = 2_000_000,
+) -> DedupResult:
+    """SimHash near-dedup: block on each of four 16-bit bands (any pair
+    within Hamming<=3 of 64 bits shares at least one exact 16-bit band by
+    pigeonhole... with 4 bands that guarantees Hamming<=3), verify
+    Hamming distance on the full signature.
+
+    The Hamming verify runs INSIDE the band-bucket tasks (both signatures
+    are already co-located there), so the driver only ever receives
+    verified duplicate pairs — never the raw candidate list. A corpus of
+    templated/boilerplate pages collides entire 16-bit bands and the
+    candidate count grows quadratically; `max_band_pairs` guards each
+    bucket task and raises (tune bands or pre-dedup exact copies) instead
+    of silently grinding. Fully streaming sibling:
+    `simhash_dedup_streaming`."""
+    scored = _simhash_scored(docs, max_hamming, max_band_pairs).to_pandas()
     if not {"a", "b", "score"} <= set(scored.columns):  # empty corpus
         scored = pd.DataFrame({"a": [], "b": [], "score": []})
     markers = scored[scored["a"] == -1]
@@ -1188,3 +1195,58 @@ def span_dedup_clean(
         _assemble,
         B=8,
     )
+
+
+def simhash_dedup_streaming(
+    docs: "ray.data.Dataset",
+    work_dir: str,
+    max_hamming: int = 3,
+    max_band_pairs: int = 2_000_000,
+):
+    """Fully STREAMING SimHash near-dedup (r5, mirror of
+    `minhash_dedup_streaming`): verified pairs stay a Dataset — global
+    pair dedup is one bucketed shuffle, pairs land as partitioned parquet
+    (resumable), clustering is the ConnectedComponents BSP. Returns
+    (pairs, clusters) Datasets."""
+    import shutil
+
+    scored = _simhash_scored(docs, max_hamming, max_band_pairs)
+
+    def _drop_markers(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(a != -1))
+
+    dups = grouped_map_bucketed(
+        scored.map_batches(_drop_markers, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda g: g.drop_duplicates(["a", "b"]),
+        B=16,
+    )
+    pairs_dir = os.path.join(work_dir, "dup_pairs")
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    os.makedirs(pairs_dir, exist_ok=True)
+    dups.write_parquet(pairs_dir)
+    files = [f for f in os.listdir(pairs_dir) if f.endswith(".parquet")]
+    if not files:
+        empty_pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+        empty_cl = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_rep": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return empty_pairs, empty_cl
+    clusters = cluster_pairs_distributed(
+        ray.data.read_parquet(pairs_dir), work_dir=os.path.join(work_dir, "cluster")
+    )
+    return ray.data.read_parquet(pairs_dir), clusters

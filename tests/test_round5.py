@@ -630,3 +630,29 @@ def test_span_dedup_clean_removes_duplicate_spans(ray_session):
     assert out.loc[1] == f"{boiler} alpha beta gamma delta"
     assert out.loc[2] == "epsilon zeta eta theta"
     assert out.loc[3] == ""
+
+
+def test_simhash_streaming_matches_driver_path(ray_session, work_dir):
+    from graphlite_ray.stages.dedup import simhash_dedup, simhash_dedup_streaming
+
+    rng = np.random.RandomState(9)
+    words = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(30):
+        base = [words[rng.randint(0, 300)] for _ in range(60)]
+        rows.append({"doc_id": 2 * i, "text": " ".join(base)})
+        edited = list(base)
+        edited[0] = "CHANGED"
+        rows.append({"doc_id": 2 * i + 1, "text": " ".join(edited)})
+    docs = ray.data.from_items(rows)
+    drv = simhash_dedup(docs, max_hamming=3)
+    pairs_ds, clusters_ds = simhash_dedup_streaming(docs, work_dir, max_hamming=3)
+    sp = pairs_ds.to_pandas().sort_values(["a", "b"], ignore_index=True)
+    dp = drv.pairs.sort_values(["a", "b"], ignore_index=True)
+    assert len(dp) > 0
+    pd.testing.assert_frame_equal(
+        sp.astype({"a": "int64", "b": "int64"}), dp, check_like=True
+    )
+    sc = clusters_ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    dc = drv.clusters.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(sc.astype("int64"), dc)
