@@ -93,6 +93,57 @@ def _q_pagerank(sf_dir: str):
     return df
 
 
+def _q_incremental_pagerank(sf_dir: str):
+    """PageRank over an INCREMENTALLY built graph: CSR shards are built
+    from half the staged edges (deterministic (src + dst) % 2 split), then
+    the other half is delta-merged with `state.csr.add_edges` — the
+    new-crawl-snapshot path: per-partition merge, no full rebuild,
+    crash-safe via per-partition delta markers. Shard bytes are a pure
+    function of the edge multiset (canonical sort in `_write_shard`), so
+    the merged graph is bit-identical to the one-shot build and the SAME
+    exact recursive-CTE PageRank oracle applies."""
+    import ray.data
+
+    from graphlite_ray.engine import run_bsp
+    from graphlite_ray.pipelines.linkgraph import _done, _mark_done, prepare_edges
+    from graphlite_ray.programs import BUILTIN_PROGRAMS
+    from graphlite_ray.state import storage
+    from graphlite_ray.state.csr import add_edges, build_graph_shards
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    graph_dir = storage.join(work, "graph_incr")
+
+    def _half(parity: int):
+        def _f(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            m = ((src + dst) % 2) == parity
+            return pa.table({"src": src[m], "dst": dst[m]})
+
+        return _f
+
+    if not _done(graph_dir):
+        base = ray.data.read_parquet(
+            edges_dir, columns=["src", "dst"]
+        ).map_batches(_half(0), batch_format="pyarrow")
+        build_graph_shards(base, 8, graph_dir)
+        delta = ray.data.read_parquet(
+            edges_dir, columns=["src", "dst"]
+        ).map_batches(_half(1), batch_format="pyarrow")
+        add_edges(graph_dir, delta, delta_id="snap2")
+        _mark_done(graph_dir)
+    res = run_bsp(
+        BUILTIN_PROGRAMS["pagerank"](),
+        graph_dir,
+        storage.join(work, "ckpt_pagerank_incr"),
+        resume=True,
+    )
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    df["value"] = _round_half_away(df["value"], 6)
+    return df
+
+
 def _q_cc(sf_dir: str):
     from graphlite_ray.pipelines.linkgraph import run_algorithm
 
@@ -2012,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # link-graph engine (recursive-CTE DuckDB oracles + pytest parity)
         "pagerank": _q_pagerank,
+        "graph_incremental_pagerank": _q_incremental_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
         "connected_components": _q_cc,
         "label_propagation": _q_lpa,
@@ -3145,6 +3197,9 @@ def oracle_sql() -> dict[str, str]:
         # --- iterative graph algorithms: recursive-CTE replays of the
         # engine's recurrence + halt rule (see the builder docstrings) -----
         "pagerank": _pagerank_oracle_sql(edges_glob, weighted=False),
+        # incremental build (half + delta-merge) is bit-identical to the
+        # one-shot build, so the identical fixpoint replay oracles it
+        "graph_incremental_pagerank": _pagerank_oracle_sql(edges_glob, weighted=False),
         "weighted_pagerank": _pagerank_oracle_sql(edges_glob, weighted=True),
         "host_pagerank": _pagerank_oracle_sql(
             host_glob, weighted=False, src="src_host", dst="dst_host",
