@@ -1934,6 +1934,41 @@ def _q_doc_contamination(sf_dir: str):
     return out.to_pandas().sort_values("doc_id", ignore_index=True)
 
 
+_BLOOM_M = 1 << 13  # bits; small on purpose at test scale so FALSE
+_BLOOM_NH = 4  # POSITIVES occur and the SQL replay is exercised on them
+
+
+def _q_doc_bloom_contamination(sf_dir: str):
+    """Bloom-filter decontamination scores: the fixed-memory variant of
+    `doc_contamination` — the benchmark shingle set is compressed to an
+    m-bit Bloom bitmap (m/8 bytes broadcast REGARDLESS of set size; the
+    100-TB path for blocklist-scale reference sets), and bloom_frac counts
+    shingles whose n_hashes double-hashed bits are all set. DuckDB-oracled
+    EXACTLY: the FNV shingle hash and the (h1 + j*h2) mod m positions are
+    replayed in SQL, so the oracle reproduces the same false positives
+    bit-for-bit."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.contamination import (
+        bloom_build,
+        bloom_contamination_scores,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _slice(eq: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if eq else ~m))
+
+        return _f
+
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    train = docs.map_batches(_slice(False), batch_format="pyarrow")
+    bm = bloom_build(bench, m_bits=_BLOOM_M, n_hashes=_BLOOM_NH, k=5)
+    out = bloom_contamination_scores(train, bm, _BLOOM_M, n_hashes=_BLOOM_NH, k=5)
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 def _pii_planted_text(d: int) -> str:
     """Deterministic PII-bearing text derived from doc_id — constructed
     with the IDENTICAL formula in the SQL oracle so both sides scan the
@@ -2145,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_repetition": _q_doc_repetition,
         "doc_contamination": _q_doc_contamination,
+        "doc_bloom_contamination": _q_doc_bloom_contamination,
         "doc_pii_scan": _q_doc_pii_scan,
         "doc_sample": _q_doc_sample,
         "doc_shuffle": _q_doc_shuffle,
@@ -2849,6 +2885,48 @@ def _fnv_tok_sql(prefix_byte: int) -> str:
         f"list_reduce(list_concat([{OFF}], "
         f"list_transform(list_concat([{int(prefix_byte)},0,0,0,0,0,0,0], {utf8}), "
         f"x -> x::HUGEINT)), (acc, byte) -> {step})"
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    """Exact replay of the Bloom-filter decontamination
+    (`stages/contamination.py::bloom_build/_bloom_positions`): 5-gram
+    shingles -> FNV-1a-64 (same fold as the pipeline) -> h1 = top 32 bits,
+    h2 = low 32 bits forced odd -> n_hashes positions (h1 + j*h2) mod m.
+    m is a power of two and h2 is odd, so one shingle's positions are
+    pairwise distinct — membership is therefore `count(matched bloom
+    positions) = n_hashes`. False positives reproduce identically on both
+    sides."""
+    m, nh = _BLOOM_M, _BLOOM_NH
+    fnv = _fnv_tok_sql(42)
+    return (
+        f"WITH toks AS (SELECT doc_id, list_filter("
+        f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '') AS t "
+        "FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) < 5 "
+        "THEN [array_to_string(t, ' ')] "
+        "ELSE list_transform(generate_series(1, len(t) - 4), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] "
+        "|| ' ' || t[i+4]) END AS shingles FROM toks WHERE len(t) > 0), "
+        "ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh), "
+        f"hh AS (SELECT doc_id, tok, {fnv} AS h FROM ex), "
+        "hp AS (SELECT doc_id, tok, "
+        "CAST(h // 4294967296 AS BIGINT) AS h1, "
+        "CAST(h % 4294967296 AS BIGINT) | 1 AS h2 FROM hh), "
+        f"pos AS (SELECT doc_id, tok, unnest(list_transform("
+        f"generate_series(0, {nh - 1}), j -> (h1 + j * h2) % {m})) AS p "
+        "FROM hp), "
+        "bloom AS (SELECT DISTINCT p FROM pos WHERE doc_id % 97 = 0), "
+        "tp AS (SELECT doc_id, tok, p FROM pos WHERE doc_id % 97 <> 0), "
+        "hits AS (SELECT tp.doc_id, tp.tok, count(b.p) AS nb "
+        "FROM tp LEFT JOIN bloom b ON tp.p = b.p GROUP BY tp.doc_id, tp.tok), "
+        f"tot AS (SELECT doc_id, count(*) AS n, "
+        f"sum(CASE WHEN nb = {nh} THEN 1 ELSE 0 END) AS hit "
+        "FROM hits GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(CAST(t.hit AS DOUBLE) / t.n, 0.0) "
+        "AS bloom_frac "
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d "
+        "LEFT JOIN tot t ON d.doc_id = t.doc_id ORDER BY d.doc_id"
     )
 
 
@@ -3997,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN tot ON d.doc_id = tot.doc_id "
             "LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
         ),
+        "doc_bloom_contamination": _bloom_oracle_sql(),
         "doc_pii_scan": _pii_oracle_sql(),
         "doc_heavy_hitters": (
             # list_filter (not trim) so leading tabs/newlines can't yield a

@@ -82,6 +82,93 @@ def contamination_scores(
     )
 
 
+def _bloom_positions(h: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """(n_hashes, n) int64 bit positions via Kirsch-Mitzenmacher double
+    hashing: pos_j = (h1 + j*h2) mod m with h1 = top 32 bits of the shingle
+    hash, h2 = low 32 bits forced odd. With `m_bits` a power of two and h2
+    odd, h2 is invertible mod m, so one key's n_hashes positions are
+    PAIRWISE DISTINCT — the SQL oracle's count-based membership
+    (hits == n_hashes) relies on this."""
+    h1 = (h >> np.uint64(32)).astype(np.int64)
+    h2 = ((h & np.uint64(0xFFFFFFFF)) | np.uint64(1)).astype(np.int64)
+    j = np.arange(n_hashes, dtype=np.int64)[:, None]
+    return (h1[None, :] + j * h2[None, :]) % np.int64(m_bits)
+
+
+def bloom_build(
+    bench_docs: "ray.data.Dataset",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Packed Bloom bitmap (uint8, m_bits/8 bytes) of the benchmark
+    corpus's k-gram shingle hashes.
+
+    Scale shape: `benchmark_shingle_hashes` broadcasts the FULL distinct
+    hash set (8 bytes/shingle — fine for eval sets, GBs for a
+    hundreds-of-millions-shingle blocklist); the Bloom variant caps the
+    broadcast at m_bits/8 bytes REGARDLESS of set size, trading a
+    deterministic, oracle-replayable false-positive rate (conservative:
+    FPs only ever DROP extra training docs). Per-block partial bitmaps are
+    OR-merged on the driver — n_blocks × m_bits/8 bytes of driver traffic,
+    not the shingle set."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h, _, _ = _batch_shingle_hashes(batch[text_col].tolist(), k)
+        bm = np.zeros(m_bits // 8, np.uint8)
+        if h.size:
+            pos = _bloom_positions(np.unique(h), m_bits, n_hashes).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bm": [bm.tobytes()]})
+
+    out = np.zeros(m_bits // 8, np.uint8)
+    for row in bench_docs.map_batches(_partial, batch_format="pandas").take_all():
+        out |= np.frombuffer(row["bm"], np.uint8)
+    return out
+
+
+def bloom_contamination_scores(
+    docs: "ray.data.Dataset",
+    bitmap: np.ndarray,
+    m_bits: int,
+    n_hashes: int = 4,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_id, bloom_frac): per document, the fraction of its DISTINCT
+    k-gram shingles whose n_hashes Bloom bits are ALL set in `bitmap` —
+    the fixed-memory analog of `contamination_scores` (bloom_frac >=
+    contaminated_frac always; the gap is the false-positive mass, which
+    the DuckDB oracle replays bit-for-bit since the positions are pure
+    integer arithmetic on the shingle hash)."""
+    ref = ray.put(np.ascontiguousarray(bitmap, np.uint8))
+
+    class _Score:
+        def __init__(self):
+            self.bm = ray.get(ref)  # zero-copy plasma view
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            texts = batch[text_col].tolist()
+            h, starts, counts = _batch_shingle_hashes(texts, k)
+            fracs = np.zeros(len(texts), np.float64)
+            for i in range(len(texts)):
+                if not counts[i]:
+                    continue
+                d = np.unique(h[starts[i] : starts[i] + counts[i]])
+                pos = _bloom_positions(d, m_bits, n_hashes)
+                bits = (self.bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+                fracs[i] = bits.all(axis=0).sum() / len(d)
+            return pd.DataFrame({id_col: batch[id_col], "bloom_frac": fracs})
+
+    return docs.map_batches(
+        _Score, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+    )
+
+
 def decontaminate(
     docs: "ray.data.Dataset",
     bench_docs: "ray.data.Dataset",

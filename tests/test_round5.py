@@ -109,6 +109,42 @@ def test_decontaminate_bucketed_path_matches_broadcast(ray_session, work_dir):
     pd.testing.assert_frame_equal(kept_b, kept_s)
 
 
+def test_bloom_scores_dominate_exact_and_bound_memory(ray_session):
+    """bloom_frac >= contaminated_frac per doc (FPs only ADD hits), exact
+    on the planted overlap docs at a generous m, and the broadcast bitmap
+    is exactly m/8 bytes regardless of the benchmark set size."""
+    from graphlite_ray.stages.contamination import (
+        benchmark_shingle_hashes,
+        bloom_build,
+        bloom_contamination_scores,
+        contamination_scores,
+    )
+
+    docs_rows, bench_rows = _contam_corpus()
+    docs = ray.data.from_items(docs_rows)
+    bench = ray.data.from_items(bench_rows)
+    m_bits = 1 << 12
+    bm = bloom_build(bench, m_bits=m_bits, n_hashes=4, k=5)
+    assert bm.nbytes == m_bits // 8
+    bl = (
+        bloom_contamination_scores(docs, bm, m_bits, n_hashes=4, k=5)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    ex = (
+        contamination_scores(docs, benchmark_shingle_hashes(bench, k=5), k=5)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert (bl["doc_id"] == ex["doc_id"]).all()
+    assert (bl["bloom_frac"] >= ex["contaminated_frac"] - 1e-12).all()
+    planted = ex["contaminated_frac"] > 0.3
+    assert planted.any()
+    # at this fill ratio the planted docs' bloom score includes every
+    # true hit (supersets only)
+    assert (bl.loc[planted, "bloom_frac"] >= ex.loc[planted, "contaminated_frac"]).all()
+
+
 # --------------------------------------------------- BPE tokenizer stage
 
 
