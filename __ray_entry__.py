@@ -1469,6 +1469,41 @@ def _q_emb_knn_ivf(sf_dir: str):
     )
 
 
+def _kmeans_centroids_path(sf_dir: str) -> str:
+    """Stage the deterministic k-means centroids for this sf once
+    (idempotent, pure numpy — no Ray needed so the oracle side can stage
+    lazily); both the assignment actors and the DuckDB oracle read this
+    SAME rounded file."""
+    from graphlite_ray.stages.similarity import fit_centroids_file
+
+    os.makedirs("/tmp/glr_cache", exist_ok=True)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return fit_centroids_file(
+        f"{sf_dir}/embeddings.parquet",
+        f"/tmp/glr_cache/kmeans_c8_s42_{base}.parquet",
+        n_clusters=8,
+        seed=42,
+    )
+
+
+def _q_emb_kmeans(sf_dir: str):
+    """Document clustering: corpus-wide hard k-means assignment (the
+    distributed stage) against driver-fitted staged centroids — exact
+    sibling of the IVF index's assignment step (`emb_knn_ivf` stays
+    approximate-by-design; this query makes the clustering itself
+    hash-exact). Oracle: argmax of SUM(v*w) over the staged centroid
+    table, ties to the lowest cluster id."""
+    from graphlite_ray.stages.similarity import kmeans_assign, read_embeddings
+
+    cpath = _kmeans_centroids_path(sf_dir)
+    emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
+    return (
+        kmeans_assign(emb, cpath)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+
+
 def _q_emb_near_dup(sf_dir: str):
     """EXACT cosine near-dup pairs (block matmul against the broadcast
     corpus matrix) — DuckDB-oracled via list_cosine_similarity."""
@@ -2203,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_simhash_pairs": _q_doc_simhash,
         "emb_knn": _q_emb_knn,
+        "emb_kmeans": _q_emb_kmeans,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
@@ -3680,6 +3716,23 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC"
             ") AS rank FROM embeddings e CROSS JOIN q) "
             "WHERE rank <= 10 ORDER BY query_id, rank"
+        ),
+        "emb_kmeans": (
+            # replay of the corpus-wide assignment against the STAGED
+            # rounded centroid file (the oracle boundary — see
+            # similarity.fit_centroids_file); ties to the lowest cluster
+            "WITH e AS (SELECT vec_id, "
+            "unnest(embedding) AS v, "
+            "unnest(generate_series(1, len(embedding))) AS i "
+            "FROM embeddings), "
+            f"c AS (SELECT cluster, dim, w FROM "
+            f"'{_kmeans_centroids_path(_ORACLE_SF)}'), "
+            "s AS (SELECT e.vec_id, c.cluster, "
+            "SUM(CAST(e.v AS DOUBLE) * c.w) AS s "
+            "FROM e JOIN c ON e.i - 1 = c.dim GROUP BY e.vec_id, c.cluster), "
+            "r AS (SELECT vec_id, cluster, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rk FROM s) "
+            "SELECT vec_id, cluster FROM r WHERE rk = 1 ORDER BY vec_id"
         ),
         "media_image_dims": (
             f"SELECT media_id, "

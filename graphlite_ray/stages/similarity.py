@@ -186,6 +186,86 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 25, seed: int 
     return C
 
 
+def fit_centroids_file(
+    emb_path: str,
+    out_path: str,
+    n_clusters: int = 8,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> str:
+    """Driver-side deterministic k-means fit -> staged long-format
+    (cluster:int64, dim:int64, w:float64) parquet; idempotent (the staged
+    file wins on re-run).
+
+    Centroids are L2-normalized then ROUNDED to 6 decimals before staging:
+    the staged table is the ORACLE BOUNDARY — the distributed assignment
+    and the SQL replay both score the SAME rounded matrix, so exactness
+    does not require replaying the k-means iterations in SQL (the
+    hyperball/embed-weights staging pattern). The sample fit is driver-side
+    by design (same shape as `build_ivf`: k-means on a bounded sample is a
+    constant-size job; the distributed stage is the corpus-wide
+    assignment)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.exists(out_path):
+        return out_path
+    t = pq.read_table(emb_path, columns=["embedding"])
+    X = list_col_to_matrix(t["embedding"]).astype(np.float64)
+    if len(X) > sample_size:
+        rng = np.random.RandomState(seed)
+        X = X[rng.choice(len(X), sample_size, replace=False)]
+    C = np.round(kmeans_fit(X, n_clusters, seed=seed), 6)
+    k, d = C.shape
+    staged = pa.table(
+        {
+            "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), k),
+            "w": C.reshape(-1),
+        }
+    )
+    pq.write_table(staged, out_path + ".tmp")
+    os.replace(out_path + ".tmp", out_path)
+    return out_path
+
+
+def kmeans_assign(
+    emb: "ray.data.Dataset", centroids_path: str, id_col: str = "vec_id"
+) -> "ray.data.Dataset":
+    """(vec_id, cluster): corpus-wide hard assignment against the staged
+    centroid file — the distributed half of k-means document clustering.
+    One broadcast matrix (`ray.put` once, read per actor), one streaming
+    pass, no shuffle. Ties (equal dot product) break to the LOWEST cluster
+    id (np.argmax first-max == the oracle's `ORDER BY s DESC, cluster
+    ASC`)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(centroids_path)
+    k = int(t["cluster"].to_numpy().max()) + 1
+    d = int(t["dim"].to_numpy().max()) + 1
+    C = np.zeros((k, d), np.float64)
+    C[t["cluster"].to_numpy(), t["dim"].to_numpy()] = t["w"].to_numpy()
+    c_ref = ray.put(C)
+
+    class _Assign:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            V = list_col_to_matrix(tb["embedding"]).astype(np.float64)
+            return pa.table(
+                {
+                    id_col: tb[id_col],
+                    "cluster": np.argmax(V @ self.C.T, axis=1).astype(np.int64),
+                }
+            )
+
+    return emb.map_batches(
+        _Assign, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+
 def build_ivf(
     emb: "ray.data.Dataset",
     n_clusters: int = 16,
