@@ -2183,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "revenue_by_nation": lambda sf: _round_cols(R.q_revenue_by_nation(sf), {"revenue": 2}),
         "topk_orders": lambda sf: R.q_topk_orders(sf),
+        "events_ranked": lambda sf: R.q_events_ranked(sf),
         "distinct_users": lambda sf: R.q_distinct_users(sf),
         "hourly_windows": lambda sf: _round_cols(R.q_hourly_windows(sf), {"sum_value": 4}),
         "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
@@ -3810,6 +3811,11 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "events_ranked": (
+            "SELECT event_id, row_number() OVER "
+            "(ORDER BY value, event_id) AS rank "
+            "FROM events ORDER BY event_id"
         ),
         "distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "

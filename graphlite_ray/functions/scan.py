@@ -79,3 +79,84 @@ def exclusive_prefix_sum(
         return t.append_column(out_col, pa.array(offs[int(k.min())] + ex))
 
     return ds.map_batches(_rescan, batch_format="pyarrow", batch_size=None)
+
+
+def global_rank(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    out_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Dense global row numbering: `out_col` = 1 + the number of rows
+    preceding this one in the ascending lexicographic order of `key_cols`
+    (SQL `row_number() OVER (ORDER BY key_cols)`).
+
+    The distributed-sort exemplar: `ds.sort(key_cols)` is THE wide step
+    (Ray's range-partitioned shuffle); ranks then come from the same
+    two-pass scan as `exclusive_prefix_sum`, generalized to composite
+    keys — each block reports its lex-min key tuple (typed columns, for
+    driver-side ordering) plus a worker-computed string form (the offset
+    dict key: both passes derive it from the same numpy values, so no
+    driver/worker representation skew) and its row count; the driver
+    exclusive-prefixes ONE ROW PER BLOCK and a rescan adds the local
+    lexsort index. No stage ever holds more than a block.
+
+    Contract: the LAST key column must be globally unique (it tie-breaks
+    the order AND makes block-min tuples distinct, so the offset lookup
+    is well-defined)."""
+    ordered = ds.sort(key_cols).materialize()
+
+    def _cols(t: pa.Table):
+        return [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+
+    def _lexmin(cols) -> int:
+        # np.lexsort sorts by the LAST key first -> pass reversed
+        return int(np.lexsort(tuple(reversed(cols)))[0])
+
+    def _bk(cols, i: int) -> str:
+        return repr(tuple(c[i].item() for c in cols))
+
+    def _block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return None  # filtered below via zero-row table
+        cols = _cols(t)
+        i = _lexmin(cols)
+        out = {"bk": [_bk(cols, i)], "n": [t.num_rows]}
+        for j, c in enumerate(key_cols):
+            out[f"k{j}"] = t[c].slice(i, 1)
+        return pa.table(out)
+
+    def _meta_or_empty(t: pa.Table) -> pa.Table:
+        m = _block_meta(t)
+        if m is not None:
+            return m
+        out = {"bk": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        for j, c in enumerate(key_cols):
+            out[f"k{j}"] = t[c]
+        return pa.table(out)
+
+    metas = ordered.map_batches(
+        _meta_or_empty, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    metas = metas.sort_values(
+        [f"k{j}" for j in range(len(key_cols))], ignore_index=True
+    )
+    offsets = dict(
+        zip(
+            metas["bk"].tolist(),
+            np.concatenate([[0], np.cumsum(metas["n"].to_numpy())[:-1]]).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def _rescan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        cols = _cols(t)
+        offs = ray.get(off_ref)
+        order = np.lexsort(tuple(reversed(cols)))
+        local = np.empty(t.num_rows, np.int64)
+        local[order] = np.arange(t.num_rows)
+        base = offs[_bk(cols, int(order[0]))]
+        return t.append_column(out_col, pa.array(base + local + 1))
+
+    return ordered.map_batches(_rescan, batch_format="pyarrow", batch_size=None)

@@ -632,3 +632,20 @@ def q_union_counts(sf_dir: str) -> pd.DataFrame:
         u.groupby("side").map_groups(_cnt, batch_format="pandas").to_pandas()
         .sort_values("side", ignore_index=True)
     )
+
+
+def q_events_ranked(sf_dir: str) -> pd.DataFrame:
+    """Global dense row numbering over the full event stream ordered by
+    (value, event_id) — the distributed ORDER BY + row_number() exemplar:
+    one range-partitioned `ds.sort` shuffle, then ranks from the two-pass
+    block-metadata scan (`functions.scan.global_rank`); no stage holds
+    more than a block. event_id (unique) tie-breaks."""
+    from graphlite_ray.functions.scan import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = global_rank(ds, ["value", "event_id"], out_col="rank")
+    return (
+        out.select_columns(["event_id", "rank"])
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )

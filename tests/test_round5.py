@@ -692,3 +692,43 @@ def test_simhash_streaming_matches_driver_path(ray_session, work_dir):
     sc = clusters_ds.to_pandas().sort_values("doc_id", ignore_index=True)
     dc = drv.clusters.sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(sc.astype("int64"), dc)
+
+
+# ------------------------------------------------------ global row rank
+
+
+def test_global_rank_matches_argsort_with_ties(ray_session):
+    """Ties in the leading key (broken by the unique trailing key) must
+    rank correctly even when they straddle range-partition boundaries."""
+    from graphlite_ray.functions.scan import global_rank
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    v = rng.randint(0, 40, n).astype(np.float64)  # heavy ties
+    ids = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"event_id": ids, "value": v})).repartition(16)
+    out = (
+        global_rank(ds, ["value", "event_id"])
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    df = pd.DataFrame({"event_id": ids, "value": v})
+    order = np.lexsort((df["event_id"].to_numpy(), df["value"].to_numpy()))
+    want = np.empty(n, np.int64)
+    want[order] = np.arange(1, n + 1)
+    df["rank"] = want
+    df = df.sort_values("event_id", ignore_index=True)
+    assert (out["rank"].to_numpy() == df["rank"].to_numpy()).all()
+
+
+def test_global_rank_timestamp_key(ray_session):
+    """Timestamp keys survive the worker-side block-key representation."""
+    from graphlite_ray.functions.scan import global_rank
+
+    ts = pd.date_range("2024-01-01", periods=400, freq="37s")
+    ids = np.arange(400, dtype=np.int64)[::-1].copy()
+    ds = ray.data.from_pandas(pd.DataFrame({"ts": ts, "event_id": ids})).repartition(7)
+    out = global_rank(ds, ["ts", "event_id"]).to_pandas()
+    out = out.sort_values("event_id", ignore_index=True)
+    # ts ascending == ids descending by construction
+    assert (out["rank"].to_numpy() == 400 - out["event_id"].to_numpy()).all()
