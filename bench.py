@@ -75,6 +75,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     import statistics
 
     import numpy as np
+    import pyarrow as pa
     import ray.data
 
     from graphlite_ray.pipelines.corpus import corpus_clean
@@ -273,6 +274,29 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
                 res.supersteps_run / max(superstep_wall, 1e-9) * 3600
             ),
         })
+        def _delta_merge():
+            # incremental snapshot merge: re-apply 10% of the edges as a
+            # delta into a copy of the built shards (per-partition merge)
+            import pyarrow as _pa
+
+            from graphlite_ray.state.csr import add_edges
+
+            gsrc, gdst = f"{work}/graph", f"{work}/graph_delta"
+            shutil.rmtree(gdst, ignore_errors=True)
+            shutil.copytree(gsrc, gdst)
+
+            def _tenth(t: _pa.Table) -> _pa.Table:
+                s = t["src"].to_numpy(zero_copy_only=False)
+                d = t["dst"].to_numpy(zero_copy_only=False)
+                m = (s + d) % 10 == 0
+                return _pa.table({"src": s[m], "dst": d[m]})
+
+            delta = ray.data.read_parquet(
+                edges_dir, columns=["src", "dst"]
+            ).map_batches(_tenth, batch_format="pyarrow")
+            return add_edges(gdst, delta, delta_id="bench")["n_edges"]
+
+        _timed("delta_merge", _delta_merge)
         _timed(
             "connected_components",
             lambda: run_algorithm("connected_components", pages, work, P=P),
@@ -409,6 +433,23 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         _timed("lm_score", lambda: lm_score(docs).count())
         _timed("inverted_index", lambda: inverted_index(docs).count())
 
+        def _bloom_decontam():
+            from graphlite_ray.stages.contamination import (
+                bloom_build,
+                bloom_contamination_scores,
+            )
+
+            bench_slice = docs.map_batches(
+                lambda t: t.filter(
+                    pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)
+                ),
+                batch_format="pyarrow",
+            )
+            bm = bloom_build(bench_slice, m_bits=1 << 20, n_hashes=4, k=5)
+            return bloom_contamination_scores(docs, bm, 1 << 20, n_hashes=4, k=5).count()
+
+        _timed("bloom_decontam", _bloom_decontam)
+
         from graphlite_ray.stages.bpe import bpe_token_counts
         from graphlite_ray.stages.inference import embed_corpus, stage_weights
 
@@ -481,6 +522,30 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             "hll_distinct",
             lambda: approx_distinct_per_group(evu, "event_type", "user_id", p=12),
         )
+        def _kmeans():
+            from graphlite_ray.stages.similarity import (
+                fit_centroids_file,
+                kmeans_assign,
+            )
+
+            cpath = fit_centroids_file(
+                f"{sf_dir}/embeddings.parquet",
+                f"/tmp/glr_bench/kmeans_{sf_name}.parquet",
+                n_clusters=8,
+            )
+            return kmeans_assign(emb, cpath).count()
+
+        _timed("emb_kmeans", _kmeans)
+
+        def _events_ranked():
+            from graphlite_ray.functions.scan import global_rank
+
+            evr = read_parquet_clean(
+                f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+            )
+            return global_rank(evr, ["value", "event_id"]).count()
+
+        _timed("events_ranked", _events_ranked)
         exact_knn = _timed("emb_knn", lambda: knn_bruteforce(emb, Q3, k=10))
         ivf_recall = _timed("emb_knn_ivf", lambda: _ivf_block(exact_knn))
         lsh_recall = _timed("emb_near_dup", lambda: _lsh_block())
