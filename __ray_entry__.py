@@ -1963,8 +1963,16 @@ def _q_doc_contamination(sf_dir: str):
     )
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    bench = docs.filter(lambda r: r["doc_id"] % 97 == 0)
-    train = docs.filter(lambda r: r["doc_id"] % 97 != 0)
+
+    def _slice(eq: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if eq else ~m))
+
+        return _f
+
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    train = docs.map_batches(_slice(False), batch_format="pyarrow")
     out = contamination_scores(train, benchmark_shingle_hashes(bench, k=5), k=5)
     return out.to_pandas().sort_values("doc_id", ignore_index=True)
 
