@@ -1204,6 +1204,33 @@ def _q_doc_tokens(sf_dir: str):
     return docs.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4))
 
 
+def _jsonl_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/glr_cache/docs_jsonl_{base}"
+
+
+def _q_doc_jsonl_ingest(sf_dir: str):
+    """JSONL source/sink seam: the corpus is staged once as a JSONL shard
+    directory (Ray `write_json`, one object per line — the LLM-corpus
+    interchange format), re-ingested with the streaming JSONL reader, and
+    token-counted. The DuckDB oracle reads THE SAME staged JSONL with
+    `read_json_auto`, so the round-trip (JSON escaping included) is part
+    of what's checked — independent of the parquet the corpus came
+    from."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.sources.jsonl import read_jsonl, stage_jsonl
+    from graphlite_ray.stages.textstats import TokenCounter
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out_dir = stage_jsonl(docs, _jsonl_dir(sf_dir))
+    ingested = read_jsonl(out_dir, columns=["doc_id", "text"])
+    return (
+        ingested.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def _q_doc_bpe_tokens(sf_dir: str):
     """Subword token budget per document: vocab-driven BPE merges applied
     rank-ordered per word (stages/bpe.py — merge table loaded once per
@@ -2235,6 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": _q_doc_split,
         "props_rollup": _q_props_rollup,
         "doc_token_count": _q_doc_tokens,
+        "doc_jsonl_ingest": _q_doc_jsonl_ingest,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_weighted_mix": _q_doc_weighted_mix,
         "doc_embed_text": _q_doc_embed_text,
@@ -4251,6 +4279,14 @@ def oracle_sql() -> dict[str, str]:
             # strips only spaces, not tabs/newlines)
             "SELECT doc_id, len(list_filter(regexp_split_to_array(text, "
             f"'{_WS}'), x -> x <> '')) AS n_tokens FROM documents"
+        ),
+        "doc_jsonl_ingest": (
+            # reads the STAGED JSONL itself (not the parquet view): the
+            # write_json -> read_json round-trip is inside the check
+            "SELECT doc_id, len(list_filter(regexp_split_to_array(text, "
+            f"'{_WS}'), x -> x <> '')) AS n_tokens "
+            f"FROM read_json_auto('{_jsonl_dir(_ORACLE_SF)}/*.json') "
+            "ORDER BY doc_id"
         ),
         "doc_quality": (
             "SELECT doc_id, length(text) AS n_chars, "

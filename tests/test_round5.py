@@ -732,3 +732,33 @@ def test_global_rank_timestamp_key(ray_session):
     out = out.sort_values("event_id", ignore_index=True)
     # ts ascending == ids descending by construction
     assert (out["rank"].to_numpy() == 400 - out["event_id"].to_numpy()).all()
+
+
+# ---------------------------------------------------------- JSONL seam
+
+
+def test_jsonl_roundtrip_preserves_hostile_text(ray_session, tmp_path):
+    """Quotes, newlines, tabs, unicode and empty strings must survive the
+    write_json -> read_json round-trip byte-identically."""
+    from graphlite_ray.sources.jsonl import read_jsonl, stage_jsonl
+
+    rows = [
+        {"doc_id": 1, "text": 'he said "hi"\nsecond line\ttabbed'},
+        {"doc_id": 2, "text": "naïve café — em–dash 中文 🙂"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "back\\slash and / slash"},
+    ]
+    out = stage_jsonl(ray.data.from_items(rows), str(tmp_path / "jl"))
+    got = (
+        read_jsonl(out, columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want)
+    # idempotent: a second stage call must not duplicate shards
+    import os
+
+    before = sorted(os.listdir(out))
+    stage_jsonl(ray.data.from_items(rows), out)
+    assert sorted(os.listdir(out)) == before
