@@ -140,6 +140,11 @@ def global_rank(
     metas = metas.sort_values(
         [f"k{j}" for j in range(len(key_cols))], ignore_index=True
     )
+    if metas["bk"].duplicated().any():
+        raise ValueError(
+            "global_rank: two blocks share a lex-min key tuple — the last "
+            f"key column ({key_cols[-1]!r}) must be globally unique"
+        )
     offsets = dict(
         zip(
             metas["bk"].tolist(),

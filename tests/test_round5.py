@@ -762,3 +762,20 @@ def test_jsonl_roundtrip_preserves_hostile_text(ray_session, tmp_path):
     before = sorted(os.listdir(out))
     stage_jsonl(ray.data.from_items(rows), out)
     assert sorted(os.listdir(out)) == before
+
+
+def test_global_rank_all_equal_leading_key(ray_session):
+    """A single massively-tied leading key (Ray's range partitioner sends
+    the whole tie run to one partition — the skew worst case) must still
+    rank correctly via the unique trailing key."""
+    from graphlite_ray.functions.scan import global_rank
+
+    ids = np.random.RandomState(5).permutation(600).astype(np.int64)
+    df = pd.DataFrame({"k": np.zeros(600, np.int64), "event_id": ids})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        global_rank(ds, ["k", "event_id"])
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert (out["rank"].to_numpy() == out["event_id"].to_numpy() + 1).all()
