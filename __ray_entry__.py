@@ -1204,6 +1204,32 @@ def _q_doc_tokens(sf_dir: str):
     return docs.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4))
 
 
+_BPE_TRAIN_ROUNDS = 10
+
+
+def _q_doc_bpe_train(sf_dir: str):
+    """BPE merge-table TRAINING over the corpus (the trainer for the vocab
+    file `doc_bpe_tokens` consumes): one corpus pass builds the
+    distinct-word frequency table, then each round runs on the vocab
+    dataset only — pair counts -> bucketed sum -> per-bucket top-1 ->
+    deterministic argmax (count DESC, pair ASC) -> streaming re-segment.
+    DuckDB-oracled by a self-contained replay of the WHOLE loop
+    (`stages/bpe.bpe_train_sql`: each round's best pair is a scalar
+    subquery applied to the next round's vocab)."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.bpe import bpe_train_merges
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train_merges(docs, n_merges=_BPE_TRAIN_ROUNDS)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
+            "x": [x for x, _ in merges],
+            "y": [y for _, y in merges],
+        }
+    )
+
+
 def _jsonl_dir(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return f"/tmp/glr_cache/docs_jsonl_{base}"
@@ -2264,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": _q_doc_tokens,
         "doc_jsonl_ingest": _q_doc_jsonl_ingest,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_bpe_train": _q_doc_bpe_train,
         "doc_weighted_mix": _q_doc_weighted_mix,
         "doc_embed_text": _q_doc_embed_text,
         "emb_text_near_dup": _q_emb_text_near_dup,
@@ -2959,6 +2986,12 @@ def _fnv_tok_sql(prefix_byte: int) -> str:
         f"list_transform(list_concat([{int(prefix_byte)},0,0,0,0,0,0,0], {utf8}), "
         f"x -> x::HUGEINT)), (acc, byte) -> {step})"
     )
+
+
+def _bpe_train_oracle() -> str:
+    from graphlite_ray.stages.bpe import bpe_train_sql
+
+    return bpe_train_sql(_BPE_TRAIN_ROUNDS)
 
 
 def _bloom_oracle_sql() -> str:
@@ -3978,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
         # BPE: oracle generated from the SAME merge table as the stage
         # (stages/bpe.py bpe_doc_counts_sql) — one constant, two replays
         "doc_bpe_tokens": bpe_doc_counts_sql("documents"),
+        "doc_bpe_train": _bpe_train_oracle(),
         # inference exemplar: embedding = staged-weights join over the FNV
         # token-hash replay; scores rounded by the shared convention
         "doc_embed_text": (

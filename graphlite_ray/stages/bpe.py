@@ -190,3 +190,161 @@ def bpe_doc_counts_sql(
         "COALESCE(agg.bpe_tokens, 0) AS bpe_tokens "
         f"FROM {table} d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"
     )
+
+
+# ------------------------------------------------------- merge TRAINING
+
+
+def word_freq_table(
+    docs: "ray.data.Dataset", text_col: str = "text", B: int = 32
+) -> "ray.data.Dataset":
+    """Corpus -> (w, n) distinct-word frequency table, alphabetic words
+    only (the merge alphabet — the same UNK rule the tokenizer applies).
+    ONE corpus pass with per-batch local counting, then one bucketed
+    groupby over the (much smaller) distinct-word space."""
+    import pandas as pd
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _local(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t[text_col].to_pylist():
+            for w in lower_tokens(s):
+                if _ALPHA.match(w):
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "w": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    partial = docs.map_batches(_local, batch_format="pyarrow", batch_size=2048)
+    return grouped_map_bucketed(
+        partial, ["w"], lambda g: g.groupby("w", as_index=False)["n"].sum(), B=B
+    )
+
+
+def bpe_train_merges(
+    docs: "ray.data.Dataset",
+    n_merges: int = 8,
+    text_col: str = "text",
+    B: int = 32,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from the corpus — the trainer for the
+    vocab file `BPETokenizer` consumes (Sennrich-style, deterministic).
+
+    Scale shape: the CORPUS is touched exactly once (word_freq_table);
+    every training round then runs on the distinct-word VOCAB dataset
+    (Zipf-bounded, orders of magnitude smaller), so n_merges costs
+    n_merges small shuffles, not corpus passes. Per round: per-block
+    adjacent-pair counts weighted by word frequency -> bucketed sum ->
+    per-bucket top-1 -> driver picks the global best from <= B rows
+    (count DESC, pair ASC — the deterministic tie-break) -> one streaming
+    replace pass re-segments the vocab. The driver only ever holds the
+    merge list and B candidate rows.
+
+    The per-word Python loop here runs over the VOCAB table, not the
+    corpus (same acceptability class as the per-vertex wedge loop in
+    pipelines/triangles.py). Pair counting is positional (all adjacent
+    symbol pairs, overlap included), the standard trainer rule; applying
+    a merge is the tokenizer's global left-to-right replace — both rules
+    are replayed verbatim by the SQL oracle (`bpe_train_sql`)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _seq0(t: pa.Table) -> pa.Table:
+        seqs = [
+            " ".join("_" + c for c in w) for w in t["w"].to_pylist()
+        ]
+        return pa.table({"seq": pa.array(seqs, pa.string()), "n": t["n"]})
+
+    vocab = word_freq_table(docs, text_col=text_col, B=B).map_batches(
+        _seq0, batch_format="pyarrow"
+    ).materialize()
+
+    def _pair_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        for i, s in enumerate(t["seq"].to_pylist()):
+            syms = s.split(" ")
+            w = int(ns[i])
+            for a, b in zip(syms, syms[1:]):
+                p = f"{a} {b}"
+                counts[p] = counts.get(p, 0) + w
+        return pa.table(
+            {
+                "pair": pa.array(list(counts.keys()), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def _bucket_top1(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", as_index=False)["c"].sum()
+        s = s.sort_values(["c", "pair"], ascending=[False, True], kind="stable")
+        return s.head(1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        cand = grouped_map_bucketed(
+            vocab.map_batches(_pair_partial, batch_format="pyarrow"),
+            ["pair"],
+            _bucket_top1,
+            B=min(B, 16),
+        ).take_all()
+        if not cand:
+            break
+        best = min(cand, key=lambda r: (-r["c"], r["pair"]))["pair"]
+        x, y = (s[1:] for s in best.split(" "))
+        merges.append((x, y))
+        pat, rep = f"_{x} _{y}", f"_{x}{y}"
+
+        def _apply(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            seqs = [s.replace(pat, rep) for s in t["seq"].to_pylist()]
+            return pa.table({"seq": pa.array(seqs, pa.string()), "n": t["n"]})
+
+        vocab = vocab.map_batches(_apply, batch_format="pyarrow").materialize()
+    return merges
+
+
+def bpe_train_sql(n_merges: int, table: str = "documents") -> str:
+    """DuckDB oracle: the ENTIRE training loop replayed self-contained —
+    each round's best pair is a scalar subquery (count DESC, pair ASC),
+    applied to the next round's vocab via the same '_x _y' -> '_xy'
+    replace. Returns (rank, x, y) exactly like `bpe_train_merges`."""
+    # every CTE is MATERIALIZED: s{r}/b{r} are each referenced several
+    # times downstream, and without it DuckDB re-expands the whole chain
+    # per reference — ~3^n copies of the corpus scan (measured: fd
+    # exhaustion at n=10)
+    prev = (
+        "s0 AS MATERIALIZED (SELECT rtrim(regexp_replace(w, '(.)', '_\\1 ', 'g')) AS seq, n "
+        "FROM (SELECT w, count(*) AS n FROM (SELECT unnest(list_filter("
+        f"regexp_split_to_array(lower(text), '{SQL_WS_SPLIT}'), x -> x <> '')) AS w "
+        f"FROM {table}) WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w))"
+    )
+    ctes = [prev]
+    selects = []
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT pair, SUM(n) AS c FROM ("
+            "SELECT n, unnest(list_transform(generate_series(1, len(sp) - 1), "
+            "i -> sp[i] || ' ' || sp[i+1])) AS pair "
+            f"FROM (SELECT string_split(seq, ' ') AS sp, n FROM s{r-1}) "
+            "WHERE len(sp) > 1) GROUP BY pair)"
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT pair FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT replace(seq, (SELECT pair FROM b{r}), "
+            f"replace((SELECT pair FROM b{r}), ' _', '')) AS seq, n FROM s{r-1})"
+        )
+        selects.append(
+            f"SELECT {r} AS rank, "
+            f"substr(string_split((SELECT pair FROM b{r}), ' ')[1], 2) AS x, "
+            f"substr(string_split((SELECT pair FROM b{r}), ' ')[2], 2) AS y"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects) + " ORDER BY rank"

@@ -779,3 +779,44 @@ def test_global_rank_all_equal_leading_key(ray_session):
         .sort_values("event_id", ignore_index=True)
     )
     assert (out["rank"].to_numpy() == out["event_id"].to_numpy() + 1).all()
+
+
+# ----------------------------------------------------- BPE merge training
+
+
+def test_bpe_training_matches_sql_replay_and_feeds_tokenizer(ray_session):
+    import duckdb
+
+    from graphlite_ray.stages.bpe import (
+        BPETokenizer,
+        bpe_train_merges,
+        bpe_train_sql,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "the thin thing then the the then thin"},
+        {"doc_id": 2, "text": "running runner runs ran run inner in inn"},
+        {"doc_id": 3, "text": "Mixed CASE and 123 numbers skip-me the"},
+    ]
+    docs = ray.data.from_items(rows)
+    merges = bpe_train_merges(docs, n_merges=6)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    o = con.execute(bpe_train_sql(6)).df()
+    assert merges == list(zip(o["x"], o["y"]))
+    # the learned table plugs straight into the tokenizer: "the" collapses
+    # to 1 token after (t,h)+(th,e)
+    tok = BPETokenizer(merges=merges)
+    assert tok._count("the") == 1
+    assert tok._count("thin") == 2  # th + in
+
+
+def test_bpe_training_empty_and_degenerate_corpus(ray_session):
+    from graphlite_ray.stages.bpe import bpe_train_merges
+
+    # no alphabetic words at all -> no vocab -> trainer returns []
+    docs = ray.data.from_items([{"doc_id": 1, "text": "123 456 --- 9"}])
+    assert bpe_train_merges(docs, n_merges=4) == []
+    # single-char words have no pairs -> []
+    docs1 = ray.data.from_items([{"doc_id": 1, "text": "a b c a b"}])
+    assert bpe_train_merges(docs1, n_merges=4) == []
