@@ -454,6 +454,21 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         from graphlite_ray.stages.inference import embed_corpus, stage_weights
 
         _timed("bpe_tokens", lambda: bpe_token_counts(docs).count())
+
+        def _bpe_train():
+            from graphlite_ray.stages.bpe import bpe_train_merges
+
+            return len(bpe_train_merges(docs, n_merges=8))
+
+        _timed("bpe_train", _bpe_train)
+
+        def _jsonl_ingest():
+            from graphlite_ray.sources.jsonl import read_jsonl, stage_jsonl
+
+            out = stage_jsonl(docs, f"{work}/jsonl")
+            return read_jsonl(out, columns=["doc_id", "text"]).count()
+
+        _timed("jsonl_ingest", _jsonl_ingest)
         wpath = stage_weights("/tmp/glr_bench/embed_w.parquet")
         _timed("embed_text", lambda: embed_corpus(docs, wpath).count())
         _timed(
