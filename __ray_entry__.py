@@ -4341,7 +4341,8 @@ def oracle_sql() -> dict[str, str]:
         #     `distinct_users` IS oracled, pytest bounds the sketch error
         #   emb_knn_ivf — approximate-by-design scale variant of the
         #     ORACLED exact emb_knn; recall asserted in pytest (and
-        #     measured per bench run: ivf_recall)
+        #     measured per bench run: ivf_recall); the clustering step
+        #     itself is exactly oracled via emb_kmeans (staged centroids)
         #   graph_neighborhood_approx — telescoped-SUM view of the
         #     HyperBall run whose registers ARE exactly oracled
         #     (graph_hyperball_balls)
