@@ -2952,10 +2952,13 @@ def _utf8_bytes_sql(strvar: str) -> str:
     """SQL expression: string column/variable -> list of its UTF-8 bytes,
     derived arithmetically from codepoints (full 1-4 byte coverage incl.
     supplementary planes). Shared by the simhash and fingerprint
-    oracles so the encoding logic cannot drift between them."""
+    oracles so the encoding logic cannot drift between them. The
+    cp >= 0 filter drops DuckDB's `unicode('') = -1` sentinel so the
+    empty string maps to [] (zero bytes), matching the library hash."""
     return (
-        "flatten(list_transform("
+        "flatten(list_transform(list_filter("
         f"list_transform(string_split({strvar}, ''), c -> unicode(c)), "
+        "cp -> cp >= 0), "
         "cp -> CASE WHEN cp < 128 THEN [cp] "
         "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] "
         "WHEN cp < 65536 THEN "

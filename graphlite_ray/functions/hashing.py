@@ -17,9 +17,10 @@ shrinking index set (total work O(total_bytes), ~tens of numpy gathers for
 url-length strings — no Python loop over rows).
 
 At 10^12 urls a 63-bit space yields ~5e4 expected birthday collisions:
-`collision_check` detects them (groupby id -> n_distinct url) and callers
-remediate by salting the colliding urls (documented scale path; zero
-collisions at test scale, asserted in tests).
+`stages/extract.py::id_collision_check` detects them (groupby id ->
+n_distinct url) and callers remediate by salting the colliding urls
+(documented scale path; zero collisions at test scale, asserted in
+tests).
 """
 
 from __future__ import annotations
