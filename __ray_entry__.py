@@ -1557,6 +1557,23 @@ def _q_emb_kmeans(sf_dir: str):
     )
 
 
+def _q_emb_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
+    cosine dedup, min-id keeper (`dedup.semantic_dedup`) — the oracle
+    replays the staged-centroid assignment (the `emb_kmeans` CTE) and the
+    pointwise drop rule as one NOT EXISTS self-join per cluster."""
+    from graphlite_ray.stages.dedup import semantic_dedup
+    from graphlite_ray.stages.similarity import read_embeddings
+
+    cpath = _kmeans_centroids_path(sf_dir)
+    emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
+    return (
+        semantic_dedup(emb, cpath, tau=0.35)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+
+
 def _q_emb_near_dup(sf_dir: str):
     """EXACT cosine near-dup pairs (block matmul against the broadcast
     corpus matrix) — DuckDB-oracled via list_cosine_similarity."""
@@ -2304,6 +2321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": _q_emb_knn,
         "emb_kmeans": _q_emb_kmeans,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_semdedup": _q_emb_semdedup,
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "emb_label_counts": _q_emb_label_counts,
@@ -3855,6 +3873,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 "
             "ORDER BY a, b"
+        ),
+        "emb_semdedup": (
+            # SemDeDup replay: staged-centroid assignment (the emb_kmeans
+            # CTE verbatim) + the pointwise min-id drop rule as NOT EXISTS
+            "WITH e AS (SELECT vec_id, "
+            "unnest(embedding) AS v, "
+            "unnest(generate_series(1, len(embedding))) AS i "
+            "FROM embeddings), "
+            f"c AS (SELECT cluster, dim, w FROM "
+            f"'{_kmeans_centroids_path(_ORACLE_SF)}'), "
+            "s AS (SELECT e.vec_id, c.cluster, "
+            "SUM(CAST(e.v AS DOUBLE) * c.w) AS s "
+            "FROM e JOIN c ON e.i - 1 = c.dim GROUP BY e.vec_id, c.cluster), "
+            "r AS (SELECT vec_id, cluster, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rk FROM s), "
+            "asn AS (SELECT r.vec_id, r.cluster, emb.embedding "
+            "FROM r JOIN embeddings emb ON emb.vec_id = r.vec_id WHERE rk = 1) "
+            "SELECT a.vec_id, a.cluster, "
+            "CAST(CASE WHEN EXISTS (SELECT 1 FROM asn b "
+            "WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35) "
+            "THEN 0 ELSE 1 END AS BIGINT) AS kept "
+            "FROM asn a ORDER BY a.vec_id"
         ),
         "filter_project": (
             "SELECT l_orderkey, l_quantity, "

@@ -552,6 +552,19 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
 
         _timed("emb_kmeans", _kmeans)
 
+        def _semdedup():
+            from graphlite_ray.stages.dedup import semantic_dedup
+            from graphlite_ray.stages.similarity import fit_centroids_file
+
+            cpath = fit_centroids_file(
+                f"{sf_dir}/embeddings.parquet",
+                f"/tmp/glr_bench/kmeans_{sf_name}.parquet",
+                n_clusters=8,
+            )
+            return semantic_dedup(emb, cpath, tau=0.35).count()
+
+        _timed("emb_semdedup", _semdedup)
+
         def _events_ranked():
             from graphlite_ray.functions.scan import global_rank
 

@@ -1034,6 +1034,69 @@ def embedding_near_dup(
     return DedupResult(pairs=dups, clusters=cluster_pairs(dups), n_candidates=len(dups))
 
 
+def semantic_dedup(
+    emb: "ray.data.Dataset",
+    centroids_path: str,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    B: int = 64,
+    row_chunk: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding corpus, then deduplicate WITHIN each cluster by cosine
+    similarity — the published way to bound semantic dedup to k c×c
+    problems instead of one N×N one.
+
+      1. broadcast hard assignment against the staged centroid file
+         (`similarity.kmeans_assign` — one streaming pass, no shuffle);
+      2. ONE bucketed shuffle on cluster id co-locates every cluster
+         (`grouped_map_bucketed`, clusters never split across buckets);
+      3. within a cluster, a vector is DROPPED iff some lower-id vector
+         of the same cluster has cosine >= tau with it. Min-id keeper
+         makes the rule pointwise-deterministic (no transitive closure),
+         so the whole operator replays in one SQL NOT EXISTS.
+
+    Cross-cluster near-dups are out of contract — the paper's recall
+    trade; cluster count k grows with the corpus (50k for LAION-440M) so
+    per-cluster cost stays bounded. The per-cluster similarity matrix is
+    computed in `row_chunk` strips, bounding worker memory at
+    row_chunk × cluster_size floats.
+
+    Returns a Dataset over ALL input rows: (id_col, cluster, kept 0/1).
+    """
+    from graphlite_ray.stages.similarity import kmeans_assign, list_col_to_matrix
+
+    assigned = kmeans_assign(
+        emb, centroids_path, id_col=id_col, keep_cols=(emb_col,)
+    )
+
+    def _dedup_clusters(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        clu = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = list_col_to_matrix(t[emb_col]).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.lexsort((ids, clu))
+        ids, clu, M = ids[order], clu[order], M[order]
+        kept = np.ones(len(ids), np.int64)
+        starts = np.flatnonzero(np.r_[True, clu[1:] != clu[:-1]])
+        bounds = np.r_[starts, len(ids)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            N = M[s:e]
+            for lo in range(1, e - s, row_chunk):
+                hi = min(lo + row_chunk, e - s)
+                S = N[lo:hi] @ N[:hi].T  # rows lo..hi vs all earlier+self
+                cmp = S >= tau
+                # strictly-lower-triangle: row i only sees columns < i
+                col = np.arange(hi)
+                row = np.arange(lo, hi)
+                cmp &= col[None, :] < row[:, None]
+                kept[s + lo : s + hi] = np.where(cmp.any(axis=1), 0, 1)
+        return pa.table({id_col: ids, "cluster": clu, "kept": kept})
+
+    return grouped_map_bucketed(assigned, ["cluster"], _dedup_clusters, B=B, fmt="pyarrow")
+
+
 # ------------------------------------------------------- span-level dedup
 
 

@@ -231,14 +231,19 @@ def fit_centroids_file(
 
 
 def kmeans_assign(
-    emb: "ray.data.Dataset", centroids_path: str, id_col: str = "vec_id"
+    emb: "ray.data.Dataset",
+    centroids_path: str,
+    id_col: str = "vec_id",
+    keep_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """(vec_id, cluster): corpus-wide hard assignment against the staged
     centroid file — the distributed half of k-means document clustering.
     One broadcast matrix (`ray.put` once, read per actor), one streaming
     pass, no shuffle. Ties (equal dot product) break to the LOWEST cluster
     id (np.argmax first-max == the oracle's `ORDER BY s DESC, cluster
-    ASC`)."""
+    ASC`). `keep_cols` forwards extra input columns alongside the
+    assignment (e.g. the embedding itself for downstream within-cluster
+    work such as `dedup.semantic_dedup`)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(centroids_path)
@@ -254,12 +259,13 @@ def kmeans_assign(
 
         def __call__(self, tb: pa.Table) -> pa.Table:
             V = list_col_to_matrix(tb["embedding"]).astype(np.float64)
-            return pa.table(
-                {
-                    id_col: tb[id_col],
-                    "cluster": np.argmax(V @ self.C.T, axis=1).astype(np.int64),
-                }
-            )
+            cols = {
+                id_col: tb[id_col],
+                "cluster": np.argmax(V @ self.C.T, axis=1).astype(np.int64),
+            }
+            for c in keep_cols:
+                cols[c] = tb[c]
+            return pa.table(cols)
 
     return emb.map_batches(
         _Assign, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)

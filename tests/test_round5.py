@@ -820,3 +820,85 @@ def test_bpe_training_empty_and_degenerate_corpus(ray_session):
     # single-char words have no pairs -> []
     docs1 = ray.data.from_items([{"doc_id": 1, "text": "a b c a b"}])
     assert bpe_train_merges(docs1, n_merges=4) == []
+
+
+# --------------------------------------------------------------- SemDeDup
+
+
+def test_semantic_dedup_matches_bruteforce(ray_session, tmp_path):
+    """semantic_dedup (chunked, bucketed-shuffle path) == the naive O(c^2)
+    numpy replay of the pointwise rule: drop iff some LOWER-id vector of
+    the same cluster has cosine >= tau. row_chunk=7 forces the strip-wise
+    similarity computation across uneven chunk boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.stages.dedup import semantic_dedup
+    from graphlite_ray.stages.similarity import fit_centroids_file
+
+    rng = np.random.RandomState(11)
+    n, d = 300, 16
+    base = rng.randn(5, d)
+    X = base[rng.randint(0, 5, n)] + 0.6 * rng.randn(n, d)  # planted dups
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    emb_path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({"vec_id": ids, "embedding": [row.astype("float32") for row in X]}),
+        emb_path,
+    )
+    cpath = fit_centroids_file(
+        emb_path, str(tmp_path / "cent.parquet"), n_clusters=4, seed=7
+    )
+    out = (
+        semantic_dedup(
+            ray.data.read_parquet(emb_path), cpath, tau=0.9, row_chunk=7
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+
+    # brute-force replay (same float64 convention as the stage)
+    t = pq.read_table(cpath)
+    k = int(t["cluster"].to_numpy().max()) + 1
+    C = np.zeros((k, d), np.float64)
+    C[t["cluster"].to_numpy(), t["dim"].to_numpy()] = t["w"].to_numpy()
+    V = X.astype(np.float32).astype(np.float64)  # parquet stores float32
+    clu = np.argmax(V @ C.T, axis=1)
+    N = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    kept = np.ones(n, dtype=np.int64)
+    for i in range(n):
+        for j in range(n):
+            if clu[j] == clu[i] and ids[j] < ids[i] and N[i] @ N[j] >= 0.9:
+                kept[i] = 0
+                break
+    assert out["vec_id"].to_numpy().tolist() == ids.tolist()
+    assert out["cluster"].to_numpy().tolist() == clu.tolist()
+    assert out["kept"].to_numpy().tolist() == kept.tolist()
+    assert 0 < kept.sum() < n  # the planted corpus exercises both outcomes
+
+
+def test_semantic_dedup_singleton_clusters_all_kept(ray_session, tmp_path):
+    """Orthogonal vectors: nothing crosses tau, every row survives with
+    its assignment intact (covers size-1 clusters / the no-drop path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.stages.dedup import semantic_dedup
+    from graphlite_ray.stages.similarity import fit_centroids_file
+
+    X = np.eye(8, dtype="float32")
+    emb_path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {"vec_id": np.arange(8, dtype=np.int64), "embedding": list(X)}
+        ),
+        emb_path,
+    )
+    cpath = fit_centroids_file(
+        emb_path, str(tmp_path / "cent.parquet"), n_clusters=3, seed=1
+    )
+    out = semantic_dedup(
+        ray.data.read_parquet(emb_path), cpath, tau=0.5
+    ).to_pandas()
+    assert len(out) == 8
+    assert out["kept"].sum() == 8
