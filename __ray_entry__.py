@@ -2262,6 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": lambda sf: _round_cols(R.q_revenue_by_nation(sf), {"revenue": 2}),
         "topk_orders": lambda sf: R.q_topk_orders(sf),
         "events_ranked": lambda sf: R.q_events_ranked(sf),
+        "events_latest_per_user": lambda sf: R.q_latest_event_per_user(sf),
         "distinct_users": lambda sf: R.q_distinct_users(sf),
         "hourly_windows": lambda sf: _round_cols(R.q_hourly_windows(sf), {"sum_value": 4}),
         "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
@@ -3929,6 +3930,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, row_number() OVER "
             "(ORDER BY value, event_id) AS rank "
             "FROM events ORDER BY event_id"
+        ),
+        "events_latest_per_user": (
+            "SELECT event_id, ts, user_id, event_type, value FROM ("
+            "SELECT event_id, ts, user_id, event_type, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rk FROM events) "
+            "WHERE rk = 1 ORDER BY user_id"
         ),
         "distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "

@@ -574,6 +574,17 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             return global_rank(evr, ["value", "event_id"]).count()
 
         _timed("events_ranked", _events_ranked)
+
+        def _events_latest():
+            from graphlite_ray.pipelines.relational import latest_per_key
+
+            evl = read_parquet_clean(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"],
+            )
+            return latest_per_key(evl, ["user_id"], ["ts", "event_id"]).count()
+
+        _timed("events_latest", _events_latest)
         exact_knn = _timed("emb_knn", lambda: knn_bruteforce(emb, Q3, k=10))
         ivf_recall = _timed("emb_knn_ivf", lambda: _ivf_block(exact_knn))
         lsh_recall = _timed("emb_near_dup", lambda: _lsh_block())

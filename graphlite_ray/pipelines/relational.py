@@ -634,6 +634,46 @@ def q_union_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def latest_per_key(
+    ds: "ray.data.Dataset",
+    key_cols: list,
+    order_cols: list,
+    B: int = 64,
+) -> "ray.data.Dataset":
+    """Arg-max per group carrying the WHOLE row: for each key, the row
+    with the lexicographically greatest `order_cols` (last order col must
+    be unique per key for determinism — e.g. end with the row id). The
+    snapshot/"keep latest crawl per url" primitive.
+
+    Scale shape: every block first reduces to <= |keys-in-block| rows
+    (vectorized sort + drop_duplicates — the map-side combiner), so the
+    one bucketed shuffle moves per-block WINNERS, not the corpus; a key
+    appearing in many blocks ships one row per block. No driver
+    materialization, no global sort."""
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            order_cols, ascending=False, kind="mergesort"
+        ).drop_duplicates(key_cols, keep="first")
+
+    partial = ds.map_batches(_reduce, batch_format="pandas")
+    return grouped_map_bucketed(partial, key_cols, _reduce, B=B)
+
+
+def q_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Latest event row per user (order: ts, then event_id as the unique
+    tie-break) — the distributed argmax-per-group exemplar; oracle is the
+    SQL row_number()-per-partition replay."""
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    return (
+        latest_per_key(ds, ["user_id"], ["ts", "event_id"])
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
 def q_events_ranked(sf_dir: str) -> pd.DataFrame:
     """Global dense row numbering over the full event stream ordered by
     (value, event_id) — the distributed ORDER BY + row_number() exemplar:

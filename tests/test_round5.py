@@ -902,3 +902,60 @@ def test_semantic_dedup_singleton_clusters_all_kept(ray_session, tmp_path):
     ).to_pandas()
     assert len(out) == 8
     assert out["kept"].sum() == 8
+
+
+# ------------------------------------------------------ latest_per_key
+
+
+def test_latest_per_key_cross_block_and_ties(ray_session):
+    """Keys scattered over many small blocks with duplicate timestamps:
+    the winner must be the (ts, id)-lexicographic max regardless of block
+    layout — the per-block combiner only ships block winners, so a key in
+    k blocks contributes k candidate rows to the final reduce."""
+    from graphlite_ray.pipelines.relational import latest_per_key
+
+    rng = np.random.RandomState(5)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 37, n),
+            "ts": rng.randint(0, 50, n),  # heavy ties
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.randn(n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(23)
+    out = (
+        latest_per_key(ds, ["user_id"], ["ts", "event_id"], B=8)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    want = (
+        df.sort_values(["ts", "event_id"], ascending=False, kind="mergesort")
+        .drop_duplicates("user_id", keep="first")
+        .sort_values("user_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["user_id", "ts", "event_id", "value"]],
+        want[["user_id", "ts", "event_id", "value"]],
+    )
+    assert len(out) == df["user_id"].nunique()
+
+
+def test_latest_per_key_composite_key(ray_session):
+    from graphlite_ray.pipelines.relational import latest_per_key
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 1, 1, 2, 2],
+            "b": ["x", "x", "y", "x", "x"],
+            "ts": [5, 9, 1, 3, 3],
+            "rid": [10, 11, 12, 13, 14],
+        }
+    )
+    out = (
+        latest_per_key(ray.data.from_pandas(df).repartition(3), ["a", "b"], ["ts", "rid"], B=4)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    assert out["rid"].tolist() == [11, 12, 14]  # ts max; (2,x) tie -> rid max
