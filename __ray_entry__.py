@@ -1972,10 +1972,13 @@ def _q_event_percentiles_hist(sf_dir: str):
 
 
 def _q_distinct_users_approx(sf_dir: str):
-    """HyperLogLog approximate distinct users per event type (rows-only:
-    the estimate depends on our splitmix64 hash, not SQL-replicable; the
-    exact counterpart `distinct_users` IS oracled and pytest asserts the
-    sketch's error bound)."""
+    """HyperLogLog approximate distinct users per event type — DuckDB-
+    oracled EXACTLY (r5): the splitmix64 hash, register index/rho, the
+    exact-integer register sum (2^(63-reg) per register, HUGEINT), the
+    bias-corrected estimate and the linear-counting branch are all
+    replayed in SQL (`_distinct_users_approx_oracle_sql`). The exact
+    counterpart `distinct_users` is oracled independently and pytest
+    asserts the sketch's error bound."""
     from graphlite_ray.functions.sketches import approx_distinct_per_group
     from graphlite_ray.sources.io import read_parquet_clean
 
@@ -3160,6 +3163,44 @@ def _hyperball_oracle_sql(edges_glob: str, p: int = 6) -> str:
         f"ROUND(CASE WHEN E <= 2.5 * {m} AND zeros > 0 "
         f"THEN {m} * ln({m}::DOUBLE / zeros) ELSE E END, 6) AS est "
         "FROM raw ORDER BY vertex_id"
+    )
+
+
+def _distinct_users_approx_oracle_sql(p: int = 12) -> str:
+    """Ground-truth replay of `functions.sketches.approx_distinct_per_group`
+    (p=12): splitmix64 hash of each user_id (`_splitmix64_sql`), register
+    bucket = top p bits, rho = (64-p) - bit_length(suffix) + 1, per-group
+    register MAX, then the bias-corrected HLL estimate. The register sum
+    is EXACT on both sides — sum of 2^(63-reg) per register (Python int /
+    HUGEINT), zero registers contributing 2^63 — so the only float ops are
+    one division, the ln() in the linear-counting branch, and the final
+    half-away rounding, each performed identically."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / float(m))
+    # numerator alpha*m*m*2^63, evaluated HERE and inlined as a literal so
+    # both engines divide the identical double by the exact integer sum
+    num = alpha * float(m) * float(m) * 2.0**63
+    mix = _splitmix64_sql("user_id")
+    shift = 1 << (64 - p)
+    return (
+        "WITH du AS (SELECT DISTINCT event_type, user_id FROM events), "
+        f"h AS MATERIALIZED (SELECT event_type, {mix} AS hv FROM du), "
+        f"hb AS (SELECT event_type, CAST(hv // {shift} AS BIGINT) AS bucket, "
+        f"CAST({64 - p} AS BIGINT) - "
+        f"(CASE WHEN hv % {shift} = 0 THEN 0 "
+        f"ELSE length(bin(CAST(hv % {shift} AS BIGINT))) END) + 1 AS rho "
+        "FROM h), "
+        "regs AS (SELECT event_type, bucket, MAX(rho) AS reg "
+        "FROM hb GROUP BY event_type, bucket), "
+        "agg AS (SELECT event_type, "
+        "SUM(CAST(1::BIGINT << CAST(63 - reg AS INTEGER) AS HUGEINT)) AS s_nz, "
+        "COUNT(*) AS nz FROM regs GROUP BY event_type), "
+        f"est AS (SELECT event_type, s_nz + ({m} - nz)::HUGEINT * "
+        f"9223372036854775808::HUGEINT AS S, {m} - nz AS zeros FROM agg), "
+        f"raw AS (SELECT event_type, zeros, {num!r} / S AS E FROM est) "
+        f"SELECT event_type, CAST(FLOOR(CASE WHEN E <= {2.5 * m} AND zeros > 0 "
+        f"THEN {m} * ln({m}::DOUBLE / zeros) ELSE E END + 0.5) AS BIGINT) "
+        "AS n_approx FROM raw ORDER BY event_type"
     )
 
 
@@ -4388,9 +4429,9 @@ def oracle_sql() -> dict[str, str]:
         # r5: the splitmix64 hash IS now SQL-replayed (_splitmix64_sql,
         # HyperBall oracle) and the LSH bucketer is fully oracled below.
         "emb_near_dup_lsh": _lsh_oracle_sql(),
+        # r5: HLL distinct-count replay — exact-integer register sum
+        "distinct_users_approx": _distinct_users_approx_oracle_sql(),
         # Rows-only queries, each with its pytest exactness oracle:
-        #   distinct_users_approx — HLL estimate; the exact counterpart
-        #     `distinct_users` IS oracled, pytest bounds the sketch error
         #   emb_knn_ivf — approximate-by-design scale variant of the
         #     ORACLED exact emb_knn; recall asserted in pytest (and
         #     measured per bench run: ivf_recall); the clustering step

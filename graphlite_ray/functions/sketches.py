@@ -143,12 +143,22 @@ class HyperLogLog:
         return self.registers.tobytes()
 
     def estimate(self) -> float:
+        """Bias-corrected estimate with the linear-counting small-range
+        branch. The register sum is an EXACT integer — sum of 2^(63-reg)
+        per register, each term a power of two, total <= m * 2^63 held as
+        a Python int — so the estimate is order-independent and
+        bit-replayable in SQL (HUGEINT sum; see the distinct_users_approx
+        oracle in __ray_entry__.py)."""
         m = float(self.m)
         alpha = 0.7213 / (1 + 1.079 / m)
-        inv = np.power(2.0, -self.registers.astype(np.float64))
-        E = alpha * m * m / inv.sum()
+        counts = np.bincount(self.registers, minlength=64)
+        S = 0  # exact: sum over registers of 2^(63 - reg)
+        for reg, c in enumerate(counts.tolist()):
+            if c:
+                S += c << (63 - reg)
+        E = (alpha * m * m * 2.0**63) / S
         if E <= 2.5 * m:
-            zeros = int((self.registers == 0).sum())
+            zeros = int(counts[0])
             if zeros:
                 E = m * np.log(m / zeros)  # linear counting
         return float(E)
@@ -191,7 +201,9 @@ def approx_distinct_per_group(
             )
             hll = HyperLogLog(p)
             hll.registers = mats.max(axis=0).copy()
-            out.append((key, int(round(hll.estimate()))))
+            # half-away-from-zero to the nearest int — mirrors the SQL
+            # oracle's FLOOR(E + 0.5) (estimates are nonnegative)
+            out.append((key, int(np.floor(hll.estimate() + 0.5))))
         return pd.DataFrame(out, columns=[group_col, "n_approx"]).astype(
             {"n_approx": "int64"}
         )
