@@ -93,6 +93,20 @@ def _q_pagerank(sf_dir: str):
     return df
 
 
+def _q_graph_katz(sf_dir: str):
+    """Katz centrality (truncated series, alpha=0.05, 10 iterations) —
+    DuckDB-oracled by a recursive CTE replaying the exact fixed-K
+    recurrence over the staged edge table (`_katz_oracle_sql`). Values
+    rounded to 6 decimals on both sides (float-SUM note above)."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm("katz", pages, work, P=8, resume=True)
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    df["value"] = _round_half_away(df["value"], 6)
+    return df
+
+
 def _q_incremental_pagerank(sf_dir: str):
     """PageRank over an INCREMENTALLY built graph: CSR shards are built
     from half the staged edges (deterministic (src + dst) % 2 split), then
@@ -2214,6 +2228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # link-graph engine (recursive-CTE DuckDB oracles + pytest parity)
         "pagerank": _q_pagerank,
+        "graph_katz": _q_graph_katz,
         "graph_incremental_pagerank": _q_incremental_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
         "connected_components": _q_cc,
@@ -2807,6 +2822,29 @@ def _pagerank_oracle_sql(
         "WHERE p.delta >= 1e-6 AND p.iter < 199)) "
         f"SELECT v AS {out_name}, ROUND(val, 6) AS value FROM pr "
         f"WHERE iter = (SELECT max(iter) FROM pr) ORDER BY {out_name}"
+    )
+
+
+def _katz_oracle_sql(edges_glob: str, alpha: float, iters: int) -> str:
+    """Replays the KatzCentrality program (programs.py): x_0 = 1, then
+    `iters` rounds of x_{k+1}(v) = 1 + alpha * sum of incoming x_k(u) —
+    parallel edges contributing once per edge (JOIN against the raw edge
+    multiset, no DISTINCT). Fixed-K, so no halt rule to mirror."""
+    rp = f"read_parquet('{edges_glob}')"
+    return (
+        "WITH RECURSIVE kz(iter, v, val) AS ("
+        "SELECT 0, v, CAST(1.0 AS DOUBLE) "
+        f"FROM (SELECT DISTINCT src AS v FROM {rp} "
+        f"UNION SELECT DISTINCT dst FROM {rp}) "
+        "UNION ALL "
+        f"SELECT p.iter + 1, p.v, 1.0 + {alpha!r} * coalesce(m.s, 0.0) "
+        "FROM kz p "
+        "LEFT JOIN (SELECT e.dst AS v, sum(p2.val) AS s "
+        f"FROM kz p2 JOIN {rp} e ON e.src = p2.v GROUP BY e.dst) m "
+        "ON m.v = p.v "
+        f"WHERE p.iter < {int(iters)}) "
+        "SELECT v AS vertex_id, ROUND(val, 6) AS value FROM kz "
+        f"WHERE iter = {int(iters)} ORDER BY vertex_id"
     )
 
 
@@ -3444,6 +3482,7 @@ def oracle_sql() -> dict[str, str]:
         # --- iterative graph algorithms: recursive-CTE replays of the
         # engine's recurrence + halt rule (see the builder docstrings) -----
         "pagerank": _pagerank_oracle_sql(edges_glob, weighted=False),
+        "graph_katz": _katz_oracle_sql(edges_glob, alpha=0.05, iters=10),
         # incremental build (half + delta-merge) is bit-identical to the
         # one-shot build, so the identical fixpoint replay oracles it
         "graph_incremental_pagerank": _pagerank_oracle_sql(edges_glob, weighted=False),

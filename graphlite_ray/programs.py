@@ -341,6 +341,52 @@ class PersonalizedPageRank(PageRank):
         out.sent = len(out.out_dst)
 
 
+class KatzCentrality(VertexProgram):
+    """Katz centrality, truncated-series form: x_0 = 1 everywhere, then
+
+      x_{k+1}(v) = 1 + alpha * sum over in-edges (u -> v) of x_k(u)
+
+    for a FIXED number of iterations (not convergence-gated), so the
+    result is deterministic and finite regardless of alpha * lambda_max,
+    and exactly SQL-replayable by `iters` joined rounds (the
+    `graph_katz` oracle). Parallel edges contribute once per edge — the
+    reference keeps its edge multiset as loaded (no dedup anywhere in
+    `GraphLite-0.20/engine/`), matching every other program here.
+    Messages carry raw x_k; the attenuation factor is applied on the
+    RECEIVING side so the commutative `sum` combiner stays exact."""
+
+    name = "katz"
+    combiner = "sum"
+
+    def __init__(self, alpha: float = 0.05, iters: int = 10):
+        if not 0.0 < alpha < 1.0:
+            raise ValueError("katz alpha must be in (0, 1)")
+        if iters < 1:
+            raise ValueError("katz needs >= 1 iteration")
+        self.alpha = float(alpha)
+        self.iters = int(iters)
+
+    def init_values(self, shard):
+        return np.zeros(shard.n, np.float64)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        mask = active
+        out = ComputeOut()
+        if ctx.superstep == 0:
+            values[mask] = 1.0
+        else:
+            sums = np.zeros(shard.n, np.float64)
+            if not inbox.empty:
+                sums[inbox.idx] = inbox.val
+            values[mask] = (1.0 + self.alpha * sums)[mask]
+            if ctx.superstep >= self.iters:
+                out.halted = mask.copy()
+                return out
+        out.out_dst, out.out_val = _scatter_to_neighbors(shard, values, mask)
+        out.sent = len(out.out_dst)
+        return out
+
+
 class HITS(VertexProgram):
     """HITS hubs-and-authorities (Kleinberg), L1-normalized, fixed
     iteration count. The CSR is built over a DIRECTION-TAGGED edge
@@ -2066,6 +2112,7 @@ BUILTIN_PROGRAMS = {
     "pagerank": PageRank,
     "weighted_pagerank": WeightedPageRank,
     "personalized_pagerank": PersonalizedPageRank,
+    "katz": KatzCentrality,
     "hits": HITS,
     "connected_components": ConnectedComponents,
     "label_propagation": LabelPropagation,

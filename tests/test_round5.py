@@ -959,3 +959,32 @@ def test_latest_per_key_composite_key(ray_session):
         .sort_values(["a", "b"], ignore_index=True)
     )
     assert out["rid"].tolist() == [11, 12, 14]  # ts max; (2,x) tie -> rid max
+
+
+def test_katz_matches_bruteforce_recurrence(work_dir):
+    """KatzCentrality == the truncated-series recurrence x_{k+1} = 1 +
+    alpha * A^T x_k run in plain numpy, on a graph with a parallel edge
+    (must contribute twice), a cycle, and a dangling sink."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edges
+    from graphlite_ray.programs import KatzCentrality
+
+    src = np.array([0, 0, 0, 1, 2, 3], np.int64)  # 0->1 twice (parallel)
+    dst = np.array([1, 1, 2, 2, 3, 0], np.int64)
+    # vertex 4: dangling sink reachable only via 2->4
+    src = np.append(src, 2)
+    dst = np.append(dst, 4)
+    alpha, iters, n = 0.1, 6, 5
+
+    res = run_on_edges(KatzCentrality(alpha=alpha, iters=iters), src, dst, work_dir, P=2)
+    assert res.halted
+    vals = {r["vertex_id"]: r["value"] for r in res.values().take_all()}
+
+    x = np.ones(n)
+    for _ in range(iters):
+        acc = np.zeros(n)
+        np.add.at(acc, dst, x[src])
+        x = 1.0 + alpha * acc
+    got = np.array([vals[v] for v in range(n)])
+    assert np.allclose(got, x, rtol=0, atol=1e-12)
+    # the parallel edge matters: single-edge variant must differ at vertex 1
+    assert not np.isclose(got[1], 1.0 + alpha * (1.0 + alpha * 1.0))
