@@ -1192,6 +1192,18 @@ def _q_doc_sequence_pack(sf_dir: str):
     return sequence_pack(docs, capacity=512)
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-token chunking with overlap (window=32, stride=16; map-only,
+    no shuffle) — DuckDB-oracled exactly: generate_series starts over the
+    shared-contract token list, list_slice + array_to_string rebuild each
+    chunk's text."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.curation import chunk_documents
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, window=32, stride=16)
+
+
 def _q_doc_stratified_sample(sf_dir: str):
     """Deterministic 10-per-language sample (Knuth id hash, the shared
     sampling-hash contract) over LangId predictions — oracled by the
@@ -2320,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_span_clean": _q_doc_span_clean,
         "doc_sequence_pack": _q_doc_sequence_pack,
+        "doc_chunks": _q_doc_chunks,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_split_counts": _q_doc_split,
         "props_rollup": _q_props_rollup,
@@ -4418,6 +4431,20 @@ def oracle_sql() -> dict[str, str]:
             ") - n_tokens AS p FROM tc) "
             "SELECT doc_id, n_tokens, CAST(p // 512 AS BIGINT) AS bin_id, "
             "CAST(p % 512 AS BIGINT) AS bin_offset FROM s ORDER BY doc_id"
+        ),
+        "doc_chunks": (
+            # window=32/stride=16 replay: starts from generate-series range,
+            # chunk text via 1-based inclusive list_slice + single-space join
+            "WITH toks AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(text, '{_WS}'), x -> x <> '') AS tl "
+            "FROM documents), "
+            "nz AS (SELECT doc_id, tl, len(tl) AS n FROM toks WHERE len(tl) > 0), "
+            "st AS (SELECT doc_id, tl, n, unnest(range(0, n, 16)) AS start FROM nz) "
+            "SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id, "
+            "CAST(start AS BIGINT) AS start_tok, "
+            "CAST(LEAST(32, n - start) AS BIGINT) AS n_tokens, "
+            "array_to_string(tl[start + 1 : start + 32], ' ') AS chunk_text "
+            "FROM st ORDER BY doc_id, chunk_id"
         ),
         "doc_stratified_sample": (
             # 10 per language by the shared Knuth sampling hash, id tiebreak

@@ -349,6 +349,10 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             ),
         )
         _timed(
+            "katz",
+            lambda: run_algorithm("katz", pages, work, P=P),
+        )
+        _timed(
             "scc",
             lambda: scc_labels(
                 ray.data.read_parquet(edges_dir, columns=["src", "dst"]),

@@ -55,6 +55,61 @@ def sequence_pack(
     return scanned.map_batches(_bins, batch_format="pyarrow")
 
 
+def chunk_documents(
+    docs: "ray.data.Dataset", window: int = 128, stride: int = 64
+) -> "ray.data.Dataset":
+    """Fixed-token document chunking with overlap (the RAG / long-context
+    pretraining chunker): each document's token list (the ONE tokenization
+    contract, `functions/tokenize.py` — case preserved) is cut into
+    windows of `window` tokens starting every `stride` tokens; the last
+    window(s) are the short tails, so every token lands in >= 1 chunk.
+
+      (doc_id, text) -> (doc_id, chunk_id, start_tok, n_tokens, chunk_text)
+
+    Starts are 0, stride, 2*stride, ... < n_tokens; chunk_id = start /
+    stride. chunk_text re-joins tokens with single spaces (whitespace-
+    normalizing — deliberate: the chunker feeds tokenizers/embedders, not
+    byte-exact reconstructors). Token-less docs emit no chunks. Documents
+    chunk independently — map-only, NO shuffle, embarrassingly parallel
+    at 100 TB; output order inside a batch is (doc, start) so the
+    partitioned-parquet sink keeps chunks of a doc adjacent."""
+    import pyarrow as pa
+
+    from graphlite_ray.functions.tokenize import tokens
+
+    if window < 1 or stride < 1:
+        raise ValueError("chunk_documents needs window >= 1 and stride >= 1")
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id: list[int] = []
+        out_chunk: list[int] = []
+        out_start: list[int] = []
+        out_n: list[int] = []
+        out_text: list[str] = []
+        for i, text in enumerate(t["text"].to_pylist()):
+            tl = tokens(text)
+            n = len(tl)
+            for start in range(0, n, stride):
+                piece = tl[start : start + window]
+                out_id.append(int(ids[i]))
+                out_chunk.append(start // stride)
+                out_start.append(start)
+                out_n.append(len(piece))
+                out_text.append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_chunk, pa.int64()),
+                "start_tok": pa.array(out_start, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_chunks, batch_format="pyarrow")
+
+
 def stratified_sample(
     docs: "ray.data.Dataset",
     strata_col: str,

@@ -988,3 +988,40 @@ def test_katz_matches_bruteforce_recurrence(work_dir):
     assert np.allclose(got, x, rtol=0, atol=1e-12)
     # the parallel edge matters: single-edge variant must differ at vertex 1
     assert not np.isclose(got[1], 1.0 + alpha * (1.0 + alpha * 1.0))
+
+
+def test_chunk_documents_windows_and_tails(ray_session):
+    """Chunker edge cases: token-less doc emits nothing; doc shorter than
+    one window is a single short chunk; every token appears in >= 1
+    chunk; overlap region matches between consecutive chunks."""
+    from graphlite_ray.stages.curation import chunk_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "",                                  # no chunks
+                "a b c",                             # one short chunk
+                " ".join(f"t{i}" for i in range(8)),  # exact 2 windows at w=4,s=4
+                " ".join(f"u{i}" for i in range(10)),  # overlapping w=4,s=2
+            ],
+        }
+    )
+    out = (
+        chunk_documents(ray.data.from_pandas(docs).repartition(2), window=4, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    )
+    assert 1 not in set(out["doc_id"])
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == ["a b c", "c"] and d2["n_tokens"].tolist() == [3, 1]
+    d4 = out[out["doc_id"] == 4]
+    # starts 0,2,4,6,8 — last chunk is the 2-token tail
+    assert d4["start_tok"].tolist() == [0, 2, 4, 6, 8]
+    assert d4["n_tokens"].tolist() == [4, 4, 4, 4, 2]
+    # overlap: second half of chunk k == first half of chunk k+1
+    texts = d4["chunk_text"].tolist()
+    for a, b in zip(texts, texts[1:]):
+        assert a.split()[2:] == b.split()[: len(a.split()[2:])]
+    # coverage: union of chunk tokens == the doc's tokens
+    assert set(" ".join(texts).split()) == {f"u{i}" for i in range(10)}
