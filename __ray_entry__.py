@@ -2297,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_windows": lambda sf: _round_cols(R.q_hourly_windows(sf), {"sum_value": 4}),
         "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
         "sessions": lambda sf: R.q_sessions(sf),
+        "events_rolling_avg": lambda sf: R.q_rolling_avg(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
         "asof_join": lambda sf: R.q_asof_join(sf),
         "range_join_pairs": lambda sf: R.q_range_join_pairs(sf),
@@ -4056,6 +4057,19 @@ def oracle_sql() -> dict[str, str]:
             "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events) "
             "SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM gaps GROUP BY user_id ORDER BY user_id"
+        ),
+        "events_rolling_avg": (
+            # left-to-right lag adds mirror the pipeline's shifted-sum
+            # EXACTLY (same float op order), so the compare is bit-exact
+            "WITH l AS (SELECT event_id, user_id, value, "
+            "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+            "lag(value, 3) OVER w AS l3, "
+            "row_number() OVER w AS rn FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, "
+            "ROUND((value + coalesce(l1, 0) + coalesce(l2, 0) "
+            "+ coalesce(l3, 0)) / LEAST(rn, 4), 6) AS roll_avg "
+            "FROM l ORDER BY event_id"
         ),
         "union_counts": (
             "SELECT side, count(*) AS n FROM ("

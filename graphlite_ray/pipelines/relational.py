@@ -309,6 +309,54 @@ def q_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     )
 
 
+def q_rolling_avg(sf_dir: str, window: int = 4) -> pd.DataFrame:
+    """Per-user rolling average over the last `window` events ordered by
+    (ts, event_id) — the per-key moving-window shape (distinct from the
+    time-bucketed sliding_windows): ONE bucketed shuffle on user_id, then
+    a vectorized group-aware shifted-add inside each bucket.
+
+    The rolling sum is built as explicit left-to-right adds
+    ((v + lag1) + lag2) + ... — NOT pandas.rolling (whose sliding
+    subtract-add drifts) — so the float expression is bit-identical to
+    the SQL replay `value + coalesce(lag(value,1),0) + ...` and the
+    oracle compare is exact. Count = min(row position in group, window).
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.functions.rounding import round_half_away
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        v = g["value"].to_numpy(np.float64)
+        gid = g["user_id"].to_numpy()
+        s = v.copy()
+        cnt = np.ones(len(v), np.int64)
+        for k in range(1, window):
+            lagv = np.zeros_like(v)
+            valid = np.zeros(len(v), bool)
+            if len(v) > k:
+                lagv[k:] = v[:-k]
+                valid[k:] = gid[k:] == gid[:-k]
+            s = s + np.where(valid, lagv, 0.0)
+            cnt += valid
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "roll_avg": round_half_away(s / cnt, 6),
+            }
+        )
+
+    return (
+        grouped_map_bucketed(ds, ["user_id"], _roll, B=16)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
 def q_customers_without_orders(
     sf_dir: str,
     max_broadcast_keys: int = 5_000_000,

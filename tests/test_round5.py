@@ -1025,3 +1025,28 @@ def test_chunk_documents_windows_and_tails(ray_session):
         assert a.split()[2:] == b.split()[: len(a.split()[2:])]
     # coverage: union of chunk tokens == the doc's tokens
     assert set(" ".join(texts).split()) == {f"u{i}" for i in range(10)}
+
+
+def test_rolling_avg_group_boundaries_and_short_heads(ray_session, tmp_path, monkeypatch):
+    """Rolling mean: head rows average over fewer rows (min_periods=1
+    semantics); user boundaries never leak; window slides correctly."""
+    from graphlite_ray.pipelines.relational import q_rolling_avg
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:0%d" % i for i in [0, 1, 2, 3, 4, 0, 1]]
+            ),
+            "user_id": [10, 10, 10, 10, 10, 20, 20],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 200.0],
+        }
+    )
+    p = tmp_path / "events.parquet"
+    df.to_parquet(p, index=False)
+    out = q_rolling_avg(str(tmp_path), window=4)
+    got = out["roll_avg"].tolist()
+    # user 10: 1; (1+2)/2; (1+2+3)/3; (1+2+3+4)/4; (2+3+4+5)/4
+    # user 20: 100; (100+200)/2  — no leak of user 10's tail
+    assert got == [1.0, 1.5, 2.0, 2.5, 3.5, 100.0, 150.0]
+    assert out["event_id"].tolist() == [1, 2, 3, 4, 5, 6, 7]
