@@ -107,6 +107,21 @@ def _q_graph_katz(sf_dir: str):
     return df
 
 
+def _q_graph_eigenvector(sf_dir: str):
+    """Eigenvector centrality (L1-normalized power iteration, 8 layers +
+    final normalize) — DuckDB-oracled by a recursive CTE replaying the
+    exact layer schedule incl. the aggregator k->k+1 normalization
+    (`_eigenvector_oracle_sql`). Values rounded to 6 decimals both
+    sides."""
+    from graphlite_ray.pipelines.linkgraph import run_algorithm
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm("eigenvector", pages, work, P=8, resume=True)
+    df = res.values().select_columns(["vertex_id", "value"]).to_pandas()
+    df["value"] = _round_half_away(df["value"], 6)
+    return df
+
+
 def _q_incremental_pagerank(sf_dir: str):
     """PageRank over an INCREMENTALLY built graph: CSR shards are built
     from half the staged edges (deterministic (src + dst) % 2 split), then
@@ -2241,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link-graph engine (recursive-CTE DuckDB oracles + pytest parity)
         "pagerank": _q_pagerank,
         "graph_katz": _q_graph_katz,
+        "graph_eigenvector": _q_graph_eigenvector,
         "graph_incremental_pagerank": _q_incremental_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
         "connected_components": _q_cc,
@@ -2859,6 +2875,37 @@ def _katz_oracle_sql(edges_glob: str, alpha: float, iters: int) -> str:
         f"WHERE p.iter < {int(iters)}) "
         "SELECT v AS vertex_id, ROUND(val, 6) AS value FROM kz "
         f"WHERE iter = {int(iters)} ORDER BY vertex_id"
+    )
+
+
+def _eigenvector_oracle_sql(edges_glob: str, iters: int) -> str:
+    """Replays the EigenvectorCentrality schedule (programs.py): layer 0 =
+    all-ones; layer k = incoming sums of layer k-1 divided by layer k-1's
+    L1 norm (aggregator k->k+1 visibility); the final step divides the
+    last layer by its OWN norm. Single-direction sibling of the HITS
+    oracle."""
+    rp = f"read_parquet('{edges_glob}')"
+    F = int(iters) + 1
+    return (
+        "WITH RECURSIVE "
+        f"verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM {rp} "
+        f"UNION ALL SELECT dst FROM {rp})), "
+        "ev(iter, v, val, nrm) AS ("
+        "SELECT 0, v, CAST(1.0 AS DOUBLE), "
+        "CAST((SELECT count(*) FROM verts) AS DOUBLE) FROM verts "
+        "UNION ALL "
+        "SELECT iter + 1, v, newval, sum(newval) OVER () "
+        "FROM ("
+        f"SELECT p.iter, p.v, CASE WHEN p.iter + 1 < {F} THEN "
+        "(CASE WHEN p.nrm > 0 THEN coalesce(m.s, 0.0) / p.nrm ELSE 0.0 END) "
+        "ELSE (CASE WHEN p.nrm > 0 THEN p.val / p.nrm ELSE 0.0 END) END AS newval "
+        "FROM ev p "
+        "LEFT JOIN (SELECT e.dst AS v, sum(p2.val) AS s "
+        f"FROM ev p2 JOIN {rp} e ON e.src = p2.v GROUP BY e.dst) m "
+        "ON m.v = p.v "
+        f"WHERE p.iter < {F})) "
+        "SELECT v AS vertex_id, ROUND(val, 6) AS value FROM ev "
+        f"WHERE iter = {F} ORDER BY vertex_id"
     )
 
 
@@ -3497,6 +3544,7 @@ def oracle_sql() -> dict[str, str]:
         # engine's recurrence + halt rule (see the builder docstrings) -----
         "pagerank": _pagerank_oracle_sql(edges_glob, weighted=False),
         "graph_katz": _katz_oracle_sql(edges_glob, alpha=0.05, iters=10),
+        "graph_eigenvector": _eigenvector_oracle_sql(edges_glob, iters=8),
         # incremental build (half + delta-merge) is bit-identical to the
         # one-shot build, so the identical fixpoint replay oracles it
         "graph_incremental_pagerank": _pagerank_oracle_sql(edges_glob, weighted=False),

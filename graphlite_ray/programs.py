@@ -387,6 +387,64 @@ class KatzCentrality(VertexProgram):
         return out
 
 
+class EigenvectorCentrality(VertexProgram):
+    """Eigenvector centrality: power iteration on A^T with per-layer L1
+    normalization, fixed T iterations (the single-direction sibling of
+    HITS, sharing its aggregator-normalization schedule):
+
+      ss0:        x_0 = 1 everywhere; send raw x_0 along out-edges
+      ss 0<k<=T:  x_k(v) = inbox_sum / norm_{k-1} (the SENDING layer's L1
+                  mass via the aggregator's k->k+1 visibility); send raw
+                  x_k forward (skipped at k=T — nothing consumes it)
+      ss T+1:     normalize-only: x /= norm_T, so the output sums to
+                  exactly 1; halt.
+    Dangling-received mass shrinks each raw layer; the normalization
+    rescales, so the fixpoint is the dominant left eigenvector restricted
+    to the graph's recurrent part. Fixed-K -> deterministic and exactly
+    SQL-replayable (`_eigenvector_oracle_sql`)."""
+
+    name = "eigenvector"
+    combiner = "sum"
+
+    def __init__(self, iters: int = 8):
+        self.iters = int(iters)
+        if self.iters < 1:
+            raise ValueError("eigenvector needs >=1 iteration")
+        self.max_supersteps = self.iters + 2
+
+    def aggregators(self):
+        return {"norm": AggregatorSpec(init=0.0, op="sum")}
+
+    def init_values(self, shard):
+        return np.zeros(shard.n, np.float64)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut(aggr={"norm": 0.0})
+        k = ctx.superstep
+        final_ss = self.iters + 1
+        if k == 0:
+            values[:] = 1.0
+        else:
+            norm = ctx.aggr_global["norm"]
+            if k < final_ss:
+                sums = np.zeros(shard.n, np.float64)
+                if not inbox.empty:
+                    sums[inbox.idx] = inbox.val
+                values[:] = sums / norm if norm > 0 else 0.0
+            else:
+                values[:] = values / norm if norm > 0 else 0.0
+                out.halted = active.copy()
+                return out
+        out.aggr["norm"] = float(values.sum())
+        if k < final_ss - 1:
+            out.out_dst, out.out_val = _scatter_to_neighbors(shard, values, active)
+            out.sent = len(out.out_dst)
+        return out
+
+    def master_halt(self, superstep, aggr_global, totals):
+        return superstep >= self.iters + 1
+
+
 class HITS(VertexProgram):
     """HITS hubs-and-authorities (Kleinberg), L1-normalized, fixed
     iteration count. The CSR is built over a DIRECTION-TAGGED edge
@@ -2113,6 +2171,7 @@ BUILTIN_PROGRAMS = {
     "weighted_pagerank": WeightedPageRank,
     "personalized_pagerank": PersonalizedPageRank,
     "katz": KatzCentrality,
+    "eigenvector": EigenvectorCentrality,
     "hits": HITS,
     "connected_components": ConnectedComponents,
     "label_propagation": LabelPropagation,

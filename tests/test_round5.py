@@ -1050,3 +1050,31 @@ def test_rolling_avg_group_boundaries_and_short_heads(ray_session, tmp_path, mon
     # user 20: 100; (100+200)/2  — no leak of user 10's tail
     assert got == [1.0, 1.5, 2.0, 2.5, 3.5, 100.0, 150.0]
     assert out["event_id"].tolist() == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_eigenvector_matches_power_iteration(work_dir):
+    """EigenvectorCentrality == numpy power iteration with the same layer
+    schedule (normalize by the PREVIOUS layer's L1 mass; final layer
+    divided by its own norm) on a strongly-connected digraph."""
+    from graphlite_ray.pipelines.linkgraph import run_on_edges
+    from graphlite_ray.programs import EigenvectorCentrality
+
+    # 4-cycle with chords: strongly connected, non-uniform stationary layer
+    src = np.array([0, 1, 2, 3, 0, 2], np.int64)
+    dst = np.array([1, 2, 3, 0, 2, 0], np.int64)
+    iters, n = 5, 4
+
+    res = run_on_edges(EigenvectorCentrality(iters=iters), src, dst, work_dir, P=2)
+    assert res.halted
+    vals = {r["vertex_id"]: r["value"] for r in res.values().take_all()}
+
+    x = np.ones(n)
+    for _ in range(iters):
+        nrm = x.sum()
+        acc = np.zeros(n)
+        np.add.at(acc, dst, x[src])
+        x = acc / nrm
+    x = x / x.sum()  # final normalize-only step
+    got = np.array([vals[v] for v in range(n)])
+    assert np.allclose(got, x, rtol=0, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-12
