@@ -2314,6 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
         "sessions": lambda sf: R.q_sessions(sf),
         "events_rolling_avg": lambda sf: R.q_rolling_avg(sf),
+        "rollup_acctbal": lambda sf: R.q_rollup_acctbal(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
         "asof_join": lambda sf: R.q_asof_join(sf),
         "range_join_pairs": lambda sf: R.q_range_join_pairs(sf),
@@ -4105,6 +4106,15 @@ def oracle_sql() -> dict[str, str]:
             "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events) "
             "SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM gaps GROUP BY user_id ORDER BY user_id"
+        ),
+        "rollup_acctbal": (
+            # sentinels (-1 / 'ALL') instead of ROLLUP's NULL slots, same
+            # rows: finest, per-nation subtotal, grand total
+            "SELECT COALESCE(c_nationkey, -1) AS c_nationkey, "
+            "COALESCE(c_mktsegment, 'ALL') AS c_mktsegment, "
+            "count(*) AS n, ROUND(sum(c_acctbal), 2) AS sum_bal "
+            "FROM customer GROUP BY ROLLUP(c_nationkey, c_mktsegment) "
+            "ORDER BY c_nationkey, c_mktsegment"
         ),
         "events_rolling_avg": (
             # left-to-right lag adds mirror the pipeline's shifted-sum

@@ -357,6 +357,61 @@ def q_rolling_avg(sf_dir: str, window: int = 4) -> pd.DataFrame:
     )
 
 
+def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP subtotal aggregate (GROUP BY ROLLUP(nation, segment)) over
+    customer balances: count + sum at (nation, segment), per-nation, and
+    grand-total levels. Rolled-up key slots use sentinels (-1 / 'ALL' —
+    TPC-H keys are non-negative and segments never equal 'ALL') instead
+    of SQL NULLs so the hash compare is representation-stable.
+
+    Scale shape: the FINEST level is the only distributed aggregation
+    (per-block partials -> one bucketed sum); the coarser levels derive
+    from the finest AGGREGATE — |nations x segments| rows, bounded by key
+    cardinality, not data volume — so the corpus is touched once. Sums
+    round to 2dp: inputs are 2-decimal currency, accumulated float error
+    is ~1e-7 absolute, so both engines snap to the same cent."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.functions.rounding import round_half_away
+
+    keys = ["c_nationkey", "c_mktsegment"]
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        return (
+            t.to_pandas()
+            .groupby(keys, as_index=False)
+            .agg(n=("c_acctbal", "size"), s=("c_acctbal", "sum"))
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+
+    finest = grouped_map_bucketed(
+        cust.map_batches(_partial, batch_format="pyarrow"), keys, _final, B=8
+    ).to_pandas()
+
+    by_nation = finest.groupby("c_nationkey", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    )
+    by_nation["c_mktsegment"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "c_nationkey": [-1],
+            "c_mktsegment": ["ALL"],
+            "n": [finest["n"].sum()],
+            "s": [finest["s"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_nation, grand], ignore_index=True)[
+        ["c_nationkey", "c_mktsegment", "n", "s"]
+    ]
+    out["sum_bal"] = round_half_away(out.pop("s").to_numpy(np.float64), 2)
+    return out.astype({"c_nationkey": "int64", "n": "int64"}).sort_values(
+        keys, ignore_index=True
+    )
+
+
 def q_customers_without_orders(
     sf_dir: str,
     max_broadcast_keys: int = 5_000_000,

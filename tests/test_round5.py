@@ -1078,3 +1078,21 @@ def test_eigenvector_matches_power_iteration(work_dir):
     got = np.array([vals[v] for v in range(n)])
     assert np.allclose(got, x, rtol=0, atol=1e-12)
     assert abs(got.sum() - 1.0) < 1e-12
+
+
+def test_rollup_levels_consistent(ray_session):
+    """ROLLUP invariants on the real sf0.001 table: per-nation subtotals
+    equal the sum of their segment rows; the grand total equals the sum
+    of the per-nation level; counts match the raw row count."""
+    from graphlite_ray.pipelines.relational import q_rollup_acctbal
+
+    out = q_rollup_acctbal("/root/testdata/sf0.001")
+    finest = out[(out["c_nationkey"] >= 0) & (out["c_mktsegment"] != "ALL")]
+    nation = out[(out["c_nationkey"] >= 0) & (out["c_mktsegment"] == "ALL")]
+    grand = out[out["c_nationkey"] == -1]
+    assert len(grand) == 1
+    assert int(grand["n"].iloc[0]) == int(finest["n"].sum()) == int(nation["n"].sum())
+    per_nation = finest.groupby("c_nationkey")["n"].sum()
+    for nk, n in nation.set_index("c_nationkey")["n"].items():
+        assert per_nation[nk] == n
+    assert abs(float(grand["sum_bal"].iloc[0]) - float(finest["sum_bal"].sum())) < 0.05
