@@ -2315,6 +2315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": lambda sf: R.q_sessions(sf),
         "events_rolling_avg": lambda sf: R.q_rolling_avg(sf),
         "rollup_acctbal": lambda sf: R.q_rollup_acctbal(sf),
+        "user_set_ops": lambda sf: R.q_user_set_ops(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
         "asof_join": lambda sf: R.q_asof_join(sf),
         "range_join_pairs": lambda sf: R.q_range_join_pairs(sf),
@@ -4106,6 +4107,18 @@ def oracle_sql() -> dict[str, str]:
             "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events) "
             "SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM gaps GROUP BY user_id ORDER BY user_id"
+        ),
+        "user_set_ops": (
+            "SELECT 'intersect' AS op, user_id FROM ("
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'purchase') "
+            "UNION ALL "
+            "SELECT 'except' AS op, user_id FROM ("
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "EXCEPT "
+            "SELECT user_id FROM events WHERE event_type = 'purchase') "
+            "ORDER BY op, user_id"
         ),
         "rollup_acctbal": (
             # sentinels (-1 / 'ALL') instead of ROLLUP's NULL slots, same

@@ -357,6 +357,49 @@ def q_rolling_avg(sf_dir: str, window: int = 4) -> pd.DataFrame:
     )
 
 
+def q_user_set_ops(sf_dir: str, a: str = "click", b: str = "purchase") -> pd.DataFrame:
+    """INTERSECT / EXCEPT set operators over per-event-type user sets:
+    op='intersect' rows are users seen in BOTH event types, op='except'
+    rows are users seen in `a` but never `b`. ONE bucketed shuffle on
+    user_id: per-batch partial (user, saw_a, saw_b) flags (pre-combined
+    inside the batch, so the shuffle carries <= 1 row per distinct user
+    per block, not per event), per-bucket OR-merge, then the set-op
+    classification is a vectorized mask — the general pattern for N-way
+    set algebra without N shuffles."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+    def _flags(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin([a, b])]
+        if df.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "saw_a": pd.Series([], dtype=bool),
+                                 "saw_b": pd.Series([], dtype=bool)})
+        df["saw_a"] = df["event_type"] == a
+        df["saw_b"] = df["event_type"] == b
+        return df.groupby("user_id", as_index=False).agg(
+            saw_a=("saw_a", "any"), saw_b=("saw_b", "any")
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False).agg(
+            saw_a=("saw_a", "any"), saw_b=("saw_b", "any")
+        )
+        inter = m[m["saw_a"] & m["saw_b"]][["user_id"]].assign(op="intersect")
+        exc = m[m["saw_a"] & ~m["saw_b"]][["user_id"]].assign(op="except")
+        return pd.concat([inter, exc], ignore_index=True)[["op", "user_id"]]
+
+    return (
+        grouped_map_bucketed(
+            ds.map_batches(_flags, batch_format="pyarrow"), ["user_id"], _merge, B=8
+        )
+        .to_pandas()
+        .sort_values(["op", "user_id"], ignore_index=True)
+    )
+
+
 def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
     """ROLLUP subtotal aggregate (GROUP BY ROLLUP(nation, segment)) over
     customer balances: count + sum at (nation, segment), per-nation, and

@@ -1096,3 +1096,23 @@ def test_rollup_levels_consistent(ray_session):
     for nk, n in nation.set_index("c_nationkey")["n"].items():
         assert per_nation[nk] == n
     assert abs(float(grand["sum_bal"].iloc[0]) - float(finest["sum_bal"].sum())) < 0.05
+
+
+def test_user_set_ops_classification(ray_session, tmp_path):
+    """Set-op classification: intersect = users in both types, except =
+    a-only; users appearing only in OTHER event types are excluded."""
+    from graphlite_ray.pipelines.relational import q_user_set_ops
+
+    df = pd.DataFrame(
+        {
+            "user_id":    [1, 1, 2, 3, 3, 4, 5],
+            "event_type": ["click", "purchase", "click", "purchase", "click",
+                           "view", "purchase"],
+        }
+    )
+    (tmp_path / "events.parquet").write_bytes(b"")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_user_set_ops(str(tmp_path))
+    got = {(r.op, r.user_id) for r in out.itertuples()}
+    # 1,3 in both; 2 click-only; 4 view-only (excluded); 5 purchase-only
+    assert got == {("intersect", 1), ("intersect", 3), ("except", 2)}
