@@ -1298,6 +1298,32 @@ def _q_doc_jsonl_ingest(sf_dir: str):
     )
 
 
+def _csv_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/glr_cache/docs_csv_{base}"
+
+
+def _q_doc_csv_ingest(sf_dir: str):
+    """CSV source/sink seam: the corpus is staged once as a CSV shard
+    directory (Ray `write_csv`, RFC-4180 quoting), re-ingested with the
+    streaming CSV reader, and token-counted. The DuckDB oracle reads THE
+    SAME staged CSV with `read_csv`, so the quoting round-trip (commas,
+    quotes, embedded delimiters in web text) is part of what's
+    checked."""
+    from graphlite_ray.sources.csvio import read_csv, stage_csv
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import TokenCounter
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out_dir = stage_csv(docs, _csv_dir(sf_dir))
+    ingested = read_csv(out_dir, columns=["doc_id", "text"])
+    return (
+        ingested.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def _q_doc_bpe_tokens(sf_dir: str):
     """Subword token budget per document: vocab-driven BPE merges applied
     rank-ordered per word (stages/bpe.py — merge table loaded once per
@@ -2357,6 +2383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_rollup": _q_props_rollup,
         "doc_token_count": _q_doc_tokens,
         "doc_jsonl_ingest": _q_doc_jsonl_ingest,
+        "doc_csv_ingest": _q_doc_csv_ingest,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_bpe_train": _q_doc_bpe_train,
         "doc_weighted_mix": _q_doc_weighted_mix,
@@ -4564,6 +4591,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(list_filter(regexp_split_to_array(text, "
             f"'{_WS}'), x -> x <> '')) AS n_tokens "
             f"FROM read_json_auto('{_jsonl_dir(_ORACLE_SF)}/*.json') "
+            "ORDER BY doc_id"
+        ),
+        "doc_csv_ingest": (
+            # reads the STAGED CSV itself: the write_csv -> read_csv
+            # round-trip (RFC-4180 quoting) is inside the check
+            # COALESCE: CSV has no ''-vs-NULL distinction for unquoted
+            # empties — both sides count an empty/null text as 0 tokens
+            "SELECT doc_id, COALESCE(len(list_filter(regexp_split_to_array("
+            f"text, '{_WS}'), x -> x <> '')), 0) AS n_tokens "
+            f"FROM read_csv('{_csv_dir(_ORACLE_SF)}/*.csv', header = true, "
+            "columns = {'doc_id': 'BIGINT', 'text': 'VARCHAR'}) "
             "ORDER BY doc_id"
         ),
         "doc_quality": (
