@@ -1561,6 +1561,20 @@ def _q_emb_knn(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _q_emb_knn_quantized(sf_dir: str):
+    """Cosine top-k under symmetric int8 quantization (the 4x-smaller
+    embedding-store scale path) — DuckDB-oracled EXACTLY: the oracle
+    replays the quantization arithmetic (per-vector max|v|/127 scale,
+    half-away round) and ranks by the same integer-dot similarity, whose
+    floats are bit-deterministic (exact ints + correctly-rounded
+    sqrt)."""
+    from graphlite_ray.stages.similarity import knn_quantized, read_embeddings
+
+    emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
+    out = knn_quantized(emb, _knn_queries(sf_dir), k=10)
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def _q_emb_knn_ivf(sf_dir: str):
     """IVF-indexed ANN: disk index (one parquet per cluster), probes read
     only their clusters' files (rows-only: approximate; recall vs the
@@ -2397,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_simhash_pairs": _q_doc_simhash,
         "emb_knn": _q_emb_knn,
+        "emb_knn_quantized": _q_emb_knn_quantized,
         "emb_kmeans": _q_emb_kmeans,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_semdedup": _q_emb_semdedup,
@@ -3979,6 +3994,31 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC"
             ") AS rank FROM embeddings e CROSS JOIN q) "
             "WHERE rank <= 10 ORDER BY query_id, rank"
+        ),
+        "emb_knn_quantized": (
+            # full replay of the int8 quantization + integer-dot cosine:
+            # scale/round arithmetic identical, dots/norms exact integers
+            "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
+            "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), "
+            "sc AS (SELECT vec_id, GREATEST(MAX(ABS(v)) / 127.0, 1e-12) AS s "
+            "FROM e GROUP BY vec_id), "
+            "q8 AS (SELECT e.vec_id, e.i, "
+            "CAST(ROUND(e.v / sc.s) AS BIGINT) AS q "
+            "FROM e JOIN sc USING (vec_id)), "
+            "nrm AS (SELECT vec_id, SUM(q * q) AS n2 FROM q8 GROUP BY vec_id), "
+            "qv AS (SELECT vec_id AS query_id, i, q FROM q8 WHERE vec_id < 3), "
+            "dt AS (SELECT qv.query_id, e2.vec_id, SUM(e2.q * qv.q) AS dot "
+            "FROM q8 e2 JOIN qv ON qv.i = e2.i GROUP BY qv.query_id, e2.vec_id), "
+            "sim AS (SELECT dt.query_id, dt.vec_id, "
+            "CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0 ELSE "
+            "CAST(dt.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * "
+            "sqrt(CAST(nb.n2 AS DOUBLE))) END AS sim "
+            "FROM dt JOIN nrm na ON na.vec_id = dt.vec_id "
+            "JOIN nrm nb ON nb.vec_id = dt.query_id) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "SELECT query_id, vec_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank "
+            "FROM sim) WHERE rank <= 10 ORDER BY query_id, rank"
         ),
         "emb_kmeans": (
             # replay of the corpus-wide assignment against the STAGED

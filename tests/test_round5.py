@@ -1146,3 +1146,37 @@ def test_csv_roundtrip_hostile_text(ray_session, tmp_path):
     n_files = len(list((tmp_path / "csv").iterdir()))
     stage_csv(ray.data.from_pandas(df), str(tmp_path / "csv"))
     assert len(list((tmp_path / "csv").iterdir())) == n_files
+
+
+def test_quantized_knn_recall_and_bounds(ray_session):
+    """int8 quantization invariants: |q| <= 127, reconstruction error
+    <= scale/2 per element; quantized top-10 keeps high recall vs exact
+    cosine and each query's self-match ranks first."""
+    from graphlite_ray.stages.similarity import (
+        knn_bruteforce,
+        knn_quantized,
+        quantize_matrix,
+        read_embeddings,
+    )
+
+    rng = np.random.RandomState(7)
+    M = rng.randn(50, 16)
+    q, s = quantize_matrix(M)
+    assert np.abs(q).max() <= 127
+    assert np.all(np.abs(M - q * s[:, None]) <= s[:, None] / 2 + 1e-12)
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_embeddings(f"{sf}/embeddings.parquet")
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", 3)])
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    Q = np.stack([t["embedding"].to_pylist()[i] for i in order]).astype(np.float64)
+
+    exact = knn_bruteforce(emb, Q, k=10)
+    quant = knn_quantized(read_embeddings(f"{sf}/embeddings.parquet"), Q, k=10)
+    for qid in range(3):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        g = quant[quant["query_id"] == qid]
+        assert len(e & set(g["vec_id"])) >= 8  # recall@10 >= 0.8
+        assert g[g["rank"] == 1]["vec_id"].iloc[0] == qid  # self-match first
