@@ -447,6 +447,31 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def _q_graph_transitivity(sf_dir: str):
+    """Global clustering coefficient 3*T/W of the simple undirected page
+    graph — DuckDB-oracled exactly (triangle 3-way join + degree-derived
+    wedge count; one float division, rounded 6dp both sides)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.triangles import transitivity
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    T, W, C = transitivity(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work_dir=os.path.join(work, "tri"),
+        B=16,
+    )
+    return pa.table(
+        {
+            "n_triangles": pa.array([T], pa.int64()),
+            "n_wedges": pa.array([W], pa.int64()),
+            "transitivity": pa.array([_round_half_away(np.array([C]), 6)[0]], pa.float64()),
+        }
+    )
+
+
 def _q_extract_edges(sf_dir: str):
     import ray.data
 
@@ -2336,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_edge_counts": _q_host_edge_counts,
         "host_pagerank": _q_host_pagerank,
         "triangle_count": _q_triangles,
+        "graph_transitivity": _q_graph_transitivity,
         "extract_edges": _q_extract_edges,
         "anchor_text_index": _q_anchor_text,
         "out_degrees": _q_degrees,
@@ -3569,6 +3595,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS n_triangles "
             f"FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
             f"JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+        ),
+        "graph_transitivity": (
+            # 3*T/W on the simple undirected graph; W from degrees
+            f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
+            f"greatest(src, dst) AS b FROM read_parquet('{edges_glob}') "
+            "WHERE src <> dst), "
+            "tri AS (SELECT count(*) AS t FROM e e1 "
+            "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "deg AS (SELECT v, count(*) AS d FROM "
+            "(SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v), "
+            "w AS (SELECT SUM(d * (d - 1) // 2) AS nw FROM deg) "
+            "SELECT CAST(tri.t AS BIGINT) AS n_triangles, "
+            "CAST(w.nw AS BIGINT) AS n_wedges, "
+            "ROUND(CASE WHEN w.nw = 0 THEN 0.0 "
+            "ELSE (3.0 * tri.t) / w.nw END, 6) AS transitivity "
+            "FROM tri, w"
         ),
         "triangle_count_approx": (
             # DOULION replay: the SAME deterministic pair-hash sample

@@ -243,6 +243,47 @@ def triangle_count(
     return _triangles_impl(edges, work_dir, B, broadcast_limit, per_vertex=False)
 
 
+def transitivity(
+    edges: "ray.data.Dataset",
+    work_dir: str | None = None,
+    B: int = 32,
+    broadcast_limit: int = 2_000_000,
+) -> tuple[int, int, float]:
+    """Global clustering coefficient of the simple undirected graph:
+    C = 3 * triangles / wedges, wedges = sum over v of C(deg_v, 2)
+    (open + closed). Triangles reuse `triangle_count`'s machinery; the
+    wedge total is a per-block partial degree count -> one bucketed sum
+    per vertex -> per-bucket wedge subtotal, so the driver adds <= B
+    scalars. Returns (n_triangles, n_wedges, C); C = 0.0 on a wedge-less
+    graph."""
+    T = triangle_count(edges, work_dir=work_dir, B=B, broadcast_limit=broadcast_limit)
+    simple = _canonical_simple_edges(edges, B=B)
+
+    def _deg_partial(t: pa.Table) -> pd.DataFrame:
+        both = np.concatenate(
+            [
+                t["lo"].to_numpy(zero_copy_only=False),
+                t["hi"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        v, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"v": v, "c": c.astype(np.int64)})
+
+    def _wedge_subtotal(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("v")["c"].sum().to_numpy(np.int64)
+        return pd.DataFrame({"nw": [int((d * (d - 1) // 2).sum())]})
+
+    parts = grouped_map_bucketed(
+        simple.map_batches(_deg_partial, batch_format="pyarrow"),
+        ["v"],
+        _wedge_subtotal,
+        B,
+    ).to_pandas()
+    W = int(parts["nw"].sum()) if len(parts) else 0
+    C = (3.0 * T) / W if W else 0.0
+    return T, W, C
+
+
 def vertex_triangle_counts(
     edges: "ray.data.Dataset",
     work_dir: str | None = None,

@@ -1180,3 +1180,20 @@ def test_quantized_knn_recall_and_bounds(ray_session):
         g = quant[quant["query_id"] == qid]
         assert len(e & set(g["vec_id"])) >= 8  # recall@10 >= 0.8
         assert g[g["rank"] == 1]["vec_id"].iloc[0] == qid  # self-match first
+
+
+def test_transitivity_known_graph(ray_session, tmp_path):
+    """C = 3T/W on a known graph: triangle 0-1-2 plus pendant 2-3.
+    Degrees (2,2,3,1) -> W = 1+1+3+0 = 5, T = 1, C = 0.6. Parallel and
+    reversed edges must not change the simple-graph result."""
+    from graphlite_ray.pipelines.triangles import transitivity
+
+    df = pd.DataFrame(
+        {
+            "src": [0, 1, 2, 2, 1, 0],
+            "dst": [1, 2, 0, 3, 0, 1],  # 1->0 reverse dup, 0->1 parallel dup
+        }
+    )
+    T, W, C = transitivity(ray.data.from_pandas(df).repartition(2), B=4)
+    assert (T, W) == (1, 5)
+    assert abs(C - 0.6) < 1e-12
