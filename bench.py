@@ -589,6 +589,30 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             return latest_per_key(evl, ["user_id"], ["ts", "event_id"]).count()
 
         _timed("events_latest", _events_latest)
+
+        def _events_rolling():
+            from graphlite_ray.pipelines.relational import q_rolling_avg
+
+            return len(q_rolling_avg(sf_dir))
+
+        _timed("events_rolling", _events_rolling)
+
+        def _doc_chunks():
+            from graphlite_ray.stages.curation import chunk_documents
+
+            dc = read_parquet_clean(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            return chunk_documents(dc, window=64, stride=32).count()
+
+        _timed("doc_chunks", _doc_chunks)
+
+        def _knn_quant():
+            from graphlite_ray.stages.similarity import knn_quantized
+
+            return len(knn_quantized(emb, Q3, k=10))
+
+        _timed("emb_knn_quantized", _knn_quant)
         exact_knn = _timed("emb_knn", lambda: knn_bruteforce(emb, Q3, k=10))
         ivf_recall = _timed("emb_knn_ivf", lambda: _ivf_block(exact_knn))
         lsh_recall = _timed("emb_near_dup", lambda: _lsh_block())
