@@ -977,9 +977,11 @@ def _q_graph_neighborhood(sf_dir: str):
 def _q_graph_neighborhood_approx(sf_dir: str):
     """HyperBall estimate of the same neighborhood function (p=6 -> 64
     registers/vertex, fixed memory per vertex at any graph size) — the
-    scale path. Approximate by design: rows-only driver check; accuracy
-    vs the exact sibling is asserted in pytest (rel err < 0.2) and
-    quantified per bench run."""
+    scale path. Approximate vs the EXACT sibling (rel err < 0.2 asserted
+    in pytest), but DETERMINISTIC given the seed hash — so it is fully
+    DuckDB-oracled (`_hyperball_nf_oracle_sql`): per-radius registers,
+    estimates, telescoped deltas and the final-superstep rule replayed in
+    SQL, hash-exact at 3-digit half-away rounding."""
     from graphlite_ray.pipelines.linkgraph import run_algorithm
     from graphlite_ray.pipelines.neighborhood import neighborhood_table
 
@@ -3335,6 +3337,70 @@ def _hyperball_oracle_sql(edges_glob: str, p: int = 6) -> str:
     )
 
 
+def _hyperball_nf_oracle_sql(edges_glob: str, p: int = 6) -> str:
+    """Ground-truth replay of the TELESCOPED HyperBall neighborhood
+    function (converts `graph_neighborhood_approx` from rows-only to
+    hash-exact — r4 verdict item 9): the per-radius register state at
+    every t is the per-bucket MAX rho over sources within min-distance t
+    (the changed-counter forwarding provably preserves this invariant:
+    every value a vertex ever holds was forwarded exactly once when first
+    attained), so N_hat(t) = sum_v est(regs_t(v)) and the engine's
+    per-superstep `nf_delta` history telescopes to N_hat(t) - N_hat(t-1).
+    The final superstep T is replayed too: the run ends one step after
+    the last register increase (messages arrive, nothing grows, all halt),
+    capped at the radius; `+ 0.0` normalizes a possible -0.0 from rounding
+    a tiny negative stable-tail delta."""
+    m = 1 << p
+    r = _NF_RADIUS
+    mix = _splitmix64_sql("u")
+    shift = 1 << (64 - p)
+    est = (
+        f"CASE WHEN (0.709 * {m} * {m} / (s_nz + ({m} - nz))) <= {2.5 * m} "
+        f"AND ({m} - nz) > 0 "
+        f"THEN {m} * ln({m}::DOUBLE / ({m} - nz)) "
+        f"ELSE 0.709 * {m} * {m} / (s_nz + ({m} - nz)) END"
+    )
+    return (
+        "WITH RECURSIVE "
+        f"se AS (SELECT src, dst FROM read_parquet('{edges_glob}')), "
+        "verts AS (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM se UNION ALL SELECT dst FROM se)), "
+        f"src AS (SELECT v AS u FROM verts WHERE v % {_NF_SOURCE_MOD} = 0), "
+        "w(u, v, d) AS (SELECT u, u, 0 FROM src "
+        "UNION SELECT w.u, se.dst, w.d + 1 FROM w JOIN se ON se.src = w.v "
+        f"WHERE w.d < {r}), "
+        "md AS (SELECT u, v, MIN(d) AS d FROM w GROUP BY u, v), "
+        f"h AS MATERIALIZED (SELECT u, {mix} AS hv FROM src), "
+        f"hb AS (SELECT u, CAST(hv // {shift} AS BIGINT) AS bucket, "
+        f"CAST({64 - p} AS BIGINT) - "
+        f"(CASE WHEN hv % {shift} = 0 THEN 0 "
+        f"ELSE length(bin(CAST(hv % {shift} AS BIGINT))) END) + 1 AS rho "
+        "FROM h), "
+        f"ts AS (SELECT unnest(range(0, {r + 1})) AS t), "
+        "regs AS (SELECT ts.t, md.v, hb.bucket, MAX(hb.rho) AS reg "
+        "FROM md JOIN hb ON hb.u = md.u JOIN ts ON md.d <= ts.t "
+        "GROUP BY ts.t, md.v, hb.bucket), "
+        "vest AS (SELECT t, v, SUM(power(2.0, -reg)) AS s_nz, "
+        "COUNT(*) AS nz FROM regs GROUP BY t, v), "
+        f"pest AS (SELECT t, v, {est} AS est FROM vest), "
+        "nhat AS (SELECT t, SUM(est) AS nh FROM pest GROUP BY t), "
+        "chg AS (SELECT r1.t AS t FROM regs r1 LEFT JOIN regs r0 "
+        "ON r0.t = r1.t - 1 AND r0.v = r1.v AND r0.bucket = r1.bucket "
+        "WHERE r1.t >= 1 AND r1.reg > COALESCE(r0.reg, 0)), "
+        "tf AS (SELECT CASE WHEN (SELECT count(*) FROM se "
+        "JOIN src ON se.src = src.u) = 0 THEN 0 "
+        f"ELSE LEAST({r}, COALESCE((SELECT MAX(t) FROM chg), 0) + 1) "
+        "END AS tmax) "
+        "SELECT ts.t AS t, "
+        "ROUND(COALESCE(nhat.nh, 0) - "
+        "COALESCE(LAG(COALESCE(nhat.nh, 0)) OVER (ORDER BY ts.t), 0), 3) "
+        "+ 0.0 AS new_pairs, "
+        "ROUND(COALESCE(nhat.nh, 0), 3) + 0.0 AS cum_pairs "
+        "FROM ts LEFT JOIN nhat ON nhat.t = ts.t CROSS JOIN tf "
+        "WHERE ts.t <= tf.tmax ORDER BY t"
+    )
+
+
 def _distinct_users_approx_oracle_sql(p: int = 12) -> str:
     """Ground-truth replay of `functions.sketches.approx_distinct_per_group`
     (p=12): splitmix64 hash of each user_id (`_splitmix64_sql`), register
@@ -3994,13 +4060,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT walk_id, step, vertex AS vertex_id FROM walk "
             "ORDER BY walk_id, step"
         ),
-        # graph_neighborhood_approx: OMITTED on purpose — HyperBall is
-        # approximate by design (HLL registers); its accuracy is asserted
-        # against the ORACLED exact sibling in pytest (rel err < 0.2) and
-        # quantified per bench run, same pattern as distinct_users_approx.
-        # The REGISTERS themselves are exactly oracled (r5): the sibling
-        # graph_hyperball_balls query replays hash+bucket+rho+max-merge+
-        # estimator per vertex in pure SQL.
+        # graph_neighborhood_approx (r5, verdict item 9): the full
+        # telescoped neighborhood-function estimate is SQL-replayed —
+        # per-radius register states from min-distance ball membership,
+        # per-vertex HLL estimates, per-t totals, deltas, and the run's
+        # final-superstep rule — so the query is now hash-exact, not
+        # rows-only. The per-vertex registers at the final radius are
+        # independently oracled by graph_hyperball_balls.
+        "graph_neighborhood_approx": _hyperball_nf_oracle_sql(edges_glob),
         "graph_hyperball_balls": _hyperball_oracle_sql(edges_glob),
         "link_prediction": (
             # independent replay: undirected adjacency self-join wedges,
@@ -4708,7 +4775,4 @@ def oracle_sql() -> dict[str, str]:
         #     ORACLED exact emb_knn; recall asserted in pytest (and
         #     measured per bench run: ivf_recall); the clustering step
         #     itself is exactly oracled via emb_kmeans (staged centroids)
-        #   graph_neighborhood_approx — telescoped-SUM view of the
-        #     HyperBall run whose registers ARE exactly oracled
-        #     (graph_hyperball_balls)
     }
