@@ -1602,29 +1602,60 @@ def _q_emb_knn_quantized(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
-def _q_emb_knn_ivf(sf_dir: str):
-    """IVF-indexed ANN: disk index (one parquet per cluster), probes read
-    only their clusters' files (rows-only: approximate; recall vs the
-    brute-force oracle is asserted in pytest)."""
+# shared by the emb_knn_ivf query AND its oracle (one constant per knob —
+# the r4 ADVICE shared-cap rule): k results, nprobe probed cells.
+_IVF_K = 10
+_IVF_NPROBE = 4
+
+
+def _ensure_ivf_index(sf_dir: str) -> str:
+    """Build (once, idempotent) and return this sf's on-disk IVF index dir.
+    Shared by the query and the oracle staging so whichever runs first
+    builds the SAME versioned index; also stages the engine's float64
+    centroid matrix as a long-format parquet (`centroids_long.parquet`)
+    so the SQL probe replay scores the exact floats the engine probes."""
     import tempfile
 
-    import ray.data
+    import pyarrow.parquet as pq
 
-    from graphlite_ray.stages.similarity import (
-        build_ivf_index,
-        knn_ivf_indexed,
-        read_embeddings,
-    )
+    from graphlite_ray.stages.similarity import build_ivf_index, read_embeddings
 
-    emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
     # v2: kmeans++ + replicas=2 index layout; versioned dir so a stale
     # pre-r4 index can't be silently reused
     index_dir = os.path.join(
         tempfile.gettempdir(), f"glr_ivf_v2_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        emb = read_embeddings(f"{sf_dir}/embeddings.parquet")
         build_ivf_index(emb, index_dir, n_clusters=16)
-    out = knn_ivf_indexed(index_dir, _knn_queries(sf_dir), k=10, nprobe=4)
+    cen_path = os.path.join(index_dir, "centroids_long.parquet")
+    if not os.path.exists(cen_path):
+        C = np.load(os.path.join(index_dir, "centroids.npy"))
+        k, d = C.shape
+        t = pa.table(
+            {
+                "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "w": C.reshape(-1),
+            }
+        )
+        pq.write_table(t, cen_path + ".tmp")
+        os.replace(cen_path + ".tmp", cen_path)
+    return index_dir
+
+
+def _q_emb_knn_ivf(sf_dir: str):
+    """IVF-indexed ANN: disk index (one parquet per cluster), probes read
+    only their clusters' files (sublinear in corpus size). Hash-exact
+    DuckDB-oracled (r5): the STAGED INDEX is the oracle boundary — the SQL
+    replays probe selection (top-nprobe centroid dots, ties to the lower
+    cluster id), the union-of-probed-files membership (replica dedup), and
+    the exact cosine ranking within it (`_ivf_oracle_sql`). Recall vs
+    brute force additionally asserted in pytest."""
+    from graphlite_ray.stages.similarity import knn_ivf_indexed
+
+    index_dir = _ensure_ivf_index(sf_dir)
+    out = knn_ivf_indexed(index_dir, _knn_queries(sf_dir), k=_IVF_K, nprobe=_IVF_NPROBE)
     return out[["query_id", "vec_id", "rank"]].astype(
         {"query_id": "int64", "vec_id": "int64", "rank": "int64"}
     )
@@ -3439,6 +3470,45 @@ def _distinct_users_approx_oracle_sql(p: int = 12) -> str:
     )
 
 
+def _ivf_oracle_sql(sf_dir: str) -> str:
+    """Replay of `knn_ivf_indexed` over the STAGED index (converts
+    emb_knn_ivf from rows-only to hash-exact — the staged-input oracle
+    pattern): probe selection = top-`_IVF_NPROBE` clusters per query by
+    centroid dot (normalization of the query scales all of a query's dots
+    equally, so raw-embedding dots rank identically to the engine's
+    normalized ones; ties to the LOWER cluster id = np.argsort stability),
+    membership = DISTINCT vec_ids in the UNION of all probed clusters'
+    files (replica copies dedup, exactly `_topk_final_merge`'s rule, and
+    the union — not per-query cells — is what the engine scans), ranking =
+    exact cosine within the membership, ties to the lower vec_id."""
+    index_dir = _ensure_ivf_index(sf_dir)
+    cen_path = os.path.join(index_dir, "centroids_long.parquet")
+    glob = os.path.join(index_dir, "cluster_*.parquet")
+    return (
+        f"WITH cen AS (SELECT * FROM '{cen_path}'), "
+        "q AS (SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
+        "unnest(generate_series(1, len(embedding))) AS i "
+        "FROM embeddings WHERE vec_id < 3), "
+        "s AS (SELECT q.query_id, cen.cluster, SUM(q.v * cen.w) AS dot "
+        "FROM q JOIN cen ON cen.dim = q.i - 1 GROUP BY q.query_id, cen.cluster), "
+        "pr AS (SELECT cluster FROM (SELECT cluster, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY dot DESC, cluster ASC) AS r FROM s) "
+        f"WHERE r <= {_IVF_NPROBE}), "
+        "probed AS (SELECT DISTINCT cluster FROM pr), "
+        f"mem AS (SELECT DISTINCT f.vec_id FROM read_parquet('{glob}', "
+        "filename=true) f JOIN probed ON probed.cluster = "
+        "CAST(regexp_extract(f.filename, 'cluster_(\\d+)\\.parquet', 1) AS BIGINT)), "
+        "qe AS (SELECT vec_id AS query_id, embedding AS qe "
+        "FROM embeddings WHERE vec_id < 3) "
+        "SELECT query_id, vec_id, rank FROM ("
+        "SELECT qe.query_id AS query_id, e.vec_id AS vec_id, "
+        "row_number() OVER (PARTITION BY qe.query_id ORDER BY "
+        "list_cosine_similarity(e.embedding, qe.qe) DESC, e.vec_id ASC) AS rank "
+        "FROM embeddings e JOIN mem ON mem.vec_id = e.vec_id CROSS JOIN qe) "
+        f"WHERE rank <= {_IVF_K} ORDER BY query_id, rank"
+    )
+
+
 def _lsh_oracle_sql() -> str:
     """Replay of `stages/dedup.HyperplaneBucketer` + `embedding_near_dup`
     over the staged corpus/planes: per-(vector, hyperplane) dot sign ->
@@ -4768,6 +4838,9 @@ def oracle_sql() -> dict[str, str]:
         # r5: the splitmix64 hash IS now SQL-replayed (_splitmix64_sql,
         # HyperBall oracle) and the LSH bucketer is fully oracled below.
         "emb_near_dup_lsh": _lsh_oracle_sql(),
+        # r5: staged-index replay — probe selection + union membership +
+        # exact cosine ranking (was the last rows-only emb query)
+        "emb_knn_ivf": _ivf_oracle_sql(_ORACLE_SF),
         # r5: HLL distinct-count replay — exact-integer register sum
         "distinct_users_approx": _distinct_users_approx_oracle_sql(),
         # Rows-only queries, each with its pytest exactness oracle:
