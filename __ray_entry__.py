@@ -2005,6 +2005,27 @@ def _q_doc_tfidf(sf_dir: str):
     )
 
 
+_PMI_MAX_TOKENS = 24  # per-doc kept-token cap — BELOW this corpus' max
+# distinct-token count (31), so the truncation path is actually exercised
+_PMI_MIN_COUNT = 2
+
+
+def _q_doc_pmi(sf_dir: str):
+    """PMI word-association pairs over the corpus (collocation mining):
+    co-occurring token pairs with co_df >= 2 and ln-PMI, per-doc kept-token
+    cap 24 (deterministic sorted-prefix truncation, replayed by the
+    oracle's row_number) — DuckDB self-join oracle, pmi libm-bit-exact."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import token_pmi
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        token_pmi(docs, min_count=_PMI_MIN_COUNT, max_tokens_per_doc=_PMI_MAX_TOKENS)
+        .to_pandas()
+        .sort_values(["tok_a", "tok_b"], ignore_index=True)
+    )
+
+
 def _q_doc_lm_score(sf_dir: str):
     """Bigram LM quality score per document (CCNet-style perplexity
     filter, LM trained on the corpus itself; add-0.1 smoothing over the
@@ -2435,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "corpus_clean": _q_corpus_clean,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_pmi": _q_doc_pmi,
         "doc_lm_score": _q_doc_lm_score,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "doc_token_df": _q_doc_token_df,
@@ -4595,6 +4617,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE token <> '' GROUP BY token ORDER BY token"
         ),
         "doc_cms_counts": _cms_oracle_sql(_CMS_W, _CMS_D),
+        "doc_pmi": (
+            "WITH toks AS (SELECT DISTINCT doc_id, token FROM ("
+            f"SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{_WS}')) "
+            "AS token FROM documents) WHERE token <> ''), "
+            "kept AS (SELECT doc_id, token FROM ("
+            "SELECT doc_id, token, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY token) AS rn FROM toks) "
+            f"WHERE rn <= {_PMI_MAX_TOKENS}), "
+            "df AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc "
+            "FROM kept GROUP BY token), "
+            "pairs AS (SELECT x.token AS tok_a, y.token AS tok_b, "
+            "CAST(count(*) AS BIGINT) AS co_df "
+            "FROM kept x JOIN kept y ON x.doc_id = y.doc_id AND x.token < y.token "
+            f"GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_COUNT}), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents) "
+            "SELECT p.tok_a, p.tok_b, p.co_df, "
+            "ROUND(ln(p.co_df * n.nd / (a.dfc * b.dfc)), 6) AS pmi "
+            "FROM pairs p CROSS JOIN n "
+            "JOIN df a ON a.token = p.tok_a JOIN df b ON b.token = p.tok_b "
+            "ORDER BY tok_a, tok_b"
+        ),
         "doc_inverted_index": (
             "WITH tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
             "FROM ("

@@ -674,3 +674,159 @@ def text_stats_pipeline(
     return docs.map_batches(
         cls, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
     )
+
+
+def token_pmi(
+    docs: "ray.data.Dataset",
+    min_count: int = 2,
+    max_tokens_per_doc: int = 24,
+    B: int = 32,
+    n_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """Pointwise-mutual-information word-association mining over the
+    corpus (collocation discovery / phrase-table seeding — the classic
+    corpus-statistics companion of TF-IDF):
+
+      (doc_id, text) -> (tok_a, tok_b, co_df:int64, pmi:float64)
+
+    for every unordered token pair (tok_a < tok_b) co-occurring in at
+    least `min_count` documents, with
+
+      pmi = ln(co_df * N / (df_a * df_b))   rounded half-away to 6,
+
+    N = TOTAL input docs, df = per-token document frequency over the same
+    kept-token set the pairs are built from.
+
+    Per doc only the first `max_tokens_per_doc` DISTINCT tokens in sorted
+    order enter the statistic — the deterministic (and therefore
+    SQL-replayable) fan-out guard: pair volume per doc is bounded by
+    M*(M-1)/2 regardless of document length, so a pathological 1M-token
+    page cannot explode the pair exchange.
+
+    Shape: three bucketed exchanges, nothing driver-side.
+      1. per-batch kept-token explode (a doc is one row, so the per-doc
+         distinct+cap is complete locally);
+      2. shuffle on token: df is exact inside the bucket (all rows of a
+         token co-locate) and rides along on each (doc, token) row —
+         same trick as `tfidf_top_terms`, no separate df pass;
+      3. shuffle on doc_id: each doc's kept tokens (with dfs) co-locate,
+         pairs emit vectorized (np.triu_indices) and pre-combine to
+         per-bucket (tok_a, tok_b, partial co) subtotals before
+      4. the pair-keyed shuffle sums co_df, applies `min_count` and
+         computes pmi.
+    At 100 TB each exchange carries O(docs * M) / O(docs * M^2 / 2) fixed-
+    width rows; `B` grows with `auto_bucket_count` upstream conventions.
+
+    ln uses `math.log` (libm) per DISTINCT ratio, not np.log — DuckDB's
+    ln is libm-bit-exact on this platform while np.log diverges in the
+    last ulp (`tfidf_top_terms` note), which would break the oracle's
+    hash compare."""
+    import math
+
+    import pyarrow as pa
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.functions.rounding import round_half_away
+
+    if n_docs is None:
+        n_docs = docs.count()
+    N = float(n_docs)
+    M = int(max_tokens_per_doc)
+
+    def _kept(t: "pa.Table") -> "pa.Table":
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks: list[str] = []
+        out_ids: list[np.ndarray] = []
+        for i, text in enumerate(t["text"].to_pylist()):
+            u = sorted(set(lower_tokens(text)))[:M]
+            toks.extend(u)
+            out_ids.append(np.full(len(u), ids[i], np.int64))
+        return pa.table(
+            {
+                "doc_id": np.concatenate(out_ids) if out_ids else np.empty(0, np.int64),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+
+    def _attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        out["df"] = g.groupby("token")["doc_id"].transform("size").to_numpy(np.int64)
+        return out
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "token"], kind="mergesort")
+        ids = g["doc_id"].to_numpy(np.int64)
+        tok = g["token"].to_numpy(object)
+        dfv = g["df"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        ends = np.r_[starts[1:], len(ids)]
+        ai: list[np.ndarray] = []
+        bi: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            r, c = np.triu_indices(n, k=1)
+            ai.append(r + s)
+            bi.append(c + s)
+        if not ai:
+            return pd.DataFrame(
+                {
+                    "tok_a": pd.Series([], dtype=object),
+                    "tok_b": pd.Series([], dtype=object),
+                    "df_a": pd.Series([], dtype=np.int64),
+                    "df_b": pd.Series([], dtype=np.int64),
+                    "co": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(ai)
+        b = np.concatenate(bi)
+        part = pd.DataFrame(
+            {"tok_a": tok[a], "tok_b": tok[b], "df_a": dfv[a], "df_b": dfv[b]}
+        )
+        # pre-combine inside the bucket: repeated pairs across this
+        # bucket's docs collapse before the pair exchange (df_* is
+        # constant per token, so it survives the groupby unchanged)
+        out = (
+            part.groupby(["tok_a", "tok_b", "df_a", "df_b"], sort=False)
+            .size()
+            .rename("co")
+            .reset_index()
+        )
+        return out.astype({"co": "int64"})
+
+    def _pmi(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["tok_a", "tok_b", "df_a", "df_b"], as_index=False, sort=False)[
+            "co"
+        ].sum()
+        agg = agg[agg["co"] >= int(min_count)]
+        if not len(agg):
+            return pd.DataFrame(
+                {
+                    "tok_a": pd.Series([], dtype=object),
+                    "tok_b": pd.Series([], dtype=object),
+                    "co_df": pd.Series([], dtype=np.int64),
+                    "pmi": pd.Series([], dtype=np.float64),
+                }
+            )
+        co = agg["co"].to_numpy(np.int64)
+        denom = (agg["df_a"].to_numpy(np.int64) * agg["df_b"].to_numpy(np.int64)).astype(
+            np.float64
+        )
+        q = (co.astype(np.float64) * N) / denom
+        uq = np.unique(q)
+        ln_by_q = np.array([math.log(v) for v in uq])  # libm, matches ln()
+        pmi = round_half_away(ln_by_q[np.searchsorted(uq, q)], 6)
+        return pd.DataFrame(
+            {
+                "tok_a": agg["tok_a"].to_numpy(object),
+                "tok_b": agg["tok_b"].to_numpy(object),
+                "co_df": co,
+                "pmi": pmi,
+            }
+        )
+
+    kept = docs.map_batches(_kept, batch_format="pyarrow")
+    with_df = grouped_map_bucketed(kept, ["token"], _attach_df, B=B)
+    pair_parts = grouped_map_bucketed(with_df, ["doc_id"], _pairs, B=B)
+    return grouped_map_bucketed(pair_parts, ["tok_a", "tok_b"], _pmi, B=B)

@@ -1197,3 +1197,93 @@ def test_transitivity_known_graph(ray_session, tmp_path):
     T, W, C = transitivity(ray.data.from_pandas(df).repartition(2), B=4)
     assert (T, W) == (1, 5)
     assert abs(C - 0.6) < 1e-12
+
+
+def test_token_pmi_known_values(ray_session):
+    """PMI on a hand-checkable corpus: per-doc cap (M=2) actually drops a
+    token, min_count filters the singleton pair, token-less doc counts
+    toward N only, and the value is the libm ln of the exact ratio."""
+    import math
+
+    import pyarrow as pa
+
+    from graphlite_ray.functions.rounding import round_half_away
+    from graphlite_ray.stages.textstats import token_pmi
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": [
+                    "a b c",  # cap M=2 keeps [a, b], drops c
+                    "a b",
+                    "b a",  # order-independent: kept set is sorted
+                    "a z",
+                    "",  # token-less: counts toward N only
+                ],
+            }
+        )
+    ).repartition(3)
+    out = (
+        token_pmi(docs, min_count=2, max_tokens_per_doc=2, B=4)
+        .to_pandas()
+        .sort_values(["tok_a", "tok_b"], ignore_index=True)
+    )
+    # kept dfs: a=4, b=3, z=1; pairs: (a,b) co=3, (a,z) co=1 (filtered)
+    assert out["tok_a"].tolist() == ["a"]
+    assert out["tok_b"].tolist() == ["b"]
+    assert out["co_df"].tolist() == [3]
+    assert out["pmi"].tolist() == list(round_half_away([math.log(3 * 5.0 / (4 * 3))], 6))
+
+
+def test_token_pmi_duckdb_replay(ray_session):
+    """token_pmi vs the full DuckDB self-join replay on a corpus where the
+    sorted-prefix cap truncates some docs — the same contract the driver
+    oracle uses (row_number over token order)."""
+    import duckdb
+    import pyarrow as pa
+
+    from graphlite_ray.stages.textstats import token_pmi
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick red fox runs",
+        "lazy dog sleeps all day the quick",
+        "brown bear and red fox share the den",
+        "dog and fox and bear",
+        "",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    M, MC = 4, 2  # cap 4 < max distinct (8) -> truncation exercised
+    got = (
+        token_pmi(ray.data.from_arrow(tbl).repartition(2), min_count=MC,
+                  max_tokens_per_doc=M, B=4)
+        .to_pandas()
+        .sort_values(["tok_a", "tok_b"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ws = r"[ \t\n\r\f\v]+"
+    exp = con.execute(
+        "WITH toks AS (SELECT DISTINCT doc_id, token FROM ("
+        f"SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{ws}')) "
+        "AS token FROM documents) WHERE token <> ''), "
+        "kept AS (SELECT doc_id, token FROM ("
+        "SELECT doc_id, token, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY token) AS rn FROM toks) "
+        f"WHERE rn <= {M}), "
+        "df AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM kept GROUP BY token), "
+        "pairs AS (SELECT x.token AS tok_a, y.token AS tok_b, "
+        "CAST(count(*) AS BIGINT) AS co_df "
+        "FROM kept x JOIN kept y ON x.doc_id = y.doc_id AND x.token < y.token "
+        f"GROUP BY 1, 2 HAVING count(*) >= {MC}), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents) "
+        "SELECT p.tok_a, p.tok_b, p.co_df, "
+        "ROUND(ln(p.co_df * n.nd / (a.dfc * b.dfc)), 6) AS pmi "
+        "FROM pairs p CROSS JOIN n "
+        "JOIN df a ON a.token = p.tok_a JOIN df b ON b.token = p.tok_b "
+        "ORDER BY tok_a, tok_b"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
