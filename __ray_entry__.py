@@ -2429,6 +2429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": lambda sf: R.q_topk_orders(sf),
         "events_ranked": lambda sf: R.q_events_ranked(sf),
         "events_latest_per_user": lambda sf: R.q_latest_event_per_user(sf),
+        "user_journeys": lambda sf: R.q_user_journeys(sf, k=20),
         "distinct_users": lambda sf: R.q_distinct_users(sf),
         "hourly_windows": lambda sf: _round_cols(R.q_hourly_windows(sf), {"sum_value": 4}),
         "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
@@ -4354,6 +4355,18 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "user_journeys": (
+            "WITH k AS (SELECT user_id, event_type, ts, event_id FROM ("
+            "SELECT user_id, event_type, ts, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+            "WHERE rn <= 20), "
+            "n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY user_id) "
+            "SELECT n.user_id, n.n_events, "
+            "string_agg(k.event_type, ',' ORDER BY k.ts, k.event_id) AS journey "
+            "FROM n JOIN k ON k.user_id = n.user_id "
+            "GROUP BY n.user_id, n.n_events ORDER BY n.user_id"
         ),
         "hourly_windows": (
             "SELECT event_type, "

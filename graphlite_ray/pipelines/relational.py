@@ -835,3 +835,35 @@ def q_events_ranked(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("event_id", ignore_index=True)
     )
+
+
+def q_user_journeys(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Ordered per-key sequence collection (the distributed
+    string_agg / collect_list exemplar): each user's event-type journey
+    string over their FIRST `k` events in (ts, event_id) order, plus the
+    untruncated event count.
+
+      (user_id:int64, n_events:int64, journey:string)
+
+    ONE bucketed shuffle on user_id: a user's complete history co-locates,
+    the bucket sorts (user_id, ts, event_id) once and emits the head-k
+    concat + full count vectorized. The deterministic first-k cap bounds
+    the journey string regardless of per-user skew (a bot user with 10M
+    events costs its bucket 10M fixed-width rows but a 20-element string)
+    and is SQL-replayable via row_number. Oracle:
+    string_agg(event_type, ',' ORDER BY ts, event_id) over rn <= k."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def _journeys(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        n = grp.size().rename("n_events")
+        j = grp["event_type"].agg(lambda s: ",".join(s.iloc[:k])).rename("journey")
+        out = pd.concat([n, j], axis=1).reset_index()
+        return out.astype({"n_events": "int64"})
+
+    return (
+        grouped_map_bucketed(ds, ["user_id"], _journeys, B=32)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )

@@ -1287,3 +1287,38 @@ def test_token_pmi_duckdb_replay(ray_session):
         "ORDER BY tok_a, tok_b"
     ).df()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_user_journeys_known_values(ray_session, tmp_path, monkeypatch):
+    """Ordered journey collection: (ts, event_id) ordering incl. an exact
+    ts tie broken by event_id, first-k cap truncates the long user, and
+    n_events keeps the untruncated count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.pipelines.relational import q_user_journeys
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00:02",  # u1 e0
+            "2026-01-01 00:00:01",  # u1 e1  (earlier -> first)
+            "2026-01-01 00:00:02",  # u1 e2  (ts tie with e0 -> id order)
+            "2026-01-01 00:00:05",  # u2 e3
+            "2026-01-01 00:00:06",  # u2 e4
+            "2026-01-01 00:00:07",  # u2 e5 (cut by k=2)
+        ]
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "event_type": ["a", "b", "c", "x", "y", "z"],
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_user_journeys(str(tmp_path), k=2)
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [3, 3]
+    # u1: order is e1(b) < e0(a) < e2(c); k=2 keeps "b,a"
+    assert out["journey"].tolist() == ["b,a", "x,y"]
