@@ -2430,6 +2430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ranked": lambda sf: R.q_events_ranked(sf),
         "events_latest_per_user": lambda sf: R.q_latest_event_per_user(sf),
         "user_journeys": lambda sf: R.q_user_journeys(sf, k=20),
+        "events_pivot": lambda sf: R.q_events_pivot(sf),
+        "events_ntile": lambda sf: R.q_events_ntile(sf, k=10),
         "distinct_users": lambda sf: R.q_distinct_users(sf),
         "hourly_windows": lambda sf: _round_cols(R.q_hourly_windows(sf), {"sum_value": 4}),
         "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
@@ -4355,6 +4357,19 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "events_ntile": (
+            "SELECT event_id, CAST(NTILE(10) OVER (ORDER BY value, event_id) "
+            "AS BIGINT) AS tile FROM events ORDER BY event_id"
         ),
         "user_journeys": (
             "WITH k AS (SELECT user_id, event_type, ts, event_id FROM ("

@@ -867,3 +867,81 @@ def q_user_journeys(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .to_pandas()
         .sort_values("user_id", ignore_index=True)
     )
+
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / crosstab (the distributed conditional-aggregation
+    exemplar): per-user event counts with one column per event type,
+
+      (user_id:int64, n_click, n_error, n_purchase, n_signup, n_view)
+
+    Column set DISCOVERED from the data (a tiny distinct over the
+    dimension domain — event types are a dimension, not a scale axis),
+    then: per-batch partial combine collapses each batch to its distinct
+    (user, type) subtotals BEFORE the one bucketed shuffle on user_id,
+    where the pivot reindexes onto the discovered columns. At 100 TB the
+    exchange carries at most |users| x |types| pre-combined rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(ds.unique("event_type"))
+    cols = [f"n_{t}" for t in types]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        part = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(part.astype({"n": "int64"}), preserve_index=False)
+
+    def _pivot(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"], sort=False)["n"].sum()
+        wide = agg.unstack("event_type", fill_value=0).reindex(
+            columns=types, fill_value=0
+        )
+        wide.columns = [f"n_{c}" for c in wide.columns]
+        out = wide.reset_index()
+        return out.astype({c: "int64" for c in cols})
+
+    return (
+        grouped_map_bucketed(
+            ds.map_batches(_partial, batch_format="pyarrow"), ["user_id"], _pivot, B=32
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+def q_events_ntile(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """NTILE(k) bucketing over the full event stream ordered by
+    (value, event_id) — rides the same range-partitioned sort +
+    block-metadata rank scan as `q_events_ranked`; the tile is then a
+    pure per-row formula over (rank, n, k), computed vectorized with no
+    further exchange. Replays SQL NTILE exactly: the first n%k tiles get
+    ceil(n/k) rows, the rest floor(n/k)."""
+    from graphlite_ray.functions.scan import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    n = ds.count()
+    ranked = global_rank(ds, ["value", "event_id"], out_col="rank")
+    q, r = divmod(n, k)
+    big = q + 1
+    cut = r * big  # ranks <= cut live in the size-(q+1) tiles
+
+    def _tile(t: pa.Table) -> pa.Table:
+        rk = t["rank"].to_numpy(zero_copy_only=False)
+        tile = np.where(
+            rk <= cut,
+            (rk - 1) // big + 1,
+            (r + (rk - cut - 1) // max(q, 1) + 1) if q else 0,
+        ).astype(np.int64)
+        return pa.table(
+            {"event_id": t["event_id"], "tile": tile}
+        )
+
+    return (
+        ranked.map_batches(_tile, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )

@@ -1322,3 +1322,60 @@ def test_user_journeys_known_values(ray_session, tmp_path, monkeypatch):
     assert out["n_events"].tolist() == [3, 3]
     # u1: order is e1(b) < e0(a) < e2(c); k=2 keeps "b,a"
     assert out["journey"].tolist() == ["b,a", "x,y"]
+
+
+def test_events_pivot_known_values(ray_session, tmp_path):
+    """Crosstab counts: a user missing a type gets 0, the column set is
+    discovered from the data (sorted), counts sum across batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.pipelines.relational import q_events_pivot
+
+    ts = pd.to_datetime(["2026-01-01"] * 6)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": ["click", "click", "view", "view", "view", "click"],
+            "value": pa.array([0.0] * 6, pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_pivot(str(tmp_path))
+    assert list(out.columns) == ["user_id", "n_click", "n_view"]
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["n_click"].tolist() == [2, 0, 1]
+    assert out["n_view"].tolist() == [1, 2, 0]
+
+
+def test_events_ntile_matches_sql_ntile(ray_session, tmp_path):
+    """NTILE replay formula vs DuckDB NTILE on a size that does NOT divide
+    evenly (n=13, k=5 -> tile sizes 3,3,3,2,2)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.pipelines.relational import q_events_ntile
+
+    n = 13
+    ts = pd.to_datetime(["2026-01-01"] * n)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": ["x"] * n,
+            # duplicate values force the event_id tie-break
+            "value": pa.array([float(i % 4) for i in range(n)], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_events_ntile(str(tmp_path), k=5)
+    exp = duckdb.connect().execute(
+        "SELECT event_id, CAST(NTILE(5) OVER (ORDER BY value, event_id) AS BIGINT) "
+        f"AS tile FROM '{tmp_path}/events.parquet' ORDER BY event_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert sorted(got["tile"].value_counts().tolist(), reverse=True) == [3, 3, 3, 2, 2]
