@@ -692,6 +692,23 @@ def _q_vertex_triangles(sf_dir: str):
     return df.sort_values("vertex_id", ignore_index=True)
 
 
+def _q_avg_neighbor_degree(sf_dir: str):
+    """Per-vertex average out-degree of out-neighbors (localized
+    degree-degree correlation; knn(v)) — role-tagged one-shuffle
+    co-partitioned join, then a keyed mean. Oracle: LEFT JOIN against the
+    degree CTE (dangling neighbors contribute 0)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.graphstats import avg_neighbor_degree
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return avg_neighbor_degree(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"])
+    )
+
+
 def _q_reciprocity(sf_dir: str):
     """Edge reciprocity of the page graph (distinct non-loop directed
     edges) — one bucketed shuffle on the unordered pair key."""
@@ -2387,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_authority": _q_hits,
         "vertex_triangles": _q_vertex_triangles,
         "graph_reciprocity": _q_reciprocity,
+        "graph_avg_nbr_degree": _q_avg_neighbor_degree,
         "degree_histogram": _q_degree_histogram,
         "graph_assortativity": _q_assortativity,
         "graph_truss3": _q_ktruss,
@@ -3887,6 +3905,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END) "
             "/ count(*), 6) AS reciprocity "
             "FROM d LEFT JOIN d r ON r.src = d.dst AND r.dst = d.src"
+        ),
+        "graph_avg_nbr_degree": (
+            f"WITH deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d "
+            f"FROM read_parquet('{edges_glob}') GROUP BY src) "
+            "SELECT e.src AS vertex_id, "
+            "ROUND(CAST(sum(COALESCE(deg.d, 0)) AS DOUBLE) / count(*), 6) "
+            "AS avg_nbr_deg "
+            f"FROM read_parquet('{edges_glob}') e "
+            "LEFT JOIN deg ON deg.v = e.dst "
+            "GROUP BY e.src ORDER BY vertex_id"
         ),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_coreness": _coreness_oracle_sql(edges_glob),

@@ -378,3 +378,73 @@ def community_modularity(
     return pd.DataFrame(
         {"n_edges": [m], "n_communities": [n_comm], "modularity": [q]}
     )
+
+
+def avg_neighbor_degree(edges: "ray.data.Dataset", B: int = 16) -> pd.DataFrame:
+    """Average out-degree of each vertex's out-neighbors (the per-vertex
+    knn(v) statistic behind `degree_assortativity` — degree-degree
+    correlation localized to one vertex; hub-feeding pages score high).
+    Parallel edges count by multiplicity (engine multiset semantics);
+    a dangling neighbor contributes degree 0.
+
+    Shape: two bucketed exchanges, nothing graph-sized on the driver.
+      1. Role-tagged union keyed on vertex v: every edge (s, d) emits a
+         `need` row at v=d carrying s, and a `have` row at v=s (partial
+         pre-count per batch). In v's bucket outdeg(v) is exact, and every
+         need row resolves to (src=s, nbr_deg=outdeg(v)) locally — a
+         co-partitioned join expressed as one shuffle, no staged side
+         table.
+      2. Shuffle on src: avg = sum(nbr_deg)/count, where count is exactly
+         outdeg(src) because each out-edge produced one need row."""
+    from graphlite_ray.functions.rounding import round_half_away
+
+    def _need(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": t["dst"],
+                "src": t["src"],
+                "cnt": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def _have(t: pa.Table) -> pa.Table:
+        # per-batch pre-count: B' rows per distinct src, not per edge
+        u, c = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {
+                "v": u,
+                "src": np.full(len(u), -1, np.int64),
+                "cnt": c.astype(np.int64),
+            }
+        )
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        have = g[g["src"] < 0]
+        deg = have.groupby("v", sort=False)["cnt"].sum()
+        need = g[g["src"] >= 0]
+        nbr = deg.reindex(need["v"]).fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({"src": need["src"].to_numpy(np.int64), "d": nbr})
+
+    def _avg(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("src", as_index=False).agg(s=("d", "sum"), n=("d", "size"))
+        out = pd.DataFrame(
+            {
+                "vertex_id": agg["src"].to_numpy(np.int64),
+                "avg_nbr_deg": round_half_away(
+                    agg["s"].to_numpy(np.int64).astype(np.float64)
+                    / agg["n"].to_numpy(np.int64),
+                    6,
+                ),
+            }
+        )
+        return out
+
+    tagged = edges.map_batches(_need, batch_format="pyarrow").union(
+        edges.map_batches(_have, batch_format="pyarrow")
+    )
+    resolved = grouped_map_bucketed(tagged, ["v"], _resolve, B=B)
+    return (
+        grouped_map_bucketed(resolved, ["src"], _avg, B=B)
+        .to_pandas()
+        .sort_values("vertex_id", ignore_index=True)
+    )

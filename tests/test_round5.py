@@ -1379,3 +1379,19 @@ def test_events_ntile_matches_sql_ntile(ray_session, tmp_path):
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert sorted(got["tile"].value_counts().tolist(), reverse=True) == [3, 3, 3, 2, 2]
+
+
+def test_avg_neighbor_degree_known_graph(ray_session):
+    """knn(v) on a hand-checkable multigraph: parallel edges count by
+    multiplicity; a dangling neighbor contributes degree 0; vertices with
+    no out-edges emit no row."""
+    from graphlite_ray.pipelines.graphstats import avg_neighbor_degree
+
+    # outdeg: 0->3 (two parallel to 1), 1->1, 2->1; 9 dangling
+    df = pd.DataFrame(
+        {"src": [0, 0, 0, 1, 2], "dst": [1, 1, 2, 9, 0]}
+    )
+    out = avg_neighbor_degree(ray.data.from_pandas(df).repartition(2), B=4)
+    assert out["vertex_id"].tolist() == [0, 1, 2]
+    # v0: nbrs (1,1,2) degs (1,1,1) -> 1.0; v1: nbr 9 deg 0 -> 0.0; v2: nbr 0 deg 3 -> 3.0
+    assert out["avg_nbr_deg"].tolist() == [1.0, 0.0, 3.0]
