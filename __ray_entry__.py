@@ -2022,6 +2022,25 @@ def _q_doc_tfidf(sf_dir: str):
     )
 
 
+_BM25_QUERY = "hash join merge"  # all three terms exist in the corpus vocab
+_BM25_K = 10
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _q_doc_bm25(sf_dir: str):
+    """BM25 ranked retrieval: top-10 docs for a fixed query string
+    (Robertson idf, rounded-score ranking, doc_id tie-break) — DuckDB
+    oracle replays the per-term contributions as an ORDERED chain of
+    scalar additions (sorted-term order = the pipeline's loop order), so
+    the float sum is bit-exact, not SUM()-order-dependent."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.textstats import bm25_topk
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_QUERY, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
 _PMI_MAX_TOKENS = 24  # per-doc kept-token cap — BELOW this corpus' max
 # distinct-token count (31), so the truncation path is actually exercised
 _PMI_MIN_COUNT = 2
@@ -2477,6 +2496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "corpus_clean": _q_corpus_clean,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_bm25": _q_doc_bm25,
         "doc_pmi": _q_doc_pmi,
         "doc_lm_score": _q_doc_lm_score,
         "url_canonical_dedup": _q_url_canonical_dedup,
@@ -3583,6 +3603,55 @@ def _lsh_oracle_sql() -> str:
     )
 
 
+def _bm25_oracle_sql(query: str, k: int, k1: float, b: float) -> str:
+    """Exact replay of stages/textstats.py::bm25_topk: Robertson idf over
+    the full corpus, per-term contributions added as an ORDERED scalar
+    chain (sorted-term order = the pipeline's fixed loop order, so the
+    float sum is bit-identical, never SUM()-order-dependent), ROUND to 6,
+    rank on the rounded score with doc_id asc tie-break."""
+    from graphlite_ray.functions.tokenize import lower_tokens
+
+    terms = sorted(set(lower_tokens(query)))
+    k1s = f"CAST({k1!r} AS DOUBLE)"
+    bs = f"CAST({b!r} AS DOUBLE)"
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{w}')) AS tf{i}" for i, w in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(count(CASE WHEN tf{i} > 0 THEN 1 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    idf_cols = ", ".join(
+        f"ln(((SELECT nd FROM n) - df{i} + 0.5) / (df{i} + 0.5) + 1.0) AS idf{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN s.idf{i} * ((tf{i} * ({k1s} + 1.0)) / "
+        f"(tf{i} + {k1s} * (1.0 - {bs} + {bs} * dl / s.avgdl))) "
+        "ELSE CAST(0.0 AS DOUBLE) END)"
+        for i in range(len(terms))
+    )
+    hit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter("
+        f"regexp_split_to_array(lower(text), '{_WS}'), x -> x <> '') AS t "
+        "FROM documents), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents), "
+        f"per AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, {tf_cols} "
+        "FROM toks), "
+        f"dfs AS (SELECT {df_cols}, "
+        "CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / (SELECT nd FROM n) AS avgdl "
+        "FROM per), "
+        f"stats AS (SELECT avgdl, {idf_cols} FROM dfs), "
+        f"scored AS (SELECT doc_id, ROUND({contribs}, 6) AS score "
+        f"FROM per, stats s WHERE dl > 0 AND ({hit})), "
+        "ranked AS (SELECT doc_id, score, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS rn FROM scored) "
+        f"SELECT doc_id, score FROM ranked WHERE rn <= {k} "
+        "ORDER BY score DESC, doc_id"
+    )
+
+
 def _cms_oracle_sql(width: int, depth: int) -> str:
     """Exact replay of the CMS estimates (functions/sketches.py::
     cms_token_table + cms_estimates over the full vocabulary): per salt r,
@@ -4604,6 +4673,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 5 "
             "ORDER BY doc_id, score DESC, token"
         ),
+        "doc_bm25": _bm25_oracle_sql(_BM25_QUERY, _BM25_K, _BM25_K1, _BM25_B),
         "doc_lm_score": (
             # exact replay of the bigram LM: c(w1,w2) corpus bigram count,
             # c_ctx(w1) = w1's count as a context, V = distinct lowercase

@@ -830,3 +830,118 @@ def token_pmi(
     with_df = grouped_map_bucketed(kept, ["token"], _attach_df, B=B)
     pair_parts = grouped_map_bucketed(with_df, ["doc_id"], _pairs, B=B)
     return grouped_map_bucketed(pair_parts, ["tok_a", "tok_b"], _pmi, B=B)
+
+
+def bm25_topk(
+    docs: "ray.data.Dataset",
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    B: int = 32,
+) -> pd.DataFrame:
+    """BM25 ranked retrieval over the corpus (the serving-side companion
+    of `inverted_index`): top-k documents for a query string, Robertson
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+
+      score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    ranked by the 6-decimal ROUNDED score (doc_id asc tie-break) so the
+    cut is SQL-replayable.
+
+    Shape: the query is tiny — its corpus statistics are the ONLY thing
+    collected. Pass 1 computes N, total token count (-> avgdl) and the
+    query terms' dfs as B-bounded partials (one bucketed exchange over
+    <= |Q| * batches rows). Pass 2 scores every doc locally in
+    `map_batches` against the broadcast (df, avgdl, N) — no per-doc
+    exchange at all — and keeps a per-block top-k; the driver merges
+    <= blocks * k rows. At 100 TB both passes stream; nothing scales
+    with the corpus on the driver.
+
+    ln is `math.log` per distinct df (libm — `tfidf_top_terms` note);
+    scoring arithmetic replays the oracle's operation order exactly."""
+    import math
+
+    import pyarrow as pa
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.functions.rounding import round_half_away
+
+    terms = sorted(set(lower_tokens(query)))
+    N = docs.count()
+
+    # ---- pass 1: corpus stats (dl totals + per-term df), one exchange
+    def _stats(t: "pa.Table") -> "pa.Table":
+        keys: list[str] = []
+        vals: list[int] = []
+        tot = 0
+        dfs = {w: 0 for w in terms}
+        for text in t["text"].to_pylist():
+            tl = lower_tokens(text)
+            tot += len(tl)
+            s = set(tl)
+            for w in terms:
+                if w in s:
+                    dfs[w] += 1
+        keys.append("\x00dl_total")  # \x00 cannot collide with a token
+        vals.append(tot)
+        for w in terms:
+            keys.append(w)
+            vals.append(dfs[w])
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())}
+        )
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("key", as_index=False)["v"].sum()
+
+    stats = (
+        grouped_map_bucketed(
+            docs.map_batches(_stats, batch_format="pyarrow"), ["key"], _sum, B=B
+        )
+        .to_pandas()
+        .set_index("key")["v"]
+    )
+    avgdl = float(stats["\x00dl_total"]) / N
+    df_by_term = {w: int(stats.get(w, 0)) for w in terms}
+    idf_by_term = {
+        w: math.log((N - d + 0.5) / (d + 0.5) + 1.0) for w, d in df_by_term.items()
+    }
+
+    # ---- pass 2: local scoring + per-block top-k, driver merges blocks*k
+    def _score(t: "pa.Table") -> "pa.Table":
+        from collections import Counter
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id: list[int] = []
+        out_s: list[float] = []
+        for i, text in enumerate(t["text"].to_pylist()):
+            tl = lower_tokens(text)
+            if not tl:
+                continue
+            dl = float(len(tl))
+            cnt = Counter(tl)
+            s = 0.0
+            hit = False
+            for w in terms:  # fixed sorted order = the oracle's sum order
+                tf = cnt[w]
+                if tf:
+                    hit = True
+                    s += idf_by_term[w] * (
+                        (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    )
+            if hit:
+                out_id.append(int(ids[i]))
+                out_s.append(s)
+        tb = pd.DataFrame({"doc_id": out_id, "score": round_half_away(out_s, 6)})
+        tb = tb.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(
+            tb.astype({"doc_id": "int64", "score": "float64"}), preserve_index=False
+        )
+
+    parts = docs.map_batches(_score, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

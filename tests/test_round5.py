@@ -1395,3 +1395,72 @@ def test_avg_neighbor_degree_known_graph(ray_session):
     assert out["vertex_id"].tolist() == [0, 1, 2]
     # v0: nbrs (1,1,2) degs (1,1,1) -> 1.0; v1: nbr 9 deg 0 -> 0.0; v2: nbr 0 deg 3 -> 3.0
     assert out["avg_nbr_deg"].tolist() == [1.0, 0.0, 3.0]
+
+
+def test_bm25_topk_known_values(ray_session):
+    """BM25 on a hand-checkable corpus: Robertson idf, length
+    normalization (the longer doc with equal tf scores lower), no-hit
+    docs excluded, empty doc still counts toward N and avgdl, rounded
+    score + doc_id tie-break ordering."""
+    import math
+
+    import pyarrow as pa
+
+    from graphlite_ray.functions.rounding import round_half_away
+    from graphlite_ray.stages.textstats import bm25_topk
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": [
+                    "cat dog",  # tf(cat)=1, dl=2
+                    "cat mouse bird fish lion",  # tf(cat)=1, dl=5 -> lower
+                    "mouse bird",  # no hit -> excluded
+                    "",  # counts toward N / avgdl only
+                ],
+            }
+        )
+    ).repartition(2)
+    out = bm25_topk(docs, "cat", k=3, k1=1.2, b=0.75, B=4)
+    N, avgdl = 4, (2 + 5 + 2 + 0) / 4.0
+    idf = math.log((N - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def s(dl):
+        return idf * ((1 * 2.2) / (1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["score"].tolist() == list(round_half_away([s(2.0), s(5.0)], 6))
+    assert out["score"].iloc[0] > out["score"].iloc[1]
+
+
+def test_bm25_oracle_builder_replay(ray_session):
+    """bm25_topk vs the generated-SQL oracle (__ray_entry__._bm25_oracle_sql)
+    on a corpus with multi-term queries, repeated terms in the query
+    string (deduped), tf>1 docs, and a tie broken by doc_id."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    import __ray_entry__ as E
+    from graphlite_ray.stages.textstats import bm25_topk
+
+    texts = [
+        "fox dog fox",  # tf(fox)=2
+        "fox dog",
+        "dog fox",  # identical multiset as doc 1 -> tie, doc_id break
+        "fox bear",
+        "bear wolf",
+        "dog dog dog wolf",
+        "",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    q = "fox dog fox"  # repeated term dedupes to {dog, fox}
+    got = bm25_topk(ray.data.from_arrow(tbl).repartition(3), q, k=4, B=4)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(E._bm25_oracle_sql(q, 4, 1.2, 0.75)).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # docs 1 and 2 tie exactly; doc_id asc must order 1 before 2
+    d = got["doc_id"].tolist()
+    assert d.index(1) < d.index(2)
