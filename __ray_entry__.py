@@ -2492,6 +2492,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_segment": lambda sf: _round_cols(
             R.q_native_join_revenue(sf), {"revenue": 2}
         ),
+        "local_supplier_volume": lambda sf: _round_cols(
+            R.q_local_supplier_volume(sf), {"revenue": 2}
+        ),
         # training-data operators over documents/embeddings
         "doc_exact_dedup": _q_doc_exact_dedup,
         "corpus_clean": _q_corpus_clean,
@@ -4608,6 +4611,19 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        # TPC-H Q5 shape: the region/nation/date constants mirror
+        # q_local_supplier_volume's defaults
+        "local_supplier_volume": (
+            "SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' AND o_orderdate >= DATE '1995-01-01' "
+            "AND o_orderdate < DATE '1999-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
         ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"

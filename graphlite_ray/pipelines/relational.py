@@ -945,3 +945,110 @@ def q_events_ntile(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .to_pandas()
         .sort_values("event_id", ignore_index=True)
     )
+
+
+def q_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1999-01-01",
+    B: int = 16,
+) -> pd.DataFrame:
+    """TPC-H Q5-style six-table join: revenue from lineitems where the
+    supplier and the ordering customer share a nation inside `region`,
+    within an order-date window.
+
+    Strategy (the widest join chain in the repo, SURVEY.md §2.4): the two
+    fact-to-fact joins — orders x customer on custkey, lineitem x orders
+    on orderkey — run through the bucketed-storage hash join
+    (`joins.write_bucketed` + `attach_from_bucketed`): each side shuffles
+    ONCE by `key % B` and every group merges against exactly one
+    co-partitioned bucket file, so neither big side is broadcast and both
+    stream. The dimension chain region -> nation -> supplier collapses
+    driver-side to a (s_suppkey -> s_nationkey, n_name) map (dimension
+    tables; `ray.put` once, read per task). Filters are pushed to the
+    reads: orders prunes to the date window before its shuffle, customer
+    and supplier prune to region nations before anything moves. Revenue
+    partials aggregate per batch; the final groupby sees <= 25 rows per
+    block.
+    """
+    import tempfile
+
+    from graphlite_ray.pipelines.joins import attach_from_bucketed, write_bucketed
+
+    # dimension chain, driver-side (region/nation are tens of rows)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = nation.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nat = nat[nat["r_name"] == region][["n_nationkey", "n_name"]]
+    region_keys = nat["n_nationkey"].to_numpy()
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(region_keys)].merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )[["s_suppkey", "s_nationkey", "n_name"]]
+    supp_ref = ray.put(supp)
+
+    work = tempfile.mkdtemp(prefix="glr_q5_")
+    keyset = set(int(k) for k in region_keys)
+
+    # customer pruned to region nations, bucketed by custkey
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=pa.array(sorted(keyset)))),
+        batch_format="pyarrow",
+    )
+    cust_dir = write_bucketed(cust, "c_custkey", B, f"{work}/cust")
+
+    # orders pruned to the date window, joined to customer, re-bucketed
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    ord_nat = attach_from_bucketed(orders, "o_custkey", cust_dir, B, "c_custkey")
+    ord_dir = write_bucketed(
+        ord_nat, "o_orderkey", B, f"{work}/orders", columns=["o_orderkey", "c_nationkey"]
+    )
+
+    # lineitem joined to (order -> customer nation), scored vs supplier nation
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    attached = attach_from_bucketed(li, "l_orderkey", ord_dir, B, "o_orderkey")
+
+    class _Score:
+        def __init__(self):
+            self.supp = ray.get(supp_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            # an empty inner-join group carries left-only columns
+            if batch.empty or "c_nationkey" not in batch.columns:
+                return pd.DataFrame({"n_name": pd.Series([], dtype="string"),
+                                     "revenue": pd.Series([], dtype="float64")})
+            m = batch.merge(self.supp, left_on="l_suppkey", right_on="s_suppkey")
+            m = m[m["c_nationkey"] == m["s_nationkey"]]
+            if m.empty:
+                return pd.DataFrame({"n_name": pd.Series([], dtype="string"),
+                                     "revenue": pd.Series([], dtype="float64")})
+            m["revenue"] = m["l_extendedprice"] * (1.0 - m["l_discount"])
+            return m.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
+
+    partials = attached.map_batches(_Score, batch_format="pandas", concurrency=(1, 8))
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_name": [g["n_name"].iloc[0]], "revenue": [g["revenue"].sum()]}
+        )
+
+    out = partials.groupby("n_name").map_groups(_final, batch_format="pandas").to_pandas()
+    if "n_name" not in out.columns:
+        out = pd.DataFrame({"n_name": pd.Series([], dtype="str"),
+                            "revenue": pd.Series([], dtype="float64")})
+    return out.sort_values(
+        ["revenue", "n_name"], ascending=[False, True], ignore_index=True
+    )

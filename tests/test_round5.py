@@ -1464,3 +1464,44 @@ def test_bm25_oracle_builder_replay(ray_session):
     # docs 1 and 2 tie exactly; doc_id asc must order 1 before 2
     d = got["doc_id"].tolist()
     assert d.index(1) < d.index(2)
+
+
+def test_local_supplier_volume_matches_duckdb(ray_session):
+    """TPC-H Q5 shape over the real sf0.001 tables: the two bucketed
+    fact joins + broadcast dimension chain reproduce the six-table SQL
+    exactly (values to the cent after the shared rounding convention)."""
+    import duckdb
+
+    from graphlite_ray.pipelines.relational import q_local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    got = q_local_supplier_volume(sf)
+    got["revenue"] = got["revenue"].round(2)
+    exp = duckdb.connect().execute(
+        f"""
+        SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM '{sf}/customer.parquet' c, '{sf}/orders.parquet' o,
+             '{sf}/lineitem.parquet' l, '{sf}/supplier.parquet' s,
+             '{sf}/nation.parquet' n, '{sf}/region.parquet' r
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA' AND o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1999-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) >= 1
+
+
+def test_local_supplier_volume_empty_window(ray_session):
+    """A date window with no orders yields an empty, correctly-typed frame
+    (the empty-group schema path through both bucketed joins)."""
+    from graphlite_ray.pipelines.relational import q_local_supplier_volume
+
+    out = q_local_supplier_volume(
+        "/root/testdata/sf0.001", date_lo="1990-01-01", date_hi="1990-01-02"
+    )
+    assert list(out.columns) == ["n_name", "revenue"]
+    assert len(out) == 0
