@@ -2495,6 +2495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": lambda sf: _round_cols(
             R.q_local_supplier_volume(sf), {"revenue": 2}
         ),
+        "small_quantity_revenue": lambda sf: _round_cols(
+            R.q_small_quantity_revenue(sf), {"avg_qty": 6, "small_revenue": 2}
+        ),
         # training-data operators over documents/embeddings
         "doc_exact_dedup": _q_doc_exact_dedup,
         "corpus_clean": _q_corpus_clean,
@@ -4624,6 +4627,19 @@ def oracle_sql() -> dict[str, str]:
             "AND r_name = 'ASIA' AND o_orderdate >= DATE '1995-01-01' "
             "AND o_orderdate < DATE '1999-01-01' "
             "GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        # TPC-H Q17 shape: correlated per-part avg-quantity subquery; the
+        # avg replays as sum/count so both sides share the float formula
+        "small_quantity_revenue": (
+            "SELECT p_partkey, ROUND(t.avg_qty, 6) AS avg_qty, "
+            "ROUND(sum(l_extendedprice), 2) AS small_revenue, "
+            "count(*) AS n_small "
+            "FROM lineitem l JOIN part ON p_partkey = l_partkey "
+            "JOIN (SELECT l_partkey, sum(l_quantity)/count(*) AS avg_qty "
+            "FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY' "
+            "AND l_quantity < 0.2 * t.avg_qty "
+            "GROUP BY p_partkey, t.avg_qty ORDER BY p_partkey"
         ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"

@@ -1052,3 +1052,84 @@ def q_local_supplier_volume(
     return out.sort_values(
         ["revenue", "n_name"], ascending=[False, True], ignore_index=True
     )
+
+
+def q_small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#13", ptype: str = "ECONOMY"
+) -> pd.DataFrame:
+    """TPC-H Q17-style correlated aggregate: for each qualifying part
+    (brand + type filter on the `part` dimension), the revenue from
+    lineitems whose quantity is below 20% of that part's average quantity.
+
+    The correlated subquery (per-part avg over ALL that part's lineitems)
+    never becomes a fact-fact join: pass 1 pre-combines per-partkey
+    (sum, count) quantity partials inside `map_batches` — restricted to
+    the qualifying partkeys, so partial cardinality is bounded by the
+    filtered dimension — and finalizes the tiny avg map on the driver;
+    pass 2 broadcasts the (partkey -> threshold) map and filters +
+    pre-aggregates locally, leaving a <= |parts|-row final combine. Both
+    passes prune lineitem to the three touched columns at the read.
+    """
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]).to_pandas()
+    keys = part[(part["p_brand"] == brand) & (part["p_type"] == ptype)][
+        "p_partkey"
+    ].to_numpy(dtype=np.int64)
+    empty = pd.DataFrame(
+        {
+            "p_partkey": pd.Series([], dtype="int64"),
+            "avg_qty": pd.Series([], dtype="float64"),
+            "small_revenue": pd.Series([], dtype="float64"),
+            "n_small": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(keys) == 0:
+        return empty
+    key_ref = ray.put(set(int(k) for k in keys))
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    class _QtyPartial:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch[batch["l_partkey"].isin(self.keys)]
+            return m.groupby("l_partkey", as_index=False).agg(
+                s=("l_quantity", "sum"), c=("l_quantity", "size")
+            )
+
+    partials = li.map_batches(
+        _QtyPartial, batch_format="pandas", concurrency=(1, 8)
+    ).to_pandas()
+    if partials.empty:
+        return empty
+    stats = partials.groupby("l_partkey", as_index=False).agg(
+        s=("s", "sum"), c=("c", "sum")
+    )
+    stats["avg_qty"] = stats["s"] / stats["c"]
+    thresh = dict(zip(stats["l_partkey"], 0.2 * stats["avg_qty"]))
+    thresh_ref = ray.put(thresh)
+
+    class _Small:
+        def __init__(self):
+            self.thresh = ray.get(thresh_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            t = batch["l_partkey"].map(self.thresh)
+            m = batch[batch["l_quantity"] < t.fillna(-np.inf)]
+            return m.groupby("l_partkey", as_index=False).agg(
+                small_revenue=("l_extendedprice", "sum"),
+                n_small=("l_extendedprice", "size"),
+            )
+
+    small = li.map_batches(_Small, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    if small.empty:
+        return empty
+    out = small.groupby("l_partkey", as_index=False).agg(
+        small_revenue=("small_revenue", "sum"), n_small=("n_small", "sum")
+    )
+    out = out.merge(stats[["l_partkey", "avg_qty"]], on="l_partkey")
+    out = out.rename(columns={"l_partkey": "p_partkey"})[
+        ["p_partkey", "avg_qty", "small_revenue", "n_small"]
+    ]
+    out["n_small"] = out["n_small"].astype("int64")
+    return out.sort_values("p_partkey", ignore_index=True)

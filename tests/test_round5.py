@@ -1505,3 +1505,50 @@ def test_local_supplier_volume_empty_window(ray_session):
     )
     assert list(out.columns) == ["n_name", "revenue"]
     assert len(out) == 0
+
+
+def test_small_quantity_revenue_known_values(ray_session, tmp_path):
+    """Q17 correlated-aggregate semantics on a hand-checkable table: the
+    per-part threshold is 0.2 * avg over ALL that part's lineitems (not
+    just qualifying rows), parts whose every lineitem is >= threshold
+    drop out, and non-qualifying brands never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.pipelines.relational import q_small_quantity_revenue
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_name": ["a", "b", "c"],
+                "p_brand": ["Brand#13", "Brand#13", "Brand#9"],
+                "p_type": ["ECONOMY", "ECONOMY", "ECONOMY"],
+                "p_size": pa.array([1, 1, 1], pa.int64()),
+                "p_retailprice": pa.array([1.0, 1.0, 1.0], pa.float64()),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    # part 1: avg qty = 10 -> thresh 2; qty 1 qualifies (price 5.0)
+    # part 2: qtys 10,10 -> thresh 2; nothing below -> drops out
+    # part 3: would qualify but wrong brand
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "l_quantity": pa.array([1.0, 14.0, 15.0, 10.0, 10.0, 0.1], pa.float64()),
+                "l_extendedprice": pa.array([5.0, 9.0, 9.0, 9.0, 9.0, 9.0], pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = q_small_quantity_revenue(str(tmp_path))
+    assert out["p_partkey"].tolist() == [1]
+    assert out["avg_qty"].tolist() == [10.0]
+    assert out["small_revenue"].tolist() == [5.0]
+    assert out["n_small"].tolist() == [1]
+    # no qualifying brand at all -> empty, correctly typed
+    empty = q_small_quantity_revenue(str(tmp_path), brand="Brand#99")
+    assert len(empty) == 0
+    assert list(empty.columns) == ["p_partkey", "avg_qty", "small_revenue", "n_small"]
