@@ -2474,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": lambda sf: _round_cols(R.q_sliding_windows(sf), {"sum_value": 4}),
         "sessions": lambda sf: R.q_sessions(sf),
         "events_rolling_avg": lambda sf: R.q_rolling_avg(sf),
+        "event_gaps": lambda sf: R.q_event_gaps(sf),
         "rollup_acctbal": lambda sf: R.q_rollup_acctbal(sf),
         "user_set_ops": lambda sf: R.q_user_set_ops(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
@@ -4614,6 +4615,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        # LAG window: integer epoch-ms arithmetic, -1 sentinel for firsts
+        "event_gaps": (
+            "SELECT event_id, user_id, COALESCE(CAST(epoch_ms(ts) - "
+            "lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS BIGINT), -1) AS gap_ms FROM events ORDER BY event_id"
         ),
         # TPC-H Q5 shape: the region/nation/date constants mirror
         # q_local_supplier_volume's defaults

@@ -1133,3 +1133,35 @@ def q_small_quantity_revenue(
     ]
     out["n_small"] = out["n_small"].astype("int64")
     return out.sort_values("p_partkey", ignore_index=True)
+
+
+def q_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap (LAG window function): milliseconds since
+    the user's previous event ordered by (ts, event_id); -1 for each
+    user's first event (integer sentinel instead of NULL so the compare
+    is exact). Rides the same ONE bucketed shuffle on user_id as
+    `q_rolling_avg`; the lag itself is a vectorized group-aware shift —
+    integer epoch-ms arithmetic, no floats."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        # normalize to ns first: pandas preserves the parquet us unit, so a
+        # bare astype(int64) would be us, not ns
+        ms = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000_000
+        gid = g["user_id"].to_numpy()
+        gap = np.full(len(g), -1, np.int64)
+        if len(g) > 1:
+            same = gid[1:] == gid[:-1]
+            gap[1:][same] = (ms[1:] - ms[:-1])[same]
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "user_id": g["user_id"], "gap_ms": gap}
+        )
+
+    return (
+        grouped_map_bucketed(ds, ["user_id"], _gaps, B=16)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )

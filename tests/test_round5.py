@@ -1552,3 +1552,35 @@ def test_small_quantity_revenue_known_values(ray_session, tmp_path):
     empty = q_small_quantity_revenue(str(tmp_path), brand="Brand#99")
     assert len(empty) == 0
     assert list(empty.columns) == ["p_partkey", "avg_qty", "small_revenue", "n_small"]
+
+
+def test_event_gaps_lag_semantics(ray_session, tmp_path):
+    """LAG boundaries: first event per user gets -1; ties on ts break by
+    event_id; gaps are integer epoch-ms even for sub-second spacing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphlite_ray.pipelines.relational import q_event_gaps
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00:00.000",
+            "2026-01-01 00:00:00.250",  # same user, +250ms
+            "2026-01-01 00:00:00.250",  # tie -> ordered by event_id
+            "2026-01-01 02:00:00.000",  # other user's first
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+                "event_type": ["x"] * 4,
+                "value": pa.array([0.0] * 4, pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = q_event_gaps(str(tmp_path))
+    assert out["gap_ms"].tolist() == [-1, 250, 0, -1]
