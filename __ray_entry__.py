@@ -709,6 +709,29 @@ def _q_avg_neighbor_degree(sf_dir: str):
     )
 
 
+def _q_graph_khop_sample(sf_dir: str):
+    """GraphSAGE-style deterministic k-hop neighbor sample trees
+    (hops=2, fanout=3) from the vid%8 seed set: each vertex's fixed
+    out-sample ranks distinct out-neighbors by the splitmix64 key
+    mix64(mix64(src)^dst) — built with ONE bucketed shuffle, each hop a
+    co-partitioned attach. Oracle replays the key bit-for-bit
+    (`_splitmix64_sql`) + ROW_NUMBER + the two-hop join chain."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.sampling import khop_sample
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return khop_sample(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        work,
+        hops=2,
+        fanout=3,
+        seed_mod=8,
+    )
+
+
 def _q_reciprocity(sf_dir: str):
     """Edge reciprocity of the page graph (distinct non-loop directed
     edges) — one bucketed shuffle on the unordered pair key."""
@@ -2424,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_triangles": _q_vertex_triangles,
         "graph_reciprocity": _q_reciprocity,
         "graph_avg_nbr_degree": _q_avg_neighbor_degree,
+        "graph_khop_sample": _q_graph_khop_sample,
         "degree_histogram": _q_degree_histogram,
         "graph_assortativity": _q_assortativity,
         "graph_truss3": _q_ktruss,
@@ -3394,6 +3418,64 @@ def _splitmix64_sql(x: str) -> str:
     return _xor64_sql(z2, f"({z2}) // 2147483648")
 
 
+def _khop_oracle_sql(
+    edges_glob: str, fanout: int = 3, seed_mod: int = 8
+) -> str:
+    """Two-hop GraphSAGE sample replay: the splitmix64 ranking key
+    mix64(mix64(src) ^ dst) bit-for-bit (`_splitmix64_sql` over HUGEINT —
+    vertex ids are non-negative 63-bit so the uint64 mapping is exact),
+    ROW_NUMBER-per-src fanout cut, then the hop-1 and hop-2 join chain
+    from the vid % seed_mod seed set. Keeps duplicate tree edges across
+    parents, as `pipelines.sampling.khop_sample` does.
+
+    Every mix64 ROUND is staged through its own CTE column: each
+    `_splitmix64_sql`/`_mul64_sql`/`_xor64_sql` substitution textually
+    duplicates its argument (~20x per round, ~10^3x per full mix), so a
+    nested mix64(mix64(src)^dst) composes to a ~10^6-term expression that
+    neither Python string-building nor DuckDB's parser survives, and even
+    one unstaged mix64 costs ~1.6 MB of SQL / ~20 s of parse. Staged
+    per-round, every expansion references a bare column and the whole
+    oracle is a few KB."""
+    GAMMA = 0x9E3779B97F4A7C15
+    M1 = 0xBF58476D1CE4E5B9
+    M2 = 0x94D049BB133111EB
+
+    def _mix_stages(x: str, out: str, pfx: str) -> str:
+        """CTE chain computing out = splitmix64(x), one round per CTE."""
+        a = f"((({x})::HUGEINT + {GAMMA}::HUGEINT) % {_M64_SQL})"
+        s1 = f"{pfx}1 AS (SELECT *, {a} AS {pfx}z0 FROM {pfx}0), "
+        b = _mul64_sql(_xor64_sql(f"{pfx}z0", f"{pfx}z0 // 1073741824"), M1)
+        s2 = f"{pfx}2 AS (SELECT *, {b} AS {pfx}z1 FROM {pfx}1), "
+        c = _mul64_sql(_xor64_sql(f"{pfx}z1", f"{pfx}z1 // 134217728"), M2)
+        s3 = f"{pfx}3 AS (SELECT *, {c} AS {pfx}z2 FROM {pfx}2), "
+        d = _xor64_sql(f"{pfx}z2", f"{pfx}z2 // 2147483648")
+        s4 = f"{pfx}4 AS (SELECT src, dst, {d} AS {out} FROM {pfx}3), "
+        return s1 + s2 + s3 + s4
+
+    return (
+        f"WITH e AS (SELECT DISTINCT src, dst FROM read_parquet('{edges_glob}')), "
+        "ka0 AS (SELECT src, dst FROM e), "
+        + _mix_stages("src", "ms", "ka")
+        + f"kb0 AS (SELECT src, dst, {_xor64_sql('ms', 'dst::HUGEINT')} AS mx "
+        "FROM ka4), "
+        + _mix_stages("mx", "key", "kb")
+        + "k AS (SELECT src, dst, key FROM kb4), "
+        "adj AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY key, dst) AS rn FROM k) "
+        f"WHERE rn <= {fanout}), "
+        f"seeds AS (SELECT DISTINCT src AS seed FROM e "
+        f"WHERE src % {seed_mod} = 0), "
+        "h1 AS (SELECT seed, seed AS parent, a.dst AS vertex_id "
+        "FROM seeds JOIN adj a ON a.src = seed), "
+        "h2 AS (SELECT h1.seed, h1.vertex_id AS parent, a.dst AS vertex_id "
+        "FROM h1 JOIN adj a ON a.src = h1.vertex_id) "
+        "SELECT seed, 1::BIGINT AS hop, parent, vertex_id FROM h1 "
+        "UNION ALL "
+        "SELECT seed, 2::BIGINT AS hop, parent, vertex_id FROM h2 "
+        "ORDER BY seed, hop, parent, vertex_id"
+    )
+
+
 def _hyperball_oracle_sql(edges_glob: str, p: int = 6) -> str:
     """Ground-truth HyperBall registers: ball membership by recursive BFS
     from the mod-`_NF_SOURCE_MOD` sources (radius `_NF_RADIUS`), register
@@ -3992,6 +4074,7 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN deg ON deg.v = e.dst "
             "GROUP BY e.src ORDER BY vertex_id"
         ),
+        "graph_khop_sample": _khop_oracle_sql(edges_glob),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_coreness": _coreness_oracle_sql(edges_glob),
         "graph_bipartite": _bipartite_oracle_sql(edges_glob),

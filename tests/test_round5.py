@@ -1584,3 +1584,45 @@ def test_event_gaps_lag_semantics(ray_session, tmp_path):
     )
     out = q_event_gaps(str(tmp_path))
     assert out["gap_ms"].tolist() == [-1, 250, 0, -1]
+
+
+def test_khop_sample_known_graph(ray_session, tmp_path):
+    """Deterministic GraphSAGE sampling on a hand-built graph: fanout cut
+    picks the smallest (mix-key, dst) distinct out-neighbors; hop-2 rows
+    expand exactly the hop-1 sample; seeds are vid % seed_mod == 0 with
+    out-edges; tree size = seeds * (f + f^2) when every vertex has >=
+    fanout out-neighbors."""
+    from graphlite_ray.pipelines.sampling import khop_sample, sample_key
+
+    rows = [(i, (i * 7 + j) % 40) for i in range(40) for j in range(1, 8)]
+    df = pd.DataFrame(rows, columns=["src", "dst"])
+    out = khop_sample(
+        ray.data.from_pandas(df).repartition(4),
+        str(tmp_path),
+        hops=2,
+        fanout=3,
+        seed_mod=8,
+    )
+    seeds = [0, 8, 16, 24, 32]
+    assert sorted(out["seed"].unique().tolist()) == seeds
+    assert len(out) == len(seeds) * (3 + 9)
+    # hop-1 for seed 0 matches the key ranking directly
+    nb = df[df.src == 0]["dst"].unique().astype(np.int64)
+    key = sample_key(np.zeros(len(nb), np.int64), nb)
+    exp = sorted(nb[np.lexsort((nb, key))][:3].tolist())
+    got = sorted(out[(out.seed == 0) & (out.hop == 1)]["vertex_id"].tolist())
+    assert got == exp
+    # every hop-2 parent is a hop-1 vertex of the same seed
+    h1 = out[out.hop == 1].groupby("seed")["vertex_id"].apply(set)
+    for s, grp in out[out.hop == 2].groupby("seed"):
+        assert set(grp["parent"]) <= h1[s]
+    # duplicate edges in the input don't change the sample
+    df2 = pd.concat([df, df.head(50)], ignore_index=True)
+    out2 = khop_sample(
+        ray.data.from_pandas(df2).repartition(4),
+        str(tmp_path / "w2"),
+        hops=2,
+        fanout=3,
+        seed_mod=8,
+    )
+    pd.testing.assert_frame_equal(out, out2)
