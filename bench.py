@@ -528,6 +528,28 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         _timed("cluster_distributed", _cluster_distributed)
         _timed("join_revenue", lambda: R.q_native_join_revenue(sf_dir))
         join_strategy = dict(R.LAST_JOIN_STRATEGY)
+        _timed("join_q5_star", lambda: len(R.q_local_supplier_volume(sf_dir)))
+        _timed(
+            "correlated_q17", lambda: len(R.q_small_quantity_revenue(sf_dir))
+        )
+        _timed("event_gaps", lambda: len(R.q_event_gaps(sf_dir)))
+
+        def _khop():
+            import ray.data as rd
+
+            from graphlite_ray.pipelines.sampling import khop_sample
+
+            return len(
+                khop_sample(
+                    rd.read_parquet(edges_dir, columns=["src", "dst"]),
+                    work,
+                    hops=2,
+                    fanout=3,
+                    seed_mod=8,
+                )
+            )
+
+        _timed("graph_khop_sample", _khop)
         _timed("media_decode", lambda: decode_images(media_imgs).count())
         # host-graph collapse over this rep's staged page edges
         _timed("host_edge_counts", lambda: host_edge_counts(work).count())
