@@ -2499,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": lambda sf: R.q_sessions(sf),
         "events_rolling_avg": lambda sf: R.q_rolling_avg(sf),
         "event_gaps": lambda sf: R.q_event_gaps(sf),
+        "event_funnel": lambda sf: R.q_event_funnel(sf),
         "rollup_acctbal": lambda sf: R.q_rollup_acctbal(sf),
         "user_set_ops": lambda sf: R.q_user_set_ops(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
@@ -4704,6 +4705,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, COALESCE(CAST(epoch_ms(ts) - "
             "lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "AS BIGINT), -1) AS gap_ms FROM events ORDER BY event_id"
+        ),
+        # Ordered funnel: greedy earliest completion of view->click->purchase,
+        # strict (ts, event_id) tuple ordering between consecutive stages
+        "event_funnel": (
+            "WITH v AS (SELECT user_id, ts, event_id FROM events "
+            "  WHERE event_type = 'view' QUALIFY row_number() OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id) = 1), "
+            "c AS (SELECT e.user_id, e.ts, e.event_id FROM events e "
+            "  JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' "
+            "  AND (e.ts > v.ts OR (e.ts = v.ts AND e.event_id > v.event_id)) "
+            "  QUALIFY row_number() OVER (PARTITION BY e.user_id "
+            "  ORDER BY e.ts, e.event_id) = 1), "
+            "p AS (SELECT e.user_id, e.ts, e.event_id FROM events e "
+            "  JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' "
+            "  AND (e.ts > c.ts OR (e.ts = c.ts AND e.event_id > c.event_id)) "
+            "  QUALIFY row_number() OVER (PARTITION BY e.user_id "
+            "  ORDER BY e.ts, e.event_id) = 1) "
+            "SELECT u.user_id, CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 "
+            "  WHEN c.user_id IS NOT NULL THEN 2 "
+            "  WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "  AS funnel_stage, "
+            "COALESCE(CAST(epoch_ms(v.ts) AS BIGINT), -1) AS view_ms, "
+            "COALESCE(CAST(epoch_ms(c.ts) AS BIGINT), -1) AS click_ms, "
+            "COALESCE(CAST(epoch_ms(p.ts) AS BIGINT), -1) AS purchase_ms "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            "LEFT JOIN v ON u.user_id = v.user_id "
+            "LEFT JOIN c ON u.user_id = c.user_id "
+            "LEFT JOIN p ON u.user_id = p.user_id ORDER BY u.user_id"
         ),
         # TPC-H Q5 shape: the region/nation/date constants mirror
         # q_local_supplier_volume's defaults

@@ -1165,3 +1165,76 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("event_id", ignore_index=True)
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_event_funnel(sf_dir: str, stages=FUNNEL_STAGES) -> pd.DataFrame:
+    """Ordered funnel matching: for every user, the earliest greedy
+    completion of the stage sequence view -> click -> purchase. Stage k+1
+    must occur STRICTLY after the matched stage-k event in (ts, event_id)
+    order (event_id breaks timestamp ties deterministically — the
+    reference engine's message-order-independence rule, SURVEY.md §2.12,
+    applied to an event stream). Returns one row per user:
+    `funnel_stage` = number of consecutive stages completed (0..3) and
+    the epoch-ms of each matched event (-1 sentinel when not reached).
+
+    Scale shape: ONE bucketed shuffle on user_id (the same
+    `grouped_map_bucketed` exchange every per-user window operator here
+    rides); inside a bucket the match is merge-based and vectorized —
+    per stage: filter to that event type, inner-merge the previous
+    stage's matched (ts, event_id) per user, tuple-compare, then
+    sorted `drop_duplicates` for the per-user first survivor. No
+    per-user Python loop; comparisons are integer microseconds."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000
+        g = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "us": us,
+                "event_id": g["event_id"].to_numpy(),
+            }
+        )
+        users = np.unique(g["user_id"].to_numpy())
+        prev = None
+        matched = {}
+        for etype in stages:
+            rows = g[g["event_type"] == etype][["user_id", "us", "event_id"]]
+            if prev is not None:
+                rows = rows.merge(
+                    prev.rename(columns={"us": "pus", "event_id": "pid"}),
+                    on="user_id",
+                )
+                keep = (rows["us"] > rows["pus"]) | (
+                    (rows["us"] == rows["pus"]) & (rows["event_id"] > rows["pid"])
+                )
+                rows = rows[keep][["user_id", "us", "event_id"]]
+            rows = rows.sort_values(["us", "event_id"], kind="stable")
+            rows = rows.drop_duplicates("user_id", keep="first")
+            matched[etype] = rows.set_index("user_id")["us"]
+            prev = rows
+        out = pd.DataFrame({"user_id": users})
+        cols = {}
+        stage = np.zeros(len(users), np.int64)
+        alive = np.ones(len(users), bool)
+        for i, etype in enumerate(stages):
+            m = out["user_id"].map(matched[etype])
+            hit = m.notna().to_numpy() & alive
+            ms = np.where(hit, m.fillna(0).to_numpy() // 1_000, -1).astype("int64")
+            cols[f"{etype}_ms"] = ms
+            stage += hit.astype(np.int64)
+            alive = hit
+        res = pd.DataFrame({"user_id": out["user_id"], "funnel_stage": stage})
+        for etype in stages:
+            res[f"{etype}_ms"] = cols[f"{etype}_ms"]
+        return res
+
+    return (
+        grouped_map_bucketed(ds, ["user_id"], _funnel, B=16)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )

@@ -1626,3 +1626,43 @@ def test_khop_sample_known_graph(ray_session, tmp_path):
         seed_mod=8,
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_event_funnel_hand_graph(ray_session):
+    """Funnel semantics on a hand-built event log: strict (ts, event_id)
+    ordering between consecutive stages, tie broken by event_id, greedy
+    earliest view is the anchor (a later view that would enable a click
+    is NOT used), -1 sentinels for unreached stages."""
+    from graphlite_ray.pipelines.relational import q_event_funnel
+
+    def ts(ms):
+        return pd.Timestamp(ms, unit="ms")
+
+    rows = [
+        # user 1: full funnel, strictly increasing
+        (1, 1, ts(1000), "view"), (2, 1, ts(2000), "click"), (3, 1, ts(3000), "purchase"),
+        # user 2: click BEFORE the first view -> stage stops at 1
+        (4, 2, ts(2000), "click"), (5, 2, ts(3000), "view"),
+        # user 3: tie on ts — click same ms as view but larger event_id counts
+        (6, 3, ts(1000), "view"), (7, 3, ts(1000), "click"),
+        # user 4: tie with SMALLER event_id does not count
+        (9, 4, ts(1000), "view"), (8, 4, ts(1000), "click"),
+        # user 5: greedy anchor — earliest view at 5000, click at 4000 misses,
+        # the later view at 6000 is not re-anchored
+        (10, 5, ts(5000), "view"), (11, 5, ts(4000), "click"), (12, 5, ts(6000), "view"),
+        # user 6: no funnel events at all
+        (13, 6, ts(1000), "error"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    import tempfile, os
+    d = tempfile.mkdtemp(dir="/tmp")
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    out = q_event_funnel(d).set_index("user_id")
+    assert out.loc[1, "funnel_stage"] == 3
+    assert out.loc[1, "purchase_ms"] == 3000
+    assert out.loc[2, "funnel_stage"] == 1 and out.loc[2, "view_ms"] == 3000
+    assert out.loc[3, "funnel_stage"] == 2 and out.loc[3, "click_ms"] == 1000
+    assert out.loc[4, "funnel_stage"] == 1 and out.loc[4, "click_ms"] == -1
+    assert out.loc[5, "funnel_stage"] == 1 and out.loc[5, "view_ms"] == 5000
+    assert out.loc[6, "funnel_stage"] == 0
+    assert (out.loc[6, ["view_ms", "click_ms", "purchase_ms"]] == -1).all()
