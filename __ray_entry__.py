@@ -2027,6 +2027,18 @@ def _q_doc_inverted_index(sf_dir: str):
     return out.sort_values("token", ignore_index=True)
 
 
+def _q_doc_editdist(sf_dir: str):
+    """Edit-distance similarity join: all doc pairs whose 24-byte text
+    prefix is within Levenshtein distance 2 (SymSpell deletion-
+    neighborhood blocking + pair-vectorized DP verify,
+    `stages/editdist.py`) — DuckDB levenshtein() self-join oracle."""
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.editdist import editdist_pairs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return editdist_pairs(docs, prefix_len=24, k=2)
+
+
 def _q_doc_tfidf(sf_dir: str):
     """Top-5 TF-IDF terms per document (libm-exact idf, rounded-score
     ranking) — DuckDB window-rank oracle."""
@@ -2528,6 +2540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "corpus_clean": _q_corpus_clean,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_editdist_pairs": _q_doc_editdist,
         "doc_bm25": _q_doc_bm25,
         "doc_pmi": _q_doc_pmi,
         "doc_lm_score": _q_doc_lm_score,
@@ -4805,6 +4818,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b) "
             "SELECT a, b, ROUND(s, 6) AS score FROM sc WHERE s >= 0.9 "
             "ORDER BY a, b"
+        ),
+        # SymSpell-blocked edit-distance join; the oracle is the naive
+        # all-pairs levenshtein the blocking provably reproduces
+        "doc_editdist_pairs": (
+            "SELECT a.doc_id AS doc1, b.doc_id AS doc2, "
+            "CAST(levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) "
+            "AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 2 "
+            "ORDER BY doc1, doc2"
         ),
         "doc_tfidf": (
             # tf per (doc, token); df = docs per token; score = tf*ln(N/df)

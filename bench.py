@@ -495,6 +495,13 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         _timed("minhash_stream", _minhash_stream)
         _timed("simhash_dedup", lambda: simhash_dedup(docs, max_hamming=3))
 
+        def _editdist():
+            from graphlite_ray.stages.editdist import editdist_pairs
+
+            return len(editdist_pairs(docs, prefix_len=24, k=2))
+
+        _timed("editdist_pairs", _editdist)
+
         from graphlite_ray.stages.curation import weighted_mix
         from graphlite_ray.stages.dedup import span_dedup_clean
 
@@ -533,6 +540,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             "correlated_q17", lambda: len(R.q_small_quantity_revenue(sf_dir))
         )
         _timed("event_gaps", lambda: len(R.q_event_gaps(sf_dir)))
+        _timed("event_funnel", lambda: len(R.q_event_funnel(sf_dir)))
 
         def _khop():
             import ray.data as rd

@@ -1,0 +1,284 @@
+"""Edit-distance similarity join (SymSpell-style deletion-neighborhood
+blocking + vectorized Levenshtein verify).
+
+Finds all document pairs whose text PREFIX (first `prefix_len` bytes) is
+within Levenshtein distance <= k. The reference engine has nothing like
+this (SURVEY.md §2.7: no set/similarity ops at all); it belongs to the
+training-data curation family next to the MinHash/SimHash dedup stages
+(`stages/dedup.py`) — edit distance catches the template/boilerplate
+near-dups those token-set methods miss.
+
+Scale shape (three bounded exchanges, no all-pairs step anywhere):
+
+1. **Variant generation** — stateful `map_batches` class: the deletion
+   index selectors (one `(n_variants, L-d)` gather matrix per string
+   length and deletion depth) are precompiled ONCE per actor in
+   `__init__`; per batch the snippet bytes become an `(n, L)` uint8
+   matrix and every variant is a fancy-indexed gather + vectorized FNV
+   hash — no per-string Python loop. Soundness: if `ed(s1, s2) <= k`
+   then deleting the mismatched alignment positions (<= k per side)
+   yields a COMMON string, so the depth-k deletion neighborhoods
+   intersect (the SymSpell invariant).
+2. **Candidate pairing** — bucketed shuffle on the variant hash
+   (`grouped_map_bucketed`): each bucket pairs doc_ids sharing a hash
+   (sorted segmented expansion). Hash collisions only ADD candidates —
+   the verify pass removes them, so 64-bit FNV needs no collision proof.
+3. **Pair dedup + verify** — second bucketed shuffle on the (doc1, doc2)
+   key dedups candidates, then the true Levenshtein DP runs VECTORIZED
+   ACROSS PAIRS: the DP recurrence loops over the L x L positions (a
+   constant <= 576 iterations) while every numpy op spans the whole pair
+   batch; per-pair answers are snapshot at row `len1` as the row loop
+   passes it. Texts travel only as their <=L-byte snippets.
+
+At 100 TB the variant blow-up is the knob: depth k=2 on L=24 emits 301
+rows/doc — bounded fan-out, no skew (hashes are uniform); hub variants
+(shared boilerplate prefixes) cap at `max_bucket_group` with a logged
+drop, the same explosion guard the SimHash banders use.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from graphlite_ray.functions.grouping import grouped_map_bucketed
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _deletion_selectors(length: int, k: int) -> list[np.ndarray]:
+    """Gather matrices for all deletion patterns of depth 0..k on a
+    string of `length` bytes: each row of a selector is the kept index
+    set for one deletion pattern."""
+    sels = []
+    for d in range(0, min(k, length) + 1):
+        rows = [
+            [i for i in range(length) if i not in drop]
+            for drop in combinations(range(length), d)
+        ]
+        sels.append(np.asarray(rows, dtype=np.int64).reshape(len(rows), length - d))
+    return sels
+
+
+def _fnv_rows(mat: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over the rows of a uint8 matrix (n, w) -> uint64.
+    Length is mixed in first so 'ab' and 'ab\\x00' (a shorter variant)
+    cannot collide by construction."""
+    h = np.full(mat.shape[0], _FNV_OFFSET, np.uint64)
+    h = (h ^ np.uint64(mat.shape[1])) * _FNV_PRIME
+    for col in range(mat.shape[1]):
+        h = (h ^ mat[:, col].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+class DeletionVariants:
+    """Stateful map_batches stage: snippet -> (variant_hash, doc_id) rows.
+
+    Selector matrices are compiled once per actor (the
+    model-load-in-__init__ pattern); __call__ is gather + FNV only.
+    """
+
+    def __init__(self, prefix_len: int = 24, k: int = 2,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.L = prefix_len
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+        # selectors keyed by actual snippet length (short docs too)
+        self.sels = {n: _deletion_selectors(n, k) for n in range(0, prefix_len + 1)}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy(np.int64)
+        snips = [
+            s.encode("utf-8", "surrogateescape")[: self.L]
+            for s in batch[self.text_col].astype(str)
+        ]
+        lens = np.asarray([len(s) for s in snips], np.int64)
+        mat = np.zeros((len(snips), self.L), np.uint8)
+        for i, s in enumerate(snips):  # per-doc fill; gather below is bulk
+            mat[i, : lens[i]] = np.frombuffer(s, np.uint8)
+        out_h: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        for n in np.unique(lens):
+            rows = np.flatnonzero(lens == n)
+            sub = mat[rows][:, :n]
+            for sel in self.sels[int(n)]:
+                if sel.shape[1] == 0:
+                    h = np.full(len(rows), _FNV_OFFSET, np.uint64)
+                    h = (h ^ np.uint64(0)) * _FNV_PRIME
+                    out_h.append(h)
+                    out_id.append(ids[rows])
+                    continue
+                # (n_docs, n_variants, width) gather, hashed per row
+                g = sub[:, sel]  # fancy index: docs x variants x width
+                flat = g.reshape(-1, sel.shape[1])
+                out_h.append(_fnv_rows(flat))
+                out_id.append(np.repeat(ids[rows], sel.shape[0]))
+        if not out_h:
+            return pd.DataFrame(
+                {"vh": pd.Series([], dtype="uint64"),
+                 "doc_id": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"vh": np.concatenate(out_h), "doc_id": np.concatenate(out_id)}
+        )
+
+
+def _pairs_from_variants(max_bucket_group: int):
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["vh", "doc_id"])
+        g = g.sort_values(["vh", "doc_id"], kind="stable")
+        vh = g["vh"].to_numpy(np.uint64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+        ends = np.r_[starts[1:], len(vh)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):  # per variant group, not per row
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_bucket_group:
+                m = max_bucket_group  # explosion guard (logged upstream)
+            grp = ids[s : s + m]
+            iu, ju = np.triu_indices(m, 1)
+            a_parts.append(grp[iu])
+            b_parts.append(grp[ju])
+        if not a_parts:
+            return pd.DataFrame(
+                {"doc1": pd.Series([], dtype="int64"),
+                 "doc2": pd.Series([], dtype="int64")}
+            )
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc1": lo, "doc2": hi}).drop_duplicates()
+
+    return _pairs
+
+
+def levenshtein_batch(s1: np.ndarray, l1: np.ndarray,
+                      s2: np.ndarray, l2: np.ndarray) -> np.ndarray:
+    """Levenshtein distance for N string pairs at once. s1/s2 are padded
+    uint8 matrices (N, L); l1/l2 the true lengths. The i/j loops are over
+    the <= L x L positions (constant), every op vectorized across pairs;
+    each pair's answer is captured when the row index passes its l1."""
+    n, L = s1.shape
+    dist = np.zeros(n, np.int32)
+    row = np.broadcast_to(np.arange(L + 1, dtype=np.int32), (n, L + 1)).copy()
+    done0 = l1 == 0
+    dist[done0] = l2[done0]
+    for i in range(1, L + 1):
+        prev = row
+        row = np.empty_like(prev)
+        row[:, 0] = i
+        c1 = s1[:, i - 1]
+        for j in range(1, L + 1):
+            sub = prev[:, j - 1] + (c1 != s2[:, j - 1])
+            row[:, j] = np.minimum(np.minimum(prev[:, j] + 1, row[:, j - 1] + 1), sub)
+        hit = l1 == i
+        if hit.any():
+            dist[hit] = row[hit, l2[hit]]
+    return dist.astype(np.int64)
+
+
+def editdist_pairs(
+    docs: "ray.data.Dataset",
+    prefix_len: int = 24,
+    k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    B: int = 32,
+    max_bucket_group: int = 10_000,
+) -> pd.DataFrame:
+    """All (doc1 < doc2) pairs whose text prefixes are within edit
+    distance k, with the exact distance. See module docstring for the
+    three-exchange scale shape."""
+    variants = docs.map_batches(
+        DeletionVariants,
+        fn_constructor_kwargs=dict(
+            prefix_len=prefix_len, k=k, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    cands = grouped_map_bucketed(
+        variants, ["vh"], _pairs_from_variants(max_bucket_group), B=B
+    )
+
+    # the verify side broadcasts the (doc_id, <=L-byte snippet) matrix via
+    # ray.put — 32 bytes/doc, so 5M docs ~ 160 MB; the guard below marks
+    # where the 100-TB route (attach snippets to pairs with two bucketed
+    # joins on doc1/doc2, the `pipelines/joins.py` machinery) plugs in.
+    n_docs = docs.count()
+    if n_docs > 5_000_000:
+        raise NotImplementedError(
+            "editdist_pairs broadcast-verify is guarded at 5M docs; plug in "
+            "the bucketed snippet attach (pipelines/joins.py) beyond that"
+        )
+    snip_df = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "snip": [
+                    s.encode("utf-8", "surrogateescape")[:prefix_len]
+                    for s in b[text_col].astype(str)
+                ],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    order = np.argsort(snip_df[id_col].to_numpy())
+    sids = snip_df[id_col].to_numpy(np.int64)[order]
+    raw = snip_df["snip"].to_numpy(object)[order]
+    lens = np.asarray([len(s) for s in raw], np.int64)
+    mat = np.zeros((len(raw), prefix_len), np.uint8)
+    for i, s in enumerate(raw):
+        mat[i, : lens[i]] = np.frombuffer(s, np.uint8)
+    mat_ref = ray.put((sids, mat, lens))
+
+    class _Verify:
+        def __init__(self):
+            self.sids, self.mat, self.lens = ray.get(mat_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.drop_duplicates(["doc1", "doc2"])
+            if batch.empty:
+                return pd.DataFrame(
+                    {"doc1": pd.Series([], dtype="int64"),
+                     "doc2": pd.Series([], dtype="int64"),
+                     "dist": pd.Series([], dtype="int64")}
+                )
+            i1 = np.searchsorted(self.sids, batch["doc1"].to_numpy(np.int64))
+            i2 = np.searchsorted(self.sids, batch["doc2"].to_numpy(np.int64))
+            d = levenshtein_batch(
+                self.mat[i1], self.lens[i1], self.mat[i2], self.lens[i2]
+            )
+            keep = d <= k
+            return pd.DataFrame(
+                {
+                    "doc1": batch["doc1"].to_numpy(np.int64)[keep],
+                    "doc2": batch["doc2"].to_numpy(np.int64)[keep],
+                    "dist": d[keep],
+                }
+            )
+
+    # pair-key bucketed shuffle dedups candidates produced in different
+    # variant buckets BEFORE the DP runs, so verify work is once per pair
+    verified = grouped_map_bucketed(
+        cands, ["doc1", "doc2"],
+        lambda g: g.drop_duplicates(["doc1", "doc2"]), B=B,
+    ).map_batches(_Verify, batch_format="pandas", concurrency=(1, 8))
+    out = verified.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc1": pd.Series([], dtype="int64"),
+             "doc2": pd.Series([], dtype="int64"),
+             "dist": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values(["doc1", "doc2"], ignore_index=True)

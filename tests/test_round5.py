@@ -1666,3 +1666,49 @@ def test_event_funnel_hand_graph(ray_session):
     assert out.loc[5, "funnel_stage"] == 1 and out.loc[5, "view_ms"] == 5000
     assert out.loc[6, "funnel_stage"] == 0
     assert (out.loc[6, ["view_ms", "click_ms", "purchase_ms"]] == -1).all()
+
+
+def test_editdist_pairs_planted_and_random(ray_session):
+    """Edit-distance join: planted pairs at distance 0/1/2 are found with
+    exact distances, a distance-3 pair is excluded, and on a random
+    corpus the blocked join equals the brute-force DP (completeness of
+    the deletion-neighborhood blocking)."""
+    import random
+
+    from graphlite_ray.stages.editdist import editdist_pairs, levenshtein_batch
+
+    base = "the quick brown fox jump"  # 24 chars
+    rows = [
+        (0, base),
+        (1, base),                      # dist 0
+        (2, "the quick brown fox jumq"),  # 1 sub
+        (3, "the quick brown fox jum"),   # 1 del (23 chars)
+        (4, "xhe quick brown fox jumq"),  # 2 subs
+        (5, "aaa quick brown fox jump"),  # 3 subs -> excluded vs 0/1
+    ]
+    rng = random.Random(11)
+    for i in range(6, 40):
+        rows.append((i, "".join(rng.choice("abcdefgh") for _ in range(24))))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = editdist_pairs(ray.data.from_pandas(df).repartition(3), prefix_len=24, k=2)
+    got = {(a, b): d for a, b, d in out.itertuples(index=False)}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(0, 3)] == 1
+    assert got[(0, 4)] == 2
+    assert (0, 5) not in got and (1, 5) not in got
+
+    # brute-force parity on the whole corpus
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp = dp, [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return dp[len(b)]
+
+    exp = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = ref(rows[i][1][:24], rows[j][1][:24])
+            if d <= 2:
+                exp[(rows[i][0], rows[j][0])] = d
+    assert got == exp
