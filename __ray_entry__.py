@@ -373,6 +373,38 @@ def _q_host_edge_counts(sf_dir: str):
     return host_edge_counts(work)
 
 
+def _q_graph_cliques4(sf_dir: str):
+    """Exact 4-clique count of the simple undirected HOST graph
+    (pipelines/triangles.py::clique4_count — kClist-style orientation
+    counting, every wide step a bucketed exchange). The engine runs on
+    hashed host ids; the count is relabeling-invariant, so the DuckDB
+    oracle replays it with a 6-way id-ordered self-join over the staged
+    host-STRING edges."""
+    import ray.data
+
+    from graphlite_ray.functions.hashing import ids_from_urls
+    from graphlite_ray.pipelines.triangles import clique4_count
+
+    _, work = _graph_work(sf_dir)
+    hdir = _host_edges_dir(sf_dir)
+    hosts_ds = ray.data.read_parquet(hdir, columns=["src_host", "dst_host"])
+
+    def _ids(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "src": ids_from_urls(df["src_host"].to_numpy()),
+                "dst": ids_from_urls(df["dst_host"].to_numpy()),
+            }
+        )
+
+    n = clique4_count(
+        hosts_ds.map_batches(_ids, batch_format="pandas"),
+        work_dir=os.path.join(work, "c4"),
+        B=16,
+    )
+    return pa.table({"cliques4": pa.array([n], pa.int64())})
+
+
 def _q_host_pagerank(sf_dir: str):
     """PageRank on the HOST multigraph (parallel edges = page-level link
     counts). The engine runs on hashed host ids; the oracle replays the
@@ -2486,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_random_walks": _q_random_walks,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
+        "graph_cliques4": _q_graph_cliques4,
         "host_pagerank": _q_host_pagerank,
         "triangle_count": _q_triangles,
         "graph_transitivity": _q_graph_transitivity,
@@ -3990,6 +4023,20 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _pagerank_oracle_sql(
             host_glob, weighted=False, src="src_host", dst="dst_host",
             out_name="host",
+        ),
+        "graph_cliques4": (
+            # id-ordered 6-way self-join: one row per quadruple a<b<c<d
+            # with all six edges present; orientation-invariant, so the
+            # engine's (degree, id) orientation must produce the same count
+            f"WITH e AS (SELECT DISTINCT least(src_host, dst_host) AS a, "
+            f"greatest(src_host, dst_host) AS b FROM read_parquet('{host_glob}') "
+            "WHERE src_host <> dst_host) "
+            "SELECT CAST(count(*) AS BIGINT) AS cliques4 "
+            "FROM e ab JOIN e ac ON ac.a = ab.a AND ac.b > ab.b "
+            "JOIN e ad ON ad.a = ab.a AND ad.b > ac.b "
+            "JOIN e bc ON bc.a = ab.b AND bc.b = ac.b "
+            "JOIN e bd ON bd.a = ab.b AND bd.b = ad.b "
+            "JOIN e cd ON cd.a = ac.b AND cd.b = ad.b"
         ),
         "host_edge_counts": (
             # INDEPENDENT host extraction: SQL regexp over the page-level

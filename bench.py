@@ -561,6 +561,30 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         _timed("media_decode", lambda: decode_images(media_imgs).count())
         # host-graph collapse over this rep's staged page edges
         _timed("host_edge_counts", lambda: host_edge_counts(work).count())
+
+        def _cliques4():
+            import pyarrow as pa
+
+            from graphlite_ray.functions.hashing import ids_from_urls
+            from graphlite_ray.pipelines.triangles import clique4_count
+
+            def _ids(df):
+                return pa.table(
+                    {
+                        "src": ids_from_urls(df["src_host"].to_numpy()),
+                        "dst": ids_from_urls(df["dst_host"].to_numpy()),
+                    }
+                )
+
+            from graphlite_ray.pipelines.linkgraph import host_edges
+
+            return clique4_count(
+                host_edges(work).map_batches(_ids, batch_format="pandas"),
+                work_dir=f"{work}/c4",
+                B=16,
+            )
+
+        _timed("cliques4_host", _cliques4)
         _timed(
             "hist_quantiles",
             lambda: histogram_quantiles(

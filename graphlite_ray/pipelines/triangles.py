@@ -743,3 +743,185 @@ def approx_triangle_count(
     )
     scale = 100.0 / pct
     return float(n) * scale * scale * scale
+
+
+def clique4_count(
+    edges: "ray.data.Dataset",
+    work_dir: str | None = None,
+    B: int = 32,
+) -> int:
+    """Exact 4-clique count of the simple undirected graph (kClist-style
+    orientation counting; the reference engine has no subgraph operators
+    at all — SURVEY.md §2.6-2.7).
+
+    Every 4-clique {w,x,y,z} has a unique (degree, id) total order
+    w<x<y<z under the same orientation `triangle_count` uses, so it is
+    counted exactly once: anchored at its π-smallest edge (w,x), with
+    {y,z} the triangle third-vertices of that edge and (y,z) itself an
+    edge. The count is orientation-invariant, which is why the DuckDB
+    oracle can replay it with plain id-ordering.
+
+    Scale shape — every wide step is a bucketed exchange, nothing
+    graph-sized touches the driver:
+      1. canonical simple edges (one pair-key shuffle),
+      2. degree partial+final + two co-partitioned degree attaches ->
+         (deg, id) orientation (bounds wedge fan-out by the degeneracy,
+         the hub-graph survival trick shared with `triangle_count`),
+      3. triangle LISTING: vectorized wedge emission per π-min vertex,
+         closed against the pair-bucketed edge files (inner merge keeps
+         rows, not counts),
+      4. per-triangle base-edge recovery (two more degree attaches: the
+         π-smaller of the far pair is the anchor's second vertex),
+      5. candidate (y,z) pairs per anchor via the same closed-form
+         triangular emission `_emit_all_wedges` uses, closed once more
+         against the edge files; each surviving row IS one 4-clique
+         (multiplicity preserved — no dedup, distinct anchors are
+         distinct cliques).
+    """
+    work_dir = work_dir or tempfile.mkdtemp(prefix="glr_c4_")
+    os.makedirs(work_dir, exist_ok=True)
+    simple = _canonical_simple_edges(edges, B).materialize()
+
+    def _ends(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t["lo"].to_numpy(zero_copy_only=False), t["hi"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"vid": u, "deg_part": c})
+
+    deg = (
+        simple.map_batches(_ends, batch_format="pyarrow")
+        .groupby("vid")
+        .sum("deg_part", ignore_nulls=True)
+    )
+    deg = deg.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "deg": t[t.column_names[1]]}),
+        batch_format="pyarrow",
+    )
+    deg_dir = write_bucketed(deg, "vid", B, os.path.join(work_dir, "deg"))
+
+    with_lo = attach_from_bucketed(simple, "lo", deg_dir, B, "vid").map_batches(
+        lambda df: df.rename(columns={"deg": "deg_lo"}).drop(columns=["vid"]),
+        batch_format="pandas",
+    )
+    both = attach_from_bucketed(with_lo, "hi", deg_dir, B, "vid").map_batches(
+        lambda df: df.rename(columns={"deg": "deg_hi"}).drop(columns=["vid"]),
+        batch_format="pandas",
+    )
+
+    def _orient(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = df["lo"].to_numpy(), df["hi"].to_numpy()
+        dlo, dhi = df["deg_lo"].to_numpy(), df["deg_hi"].to_numpy()
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pd.DataFrame(
+            {"a": np.where(lo_first, lo, hi), "b": np.where(lo_first, hi, lo)}
+        )
+
+    oriented = both.map_batches(_orient, batch_format="pandas").materialize()
+
+    def _pairkey(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": lo, "hi": hi, "pb": pair_bucket(lo, hi, B)})
+
+    edge_dir = write_bucketed(
+        simple.map_batches(_pairkey, batch_format="pyarrow"),
+        "pb", B, os.path.join(work_dir, "cedges"),
+    )
+
+    def _wedges_frame(g: pd.DataFrame) -> pd.DataFrame:
+        a_s, b_s, starts, ends = _wedge_spans(g)
+        src, lo, hi = _emit_all_wedges(a_s, b_s, starts, ends)
+        return pd.DataFrame({"a": src, "lo": lo, "hi": hi})
+
+    wedges = grouped_map_bucketed(oriented, ["a"], _wedges_frame, B)
+
+    def _tag_wedge(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "lo": lo, "hi": hi, "pb": pair_bucket(lo, hi, B),
+            }
+        )
+
+    def _close_rows(g: pd.DataFrame) -> pd.DataFrame:
+        pb = int(g["pb"].iloc[0])
+        path = os.path.join(edge_dir, f"bucket_{pb}.parquet")
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"),
+             "lo": pd.Series([], dtype="int64"),
+             "hi": pd.Series([], dtype="int64")}
+        )
+        if not os.path.exists(path):
+            return empty
+        e = pq.read_table(path, columns=["lo", "hi"]).to_pandas()
+        m = g.merge(e, on=["lo", "hi"], how="inner")
+        return m[["a", "lo", "hi"]] if len(m) else empty
+
+    tris = (
+        wedges.map_batches(_tag_wedge, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_close_rows, batch_format="pandas")
+    )
+
+    t1 = attach_from_bucketed(tris, "lo", deg_dir, B, "vid").map_batches(
+        lambda df: df.rename(columns={"deg": "deg_lo"}).drop(columns=["vid"]),
+        batch_format="pandas",
+    )
+    t2 = attach_from_bucketed(t1, "hi", deg_dir, B, "vid").map_batches(
+        lambda df: df.rename(columns={"deg": "deg_hi"}).drop(columns=["vid"]),
+        batch_format="pandas",
+    )
+
+    def _base(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = df["lo"].to_numpy(np.int64), df["hi"].to_numpy(np.int64)
+        dlo, dhi = df["deg_lo"].to_numpy(), df["deg_hi"].to_numpy()
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pd.DataFrame(
+            {
+                "w": df["a"].to_numpy(np.int64),
+                "x": np.where(lo_first, lo, hi),
+                "y": np.where(lo_first, hi, lo),
+            }
+        )
+
+    based = t2.map_batches(_base, batch_format="pandas")
+
+    def _cand(g: pd.DataFrame) -> pd.DataFrame:
+        arr = g[["w", "x", "y"]].to_numpy()
+        order = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))
+        w_s, x_s, y_s = arr[order, 0], arr[order, 1], arr[order, 2]
+        new = np.concatenate(
+            ([True], (w_s[1:] != w_s[:-1]) | (x_s[1:] != x_s[:-1]))
+        ) if len(w_s) else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(y_s)])) if len(starts) else starts
+        _, lo, hi = _emit_all_wedges(y_s, y_s, starts, ends)
+        return pd.DataFrame({"lo": lo, "hi": hi})
+
+    cands = grouped_map_bucketed(based, ["w", "x"], _cand, B)
+
+    def _tag_pair(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lo": lo, "hi": hi, "pb": pair_bucket(lo, hi, B)})
+
+    def _close_cnt(g: pd.DataFrame) -> pd.DataFrame:
+        pb = int(g["pb"].iloc[0])
+        path = os.path.join(edge_dir, f"bucket_{pb}.parquet")
+        if not os.path.exists(path):
+            return pd.DataFrame({"n": [0]})
+        e = pq.read_table(path, columns=["lo", "hi"]).to_pandas()
+        return pd.DataFrame({"n": [len(g.merge(e, on=["lo", "hi"], how="inner"))]})
+
+    counts = (
+        cands.map_batches(_tag_pair, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_close_cnt, batch_format="pandas")
+    )
+    total = counts.sum("n")
+    if total is None:
+        return 0
+    return int(total if not isinstance(total, dict) else total["sum(n)"])

@@ -1712,3 +1712,39 @@ def test_editdist_pairs_planted_and_random(ray_session):
             if d <= 2:
                 exp[(rows[i][0], rows[j][0])] = d
     assert got == exp
+
+
+def test_clique4_count_brute_force(ray_session):
+    """clique4_count vs itertools brute force: K5 (five 4-cliques), a
+    random 30-vertex graph, and a disconnected union with self-loops and
+    parallel edges (both must be ignored by the simple-graph canon)."""
+    import itertools
+
+    from graphlite_ray.pipelines.triangles import clique4_count
+
+    def brute4(pairs):
+        es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        verts = sorted({v for e in es for v in e})
+        return sum(
+            1
+            for quad in itertools.combinations(verts, 4)
+            if all(
+                (min(u, v), max(u, v)) in es
+                for u, v in itertools.combinations(quad, 2)
+            )
+        )
+
+    rng = np.random.default_rng(3)
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    e_rand = [
+        (int(rng.integers(0, 30)), int(rng.integers(0, 30))) for _ in range(160)
+    ]
+    cases = [
+        k5,
+        e_rand,
+        k5 + [(a + 100, b + 100) for a, b in e_rand] + [(1, 1), (2, 3), (2, 3)],
+    ]
+    for pairs in cases:
+        df = pd.DataFrame(pairs, columns=["src", "dst"])
+        got = clique4_count(ray.data.from_pandas(df).repartition(3), B=8)
+        assert got == brute4(pairs)
