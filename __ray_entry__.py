@@ -2545,7 +2545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_avg": lambda sf: R.q_rolling_avg(sf),
         "event_gaps": lambda sf: R.q_event_gaps(sf),
         "event_funnel": lambda sf: R.q_event_funnel(sf),
+        "retention_cohorts": lambda sf: R.q_retention_cohorts(sf),
         "rollup_acctbal": lambda sf: R.q_rollup_acctbal(sf),
+        "cube_acctbal": lambda sf: R.q_cube_acctbal(sf),
         "user_set_ops": lambda sf: R.q_user_set_ops(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
         "asof_join": lambda sf: R.q_asof_join(sf),
@@ -4674,6 +4676,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer GROUP BY ROLLUP(c_nationkey, c_mktsegment) "
             "ORDER BY c_nationkey, c_mktsegment"
         ),
+        "cube_acctbal": (
+            # CUBE = ROLLUP levels + the per-segment transpose; same
+            # sentinel convention as rollup_acctbal
+            "SELECT COALESCE(c_nationkey, -1) AS c_nationkey, "
+            "COALESCE(c_mktsegment, 'ALL') AS c_mktsegment, "
+            "count(*) AS n, ROUND(sum(c_acctbal), 2) AS sum_bal "
+            "FROM customer GROUP BY CUBE(c_nationkey, c_mktsegment) "
+            "ORDER BY c_nationkey, c_mktsegment"
+        ),
         "events_rolling_avg": (
             # left-to-right lag adds mirror the pipeline's shifted-sum
             # EXACTLY (same float op order), so the compare is bit-exact
@@ -4765,6 +4776,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, COALESCE(CAST(epoch_ms(ts) - "
             "lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "AS BIGINT), -1) AS gap_ms FROM events ORDER BY event_id"
+        ),
+        # Weekly retention cohorts on integer epoch-day//7 weeks: distinct
+        # users per (first-week cohort, week offset)
+        "retention_cohorts": (
+            "WITH w AS (SELECT user_id, epoch_ms(ts) // 1000 // 86400 // 7 "
+            "AS wk FROM events), "
+            "f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id), "
+            "a AS (SELECT DISTINCT w.user_id, f.cw, w.wk - f.cw AS off "
+            "FROM w JOIN f ON w.user_id = f.user_id) "
+            "SELECT cw AS cohort_week, off AS week_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a GROUP BY cw, off ORDER BY cohort_week, week_offset"
         ),
         # Ordered funnel: greedy earliest completion of view->click->purchase,
         # strict (ts, event_id) tuple ordering between consecutive stages

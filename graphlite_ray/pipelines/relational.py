@@ -455,6 +455,59 @@ def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_cube_acctbal(sf_dir: str) -> pd.DataFrame:
+    """CUBE grouping-sets aggregate (GROUP BY CUBE(nation, segment)): the
+    ROLLUP levels plus the transposed per-segment subtotal. Same sentinel
+    convention and same scale shape as `q_rollup_acctbal` — the corpus is
+    aggregated ONCE at the finest level (per-block partials -> one
+    bucketed sum); all three coarser grouping sets derive from that
+    bounded-cardinality aggregate on the driver."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    from graphlite_ray.functions.grouping import grouped_map_bucketed
+    from graphlite_ray.functions.rounding import round_half_away
+
+    keys = ["c_nationkey", "c_mktsegment"]
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        return (
+            t.to_pandas()
+            .groupby(keys, as_index=False)
+            .agg(n=("c_acctbal", "size"), s=("c_acctbal", "sum"))
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+
+    finest = grouped_map_bucketed(
+        cust.map_batches(_partial, batch_format="pyarrow"), keys, _final, B=8
+    ).to_pandas()
+
+    by_nation = finest.groupby("c_nationkey", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    )
+    by_nation["c_mktsegment"] = "ALL"
+    by_segment = finest.groupby("c_mktsegment", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    )
+    by_segment["c_nationkey"] = -1
+    grand = pd.DataFrame(
+        {
+            "c_nationkey": [-1],
+            "c_mktsegment": ["ALL"],
+            "n": [finest["n"].sum()],
+            "s": [finest["s"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_nation, by_segment, grand], ignore_index=True)[
+        ["c_nationkey", "c_mktsegment", "n", "s"]
+    ]
+    out["sum_bal"] = round_half_away(out.pop("s").to_numpy(np.float64), 2)
+    return out.astype({"c_nationkey": "int64", "n": "int64"}).sort_values(
+        keys, ignore_index=True
+    )
+
+
 def q_customers_without_orders(
     sf_dir: str,
     max_broadcast_keys: int = 5_000_000,
@@ -1238,3 +1291,39 @@ def q_event_funnel(sf_dir: str, stages=FUNNEL_STAGES) -> pd.DataFrame:
         .to_pandas()
         .sort_values("user_id", ignore_index=True)
     )
+
+
+def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Weekly retention-cohort matrix: users grouped by their FIRST event
+    week (cohort), counted once per (cohort, week-offset) they were
+    active in. Weeks are integer `epoch_ms // 1000 // 86400 // 7` — the
+    same exact-integer contract the other window operators use, so the
+    SQL replay is bit-exact with no calendar/timezone ambiguity.
+
+    Scale shape: ONE bucketed shuffle on user_id; inside a bucket the
+    per-user first week is a vectorized groupby-min, activity weeks
+    dedup to (user, offset) rows, and — because each user lives in
+    exactly ONE bucket — the per-(cohort, offset) distinct-user counts
+    are already exact partials, so the final exchange is a tiny
+    fixed-cardinality groupby-sum (cohorts x offsets rows), never a
+    user-sized shuffle."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        ms = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000_000
+        wk = ms // 1000 // 86400 // 7
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "wk": wk})
+        df["cw"] = df.groupby("user_id")["wk"].transform("min")
+        df["off"] = df["wk"] - df["cw"]
+        act = df[["user_id", "cw", "off"]].drop_duplicates()
+        out = act.groupby(["cw", "off"], as_index=False).size()
+        return out.rename(
+            columns={"cw": "cohort_week", "off": "week_offset", "size": "n_users"}
+        )
+
+    part = grouped_map_bucketed(ds, ["user_id"], _partial, B=16).to_pandas()
+    out = part.groupby(["cohort_week", "week_offset"], as_index=False)[
+        "n_users"
+    ].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "week_offset"], ignore_index=True)

@@ -1748,3 +1748,55 @@ def test_clique4_count_brute_force(ray_session):
         df = pd.DataFrame(pairs, columns=["src", "dst"])
         got = clique4_count(ray.data.from_pandas(df).repartition(3), B=8)
         assert got == brute4(pairs)
+
+
+def test_retention_cohorts_hand_events(ray_session):
+    """Cohort semantics on a hand log: cohort = first-event week, a user
+    active in weeks {w, w+2} contributes to offsets 0 and 2 only, and a
+    user with many events in one week counts once per (cohort, offset)."""
+    from graphlite_ray.pipelines.relational import q_retention_cohorts
+
+    wk = 7 * 86400 * 1000  # one week of epoch-ms
+
+    def ts(week, extra_ms=0):
+        return pd.Timestamp(week * wk + extra_ms, unit="ms")
+
+    rows = [
+        # user 1: cohort week 100, active weeks 100, 102 (two events in 102)
+        (1, ts(100)), (1, ts(102)), (1, ts(102, 5000)),
+        # user 2: cohort week 100, active week 100 only
+        (2, ts(100, 99)),
+        # user 3: cohort week 101, active 101 and 103
+        (3, ts(101)), (3, ts(103)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["event_id"] = range(len(df))
+    import os, tempfile
+    d = tempfile.mkdtemp(dir="/tmp")
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    out = q_retention_cohorts(d)
+    got = {
+        (c, o): n
+        for c, o, n in out[["cohort_week", "week_offset", "n_users"]].itertuples(
+            index=False
+        )
+    }
+    assert got == {(100, 0): 2, (100, 2): 1, (101, 0): 1, (101, 2): 1}
+
+
+def test_cube_acctbal_levels(ray_session):
+    """CUBE output contains all four grouping sets and the transposed
+    per-segment level sums match the finest level."""
+    from graphlite_ray.pipelines.relational import q_cube_acctbal
+
+    out = q_cube_acctbal("/root/testdata/sf0.001")
+    finest = out[(out.c_nationkey >= 0) & (out.c_mktsegment != "ALL")]
+    by_seg = out[(out.c_nationkey == -1) & (out.c_mktsegment != "ALL")]
+    by_nat = out[(out.c_nationkey >= 0) & (out.c_mktsegment == "ALL")]
+    grand = out[(out.c_nationkey == -1) & (out.c_mktsegment == "ALL")]
+    assert len(grand) == 1
+    assert int(grand["n"].iloc[0]) == int(finest["n"].sum())
+    assert int(by_seg["n"].sum()) == int(finest["n"].sum())
+    assert int(by_nat["n"].sum()) == int(finest["n"].sum())
+    for seg, n in by_seg[["c_mktsegment", "n"]].itertuples(index=False):
+        assert n == finest[finest.c_mktsegment == seg]["n"].sum()
