@@ -132,6 +132,8 @@ class DeletionVariants:
 
 def _pairs_from_variants(max_bucket_group: int):
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         g = g.drop_duplicates(["vh", "doc_id"])
         g = g.sort_values(["vh", "doc_id"], kind="stable")
         vh = g["vh"].to_numpy(np.uint64)
@@ -144,7 +146,15 @@ def _pairs_from_variants(max_bucket_group: int):
             if m < 2:
                 continue
             if m > max_bucket_group:
-                m = max_bucket_group  # explosion guard (logged upstream)
+                # explosion guard: a boilerplate prefix shared by >10k docs.
+                # NOT silent — recall loss is logged with the group size so
+                # an operator can raise the cap or pre-strip the template.
+                logging.getLogger(__name__).warning(
+                    "editdist variant group truncated: %d docs share one "
+                    "deletion variant (cap %d); pairs beyond the cap dropped",
+                    m, max_bucket_group,
+                )
+                m = max_bucket_group
             grp = ids[s : s + m]
             iu, ju = np.triu_indices(m, 1)
             a_parts.append(grp[iu])
