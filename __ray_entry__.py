@@ -2548,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": lambda sf: R.q_retention_cohorts(sf),
         "rollup_acctbal": lambda sf: R.q_rollup_acctbal(sf),
         "cube_acctbal": lambda sf: R.q_cube_acctbal(sf),
+        "full_outer_activity": lambda sf: R.q_full_outer_activity(sf),
         "user_set_ops": lambda sf: R.q_user_set_ops(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
         "asof_join": lambda sf: R.q_asof_join(sf),
@@ -4675,6 +4676,18 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, ROUND(sum(c_acctbal), 2) AS sum_bal "
             "FROM customer GROUP BY ROLLUP(c_nationkey, c_mktsegment) "
             "ORDER BY c_nationkey, c_mktsegment"
+        ),
+        # FULL OUTER join with out-of-domain sentinels (balances are in
+        # [-999.99, 9999.99], so -99999.0 marks account-less activity)
+        "full_outer_activity": (
+            "WITH ev AS (SELECT user_id AS uid, CAST(count(*) AS BIGINT) "
+            "AS n_events FROM events GROUP BY user_id), "
+            "c AS (SELECT c_custkey AS uid, ROUND(c_acctbal, 2) AS acctbal "
+            "FROM customer) "
+            "SELECT COALESCE(ev.uid, c.uid) AS uid, "
+            "COALESCE(ev.n_events, 0) AS n_events, "
+            "COALESCE(c.acctbal, -99999.0) AS acctbal "
+            "FROM ev FULL OUTER JOIN c ON ev.uid = c.uid ORDER BY uid"
         ),
         "cube_acctbal": (
             # CUBE = ROLLUP levels + the per-segment transpose; same

@@ -563,28 +563,20 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         _timed("host_edge_counts", lambda: host_edge_counts(work).count())
 
         def _cliques4():
-            import pyarrow as pa
+            # PAGE graph (sparse): 4-clique work is output-bound, so the
+            # sparse substrate is the honest throughput row; the dense
+            # 41-host graph is the CORRECTNESS substrate (graph_cliques4)
+            import ray.data as rd
 
-            from graphlite_ray.functions.hashing import ids_from_urls
             from graphlite_ray.pipelines.triangles import clique4_count
 
-            def _ids(df):
-                return pa.table(
-                    {
-                        "src": ids_from_urls(df["src_host"].to_numpy()),
-                        "dst": ids_from_urls(df["dst_host"].to_numpy()),
-                    }
-                )
-
-            from graphlite_ray.pipelines.linkgraph import host_edges
-
             return clique4_count(
-                host_edges(work).map_batches(_ids, batch_format="pandas"),
+                rd.read_parquet(edges_dir, columns=["src", "dst"]),
                 work_dir=f"{work}/c4",
                 B=16,
             )
 
-        _timed("cliques4_host", _cliques4)
+        _timed("cliques4_pages", _cliques4)
         _timed(
             "hist_quantiles",
             lambda: histogram_quantiles(

@@ -455,6 +455,63 @@ def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_full_outer_activity(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join family: per-user event counts against the customer
+    account table on the shared id space — rows survive from BOTH
+    unmatched sides (activity without an account, accounts without
+    activity), with sentinel fills (0 events / -99999.0 balance — TPC-H
+    balances live in [-999.99, 9999.99], so the sentinel is out of
+    domain) instead of NULLs so the hash compare is
+    representation-stable.
+
+    Scale shape: the fact side pre-combines to per-key counts inside
+    `map_batches`, both sides are role-tagged and co-partitioned by ONE
+    bucketed shuffle on the key (the `grouped_map_bucketed` union trick
+    `q_avg_nbr_degree` uses), and each bucket emits its outer merge
+    locally — no driver-side key set, no second exchange."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def _ev_partial(t: pa.Table) -> pd.DataFrame:
+        u, c = np.unique(t["user_id"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pd.DataFrame(
+            {"uid": u, "n": c.astype(np.int64), "acctbal": np.nan, "side": 0}
+        )
+
+    def _cust_rows(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "uid": t["c_custkey"].to_numpy(zero_copy_only=False),
+                "n": 0,
+                "acctbal": t["c_acctbal"].to_numpy(zero_copy_only=False),
+                "side": 1,
+            }
+        )
+
+    both = ev.map_batches(_ev_partial, batch_format="pyarrow").union(
+        cust.map_batches(_cust_rows, batch_format="pyarrow")
+    )
+
+    def _outer(g: pd.DataFrame) -> pd.DataFrame:
+        evs = (
+            g[g["side"] == 0]
+            .groupby("uid", as_index=False)["n"]
+            .sum()
+        )
+        cs = g[g["side"] == 1][["uid", "acctbal"]]
+        m = evs.merge(cs, on="uid", how="outer")
+        m["n_events"] = m["n"].fillna(0).astype("int64")
+        m["acctbal"] = m["acctbal"].fillna(-99999.0)
+        return m[["uid", "n_events", "acctbal"]]
+
+    out = grouped_map_bucketed(both, ["uid"], _outer, B=16).to_pandas()
+    from graphlite_ray.functions.rounding import round_half_away
+
+    out["acctbal"] = round_half_away(out["acctbal"].to_numpy(np.float64), 2)
+    out["uid"] = out["uid"].astype("int64")
+    return out.sort_values("uid", ignore_index=True)
+
+
 def q_cube_acctbal(sf_dir: str) -> pd.DataFrame:
     """CUBE grouping-sets aggregate (GROUP BY CUBE(nation, segment)): the
     ROLLUP levels plus the transposed per-segment subtotal. Same sentinel

@@ -1800,3 +1800,33 @@ def test_cube_acctbal_levels(ray_session):
     assert int(by_nat["n"].sum()) == int(finest["n"].sum())
     for seg, n in by_seg[["c_mktsegment", "n"]].itertuples(index=False):
         assert n == finest[finest.c_mktsegment == seg]["n"].sum()
+
+
+def test_full_outer_activity_both_directions(ray_session, tmp_path):
+    """FULL OUTER semantics with BOTH unmatched directions planted:
+    a user with events but no customer row survives with the out-of-domain
+    balance sentinel; a customer (incl. negative balance) with no events
+    survives with n_events=0; matched rows carry both values."""
+    import os
+
+    from graphlite_ray.pipelines.relational import q_full_outer_activity
+
+    d = str(tmp_path)
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 7, 7, 7],
+            "ts": pd.to_datetime([1000, 2000, 3000, 4000, 5000, 6000], unit="ms"),
+        }
+    )
+    ev["event_id"] = range(len(ev))
+    cust = pd.DataFrame(
+        {"c_custkey": [1, 2, 3], "c_acctbal": [10.505, -999.99, 0.0]}
+    )
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    cust.to_parquet(os.path.join(d, "customer.parquet"))
+    out = q_full_outer_activity(d).set_index("uid")
+    assert out.loc[7, "acctbal"] == -99999.0 and out.loc[7, "n_events"] == 3
+    assert out.loc[3, "n_events"] == 0 and out.loc[3, "acctbal"] == 0.0
+    assert out.loc[2, "acctbal"] == -999.99 and out.loc[2, "n_events"] == 1
+    assert out.loc[1, "n_events"] == 2 and abs(out.loc[1, "acctbal"] - 10.51) < 1e-9
+    assert len(out) == 4
