@@ -675,6 +675,31 @@ def _q_random_walks(sf_dir: str):
     return walk_trace(res)
 
 
+_N2V_LEN = 8
+
+
+def _q_biased_walks(sf_dir: str):
+    """Second-order node2vec-style biased walks (8 walks x 8 steps) over
+    the simple page graph — return/near/far integer weights, edge
+    membership per hop via the pair-bucketed closure exchange
+    (`pipelines/walks.py::biased_walks`); the oracle replays every
+    weighted choice bit-for-bit (`_n2v_oracle_sql`)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+    from graphlite_ray.pipelines.walks import biased_walks
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return biased_walks(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        seeds=_walk_seeds(sf_dir),
+        length=_N2V_LEN,
+        work_dir=os.path.join(work, "n2v"),
+        B=16,
+    )
+
+
 _HITS_ITERS = 4
 
 
@@ -2516,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": _q_graph_scc,
         "graph_bowtie_scc": _q_graph_bowtie_scc,
         "graph_random_walks": _q_random_walks,
+        "graph_biased_walks": _q_biased_walks,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
         "graph_cliques4": _q_graph_cliques4,
@@ -3468,6 +3494,78 @@ def _splitmix64_sql(x: str) -> str:
     return _xor64_sql(z2, f"({z2}) // 2147483648")
 
 
+def _n2v_oracle_sql(edges_glob: str, seeds: list[int], length: int = 8) -> str:
+    """Second-order biased-walk replay (`pipelines.walks.biased_walks`):
+    the choice key is mix64(cand) XOR mix64(walk*A + step*B + copy), so
+    ONLY TWO staged splitmix64 chains exist in the whole oracle — one
+    over the candidate vertex set (mc), one over the tiny
+    walk x step x copy grid (wm); every per-step key is then a bare
+    XOR of two staged columns (`_xor64_sql`), and each step is a
+    candidate join + weight CASE (the LEFT JOIN against the edge set IS
+    the membership test) + copies-filter + ROW_NUMBER argmin. Weights:
+    step 1 uniform; then W_RET / W_NEAR / W_FAR copies per class."""
+    from graphlite_ray.pipelines.walks import W_FAR, W_NEAR, W_RET, _WK_A, _WK_B
+
+    GAMMA = 0x9E3779B97F4A7C15
+    M1 = 0xBF58476D1CE4E5B9
+    M2 = 0x94D049BB133111EB
+
+    def _mix_stages(x: str, out: str, pfx: str, carry: str) -> str:
+        a = f"((({x})::HUGEINT + {GAMMA}::HUGEINT) % {_M64_SQL})"
+        s1 = f"{pfx}1 AS (SELECT *, {a} AS {pfx}z0 FROM {pfx}0), "
+        b = _mul64_sql(_xor64_sql(f"{pfx}z0", f"{pfx}z0 // 1073741824"), M1)
+        s2 = f"{pfx}2 AS (SELECT *, {b} AS {pfx}z1 FROM {pfx}1), "
+        c = _mul64_sql(_xor64_sql(f"{pfx}z1", f"{pfx}z1 // 134217728"), M2)
+        s3 = f"{pfx}3 AS (SELECT *, {c} AS {pfx}z2 FROM {pfx}2), "
+        d = _xor64_sql(f"{pfx}z2", f"{pfx}z2 // 2147483648")
+        s4 = f"{pfx}4 AS (SELECT {carry}, {d} AS {out} FROM {pfx}3), "
+        return s1 + s2 + s3 + s4
+
+    maxw = max(W_RET, W_NEAR, W_FAR)
+    seed_vals = ", ".join(
+        f"({w}, {v})" for w, v in enumerate(sorted(int(s) for s in seeds))
+    )
+    sql = (
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst "
+        f"FROM read_parquet('{edges_glob}') WHERE src <> dst), "
+        "mc0 AS (SELECT DISTINCT dst AS v FROM e), "
+        + _mix_stages("v", "hv", "mc", "v")
+        + "mc AS (SELECT v, hv FROM mc4), "
+        f"wseed AS (SELECT * FROM (VALUES {seed_vals}) AS t(walk, seed)), "
+        "wm0 AS (SELECT walk, s.s, c.c, "
+        f"(walk * {_WK_A} + s.s * {_WK_B} + c.c)::HUGEINT AS x FROM wseed "
+        f"CROSS JOIN (SELECT unnest(generate_series(1, {length})) AS s) s "
+        f"CROSS JOIN (SELECT unnest(generate_series(0, {maxw - 1})) AS c) c), "
+        + _mix_stages("x", "hw", "wm", "walk, s, c")
+        + "wm AS MATERIALIZED (SELECT walk, s, c, hw FROM wm4), "
+        "f0 AS (SELECT walk, -1::BIGINT AS prev, seed::BIGINT AS cur FROM wseed), "
+    )
+    key = _xor64_sql("mc.hv", "wm.hw")
+    for s in range(1, length + 1):
+        sql += (
+            f"c{s} AS (SELECT f.walk, f.prev, f.cur, e.dst AS cand "
+            f"FROM f{s - 1} f JOIN e ON e.src = f.cur), "
+            f"w{s} AS (SELECT c.*, CASE WHEN c.prev < 0 THEN 1 "
+            f"WHEN c.cand = c.prev THEN {W_RET} "
+            f"WHEN ex.src IS NOT NULL THEN {W_NEAR} ELSE {W_FAR} END AS wt "
+            f"FROM c{s} c LEFT JOIN e ex "
+            "ON ex.src = c.prev AND ex.dst = c.cand), "
+            f"k{s} AS (SELECT w.walk, w.cur, w.cand, wm.c, {key} AS key "
+            f"FROM w{s} w JOIN wm ON wm.walk = w.walk AND wm.s = {s} "
+            "AND wm.c < w.wt JOIN mc ON mc.v = w.cand), "
+            f"f{s} AS (SELECT walk, cur AS prev, cand AS cur FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY walk "
+            f"ORDER BY key, cand, c) AS rn FROM k{s}) WHERE rn = 1), "
+        )
+    parts = ["SELECT walk AS walk_id, 0::BIGINT AS step, cur AS vertex_id FROM f0"]
+    for s in range(1, length + 1):
+        parts.append(
+            f"SELECT walk AS walk_id, {s}::BIGINT AS step, cur AS vertex_id "
+            f"FROM f{s}"
+        )
+    return sql.rstrip(", ") + " " + " UNION ALL ".join(parts) + " ORDER BY walk_id, step"
+
+
 def _khop_oracle_sql(
     edges_glob: str, fanout: int = 3, seed_mod: int = 8
 ) -> str:
@@ -4139,6 +4237,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY e.src ORDER BY vertex_id"
         ),
         "graph_khop_sample": _khop_oracle_sql(edges_glob),
+        "graph_biased_walks": _n2v_oracle_sql(
+            edges_glob, _walk_seeds(_ORACLE_SF), _N2V_LEN
+        ),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_coreness": _coreness_oracle_sql(edges_glob),
         "graph_bipartite": _bipartite_oracle_sql(edges_glob),

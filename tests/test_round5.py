@@ -1830,3 +1830,72 @@ def test_full_outer_activity_both_directions(ray_session, tmp_path):
     assert out.loc[2, "acctbal"] == -999.99 and out.loc[2, "n_events"] == 1
     assert out.loc[1, "n_events"] == 2 and abs(out.loc[1, "acctbal"] - 10.51) < 1e-9
     assert len(out) == 4
+
+
+def test_biased_walks_reference_parity(ray_session):
+    """Second-order biased walks vs a pure-Python reference walker: same
+    weighted (key, cand, copy)-argmin at every hop, self-loops/parallel
+    edges canonicalized away, dead ends stop the walk early, and the
+    NEAR class (prev->cand edge) actually gets W_NEAR copies."""
+    from graphlite_ray.pipelines.walks import (
+        W_FAR,
+        W_NEAR,
+        W_RET,
+        biased_walks,
+        walk_key,
+    )
+
+    def ref_walks(pairs, seeds, length):
+        es = {(a, b) for a, b in pairs if a != b}
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+        rows = []
+        for w, seed in enumerate(sorted(seeds)):
+            prev, cur = -1, seed
+            rows.append((w, 0, seed))
+            for s in range(1, length + 1):
+                cands = sorted(adj.get(cur, ()))
+                if not cands:
+                    break
+                best = None
+                for c in cands:
+                    if prev < 0:
+                        wt = 1
+                    elif c == prev:
+                        wt = W_RET
+                    elif (prev, c) in es:
+                        wt = W_NEAR
+                    else:
+                        wt = W_FAR
+                    for cp in range(wt):
+                        k = walk_key(
+                            np.array([c], np.int64),
+                            np.array([w], np.int64),
+                            s,
+                            np.array([cp], np.int64),
+                        )[0]
+                        t = (int(k), c, cp)
+                        if best is None or t < best:
+                            best = t
+                prev, cur = cur, best[1]
+                rows.append((w, s, cur))
+        return pd.DataFrame(
+            rows, columns=["walk_id", "step", "vertex_id"]
+        ).sort_values(["walk_id", "step"], ignore_index=True)
+
+    rng = np.random.default_rng(5)
+    pairs = [(int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(120)]
+    pairs += [(1, 1), (3, 4), (3, 4)]
+    seeds = [0, 3, 7, 12]
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    got = biased_walks(ray.data.from_pandas(df).repartition(3), seeds, length=6, B=8)
+    pd.testing.assert_frame_equal(got, ref_walks(pairs, seeds, 6))
+    # the walks really are second-order: on the triangle-with-tail graph
+    # 0->1, 1->{0,2}, 0->2 the NEAR weight (edge 0->2 exists) gives cand 2
+    # W_NEAR copies vs W_RET for returning to 0 — both appear in the key
+    # competition, so just assert the deterministic outcome is stable
+    tri = pd.DataFrame([(0, 1), (1, 0), (1, 2), (0, 2)], columns=["src", "dst"])
+    t1 = biased_walks(ray.data.from_pandas(tri), [0], length=2, B=4)
+    t2 = biased_walks(ray.data.from_pandas(tri), [0], length=2, B=8)
+    pd.testing.assert_frame_equal(t1, t2)  # bucket-count invariant
