@@ -541,6 +541,21 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         )
         _timed("event_gaps", lambda: len(R.q_event_gaps(sf_dir)))
         _timed("event_funnel", lambda: len(R.q_event_funnel(sf_dir)))
+        _timed("retention_cohorts", lambda: len(R.q_retention_cohorts(sf_dir)))
+
+        def _n2v():
+            import ray.data as rd
+
+            from graphlite_ray.pipelines.walks import biased_walks
+
+            e = rd.read_parquet(edges_dir, columns=["src", "dst"])
+            head = e.take(64)
+            seeds = sorted({int(r["src"]) for r in head})[:8]
+            return len(
+                biased_walks(e, seeds, length=8, work_dir=f"{work}/n2v", B=16)
+            )
+
+        _timed("biased_walks", _n2v)
 
         def _khop():
             import ray.data as rd
