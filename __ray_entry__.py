@@ -675,6 +675,35 @@ def _q_random_walks(sf_dir: str):
     return walk_trace(res)
 
 
+def _q_sage_features(sf_dir: str):
+    """GraphSAGE-style pooled k-hop featurization (composite minibatch
+    operator: khop tree x staged integer url-token features, SUM-pooled
+    per seed — `pipelines/sampling.py::sage_features`); all-integer, so
+    the tree+FNV+pooling SQL replay compares exactly."""
+    import glob as _glob
+
+    import ray.data
+
+    from graphlite_ray.pipelines.linkgraph import prepare_edges, prepare_urlmap
+    from graphlite_ray.pipelines.sampling import sage_features
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    prepare_urlmap(work, P=8)  # no-op when already staged
+    urlmap = ray.data.read_parquet(
+        sorted(_glob.glob(os.path.join(work, "urlmap_p*.parquet")))
+    )
+    return sage_features(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        urlmap,
+        work,
+        hops=2,
+        fanout=3,
+        seed_mod=8,
+        B=16,
+    )
+
+
 _N2V_LEN = 8
 
 
@@ -2542,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bowtie_scc": _q_graph_bowtie_scc,
         "graph_random_walks": _q_random_walks,
         "graph_biased_walks": _q_biased_walks,
+        "graph_sage_features": _q_sage_features,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
         "graph_cliques4": _q_graph_cliques4,
@@ -3601,6 +3631,19 @@ def _khop_oracle_sql(
         return s1 + s2 + s3 + s4
 
     return (
+        _khop_ctes(edges_glob, fanout, seed_mod, _mix_stages)
+        + " SELECT seed, 1::BIGINT AS hop, parent, vertex_id FROM h1 "
+        "UNION ALL "
+        "SELECT seed, 2::BIGINT AS hop, parent, vertex_id FROM h2 "
+        "ORDER BY seed, hop, parent, vertex_id"
+    )
+
+
+def _khop_ctes(edges_glob: str, fanout: int, seed_mod: int, _mix_stages) -> str:
+    """Shared CTE chain (WITH e ... h2) replaying the staged splitmix64
+    fanout cut and the two-hop join — used by both the khop oracle and
+    the SAGE-pooling oracle built on the same tree."""
+    return (
         f"WITH e AS (SELECT DISTINCT src, dst FROM read_parquet('{edges_glob}')), "
         "ka0 AS (SELECT src, dst FROM e), "
         + _mix_stages("src", "ms", "ka")
@@ -3616,11 +3659,56 @@ def _khop_oracle_sql(
         "h1 AS (SELECT seed, seed AS parent, a.dst AS vertex_id "
         "FROM seeds JOIN adj a ON a.src = seed), "
         "h2 AS (SELECT h1.seed, h1.vertex_id AS parent, a.dst AS vertex_id "
-        "FROM h1 JOIN adj a ON a.src = h1.vertex_id) "
-        "SELECT seed, 1::BIGINT AS hop, parent, vertex_id FROM h1 "
-        "UNION ALL "
-        "SELECT seed, 2::BIGINT AS hop, parent, vertex_id FROM h2 "
-        "ORDER BY seed, hop, parent, vertex_id"
+        "FROM h1 JOIN adj a ON a.src = h1.vertex_id)"
+    )
+
+
+def _sage_oracle_sql(
+    edges_glob: str, urlmap_glob: str, fanout: int = 3, seed_mod: int = 8,
+    dim: int = 8,
+) -> str:
+    """`pipelines.sampling.sage_features` replay: the khop tree CTEs
+    (shared `_khop_ctes`) plus the seed's hop-0 self row, url tokens via
+    the same regexp split, FNV bucket counts (`_fnv_tok_sql(42)` — the
+    library hash byte-for-byte), duplicate-preserving SUM pooling, and
+    the dense seeds x dim zero-filled grid. All-integer, so the compare
+    is exact with no rounding convention."""
+    # reuse the khop generator's private staged-mix helper by rebuilding
+    # the same closure constants here
+    GAMMA = 0x9E3779B97F4A7C15
+    M1 = 0xBF58476D1CE4E5B9
+    M2 = 0x94D049BB133111EB
+
+    def _mix_stages(x: str, out: str, pfx: str) -> str:
+        a = f"((({x})::HUGEINT + {GAMMA}::HUGEINT) % {_M64_SQL})"
+        s1 = f"{pfx}1 AS (SELECT *, {a} AS {pfx}z0 FROM {pfx}0), "
+        b = _mul64_sql(_xor64_sql(f"{pfx}z0", f"{pfx}z0 // 1073741824"), M1)
+        s2 = f"{pfx}2 AS (SELECT *, {b} AS {pfx}z1 FROM {pfx}1), "
+        c = _mul64_sql(_xor64_sql(f"{pfx}z1", f"{pfx}z1 // 134217728"), M2)
+        s3 = f"{pfx}3 AS (SELECT *, {c} AS {pfx}z2 FROM {pfx}2), "
+        d = _xor64_sql(f"{pfx}z2", f"{pfx}z2 // 2147483648")
+        s4 = f"{pfx}4 AS (SELECT src, dst, {d} AS {out} FROM {pfx}3), "
+        return s1 + s2 + s3 + s4
+
+    fnv = _fnv_tok_sql(42)
+    return (
+        _khop_ctes(edges_glob, fanout, seed_mod, _mix_stages)
+        + ", tree AS (SELECT seed, seed AS vertex_id FROM seeds "
+        "UNION ALL SELECT seed, vertex_id FROM h1 "
+        "UNION ALL SELECT seed, vertex_id FROM h2), "
+        f"um AS (SELECT vertex_id, url FROM read_parquet('{urlmap_glob}')), "
+        "toks AS (SELECT vertex_id, unnest(list_filter("
+        "regexp_split_to_array(lower(url), '[^a-z0-9]+'), x -> x <> '')) "
+        "AS tok FROM um), "
+        f"fb AS (SELECT vertex_id, CAST(({fnv}) % {dim} AS BIGINT) AS d, "
+        "CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2), "
+        "pooled AS (SELECT t.seed, fb.d, SUM(fb.f) AS f FROM tree t "
+        "JOIN fb ON fb.vertex_id = t.vertex_id GROUP BY 1, 2), "
+        f"dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS d) "
+        "SELECT s.seed, dims.d AS dim, CAST(COALESCE(p.f, 0) AS BIGINT) AS f "
+        "FROM (SELECT DISTINCT seed FROM seeds) s CROSS JOIN dims "
+        "LEFT JOIN pooled p ON p.seed = s.seed AND p.d = dims.d "
+        "ORDER BY s.seed, dims.d"
     )
 
 
@@ -4239,6 +4327,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_khop_sample": _khop_oracle_sql(edges_glob),
         "graph_biased_walks": _n2v_oracle_sql(
             edges_glob, _walk_seeds(_ORACLE_SF), _N2V_LEN
+        ),
+        "graph_sage_features": _sage_oracle_sql(
+            edges_glob,
+            os.path.join(os.path.dirname(os.path.dirname(edges_glob)),
+                         "urlmap_p*.parquet"),
         ),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_coreness": _coreness_oracle_sql(edges_glob),

@@ -150,3 +150,117 @@ def khop_sample(
     return out.sort_values(
         ["seed", "hop", "parent", "vertex_id"], ignore_index=True
     )
+
+
+SAGE_DIM = 8
+
+
+def url_feature_rows(dim: int = SAGE_DIM):
+    """map_batches fn: (vertex_id, url) -> sparse integer feature rows
+    (vertex_id, dim, f) — f = how many of the url's lowercased
+    alphanumeric tokens FNV-hash into bucket `dim`. Integer counts make
+    every downstream pooling sum order-independent and bit-exact (the
+    float-sum-order problem of mean-pooled learned embeddings never
+    arises), and the FNV is the library `hash_strings` the SQL oracle
+    already replays byte-for-byte (`_fnv_tok_sql(42)`)."""
+    import re
+
+    from graphlite_ray.functions.hashing import hash_strings
+
+    split = re.compile(r"[^a-z0-9]+")
+
+    def _feat(t: pa.Table) -> pd.DataFrame:
+        urls = t["url"].to_pylist()
+        vids = t["vertex_id"].to_numpy(zero_copy_only=False)
+        toks_all: list[str] = []
+        counts = np.zeros(len(urls), np.int64)
+        for i, u in enumerate(urls):
+            tk = [x for x in split.split(u.lower()) if x]
+            counts[i] = len(tk)
+            toks_all.extend(tk)
+        if not toks_all:
+            return pd.DataFrame(
+                {
+                    "vertex_id": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "f": pd.Series([], dtype="int64"),
+                }
+            )
+        b = (hash_strings(toks_all) % np.uint64(dim)).astype(np.int64)
+        vid_rep = np.repeat(vids, counts)
+        pairs, c = np.unique(np.stack([vid_rep, b], axis=1), axis=0, return_counts=True)
+        return pd.DataFrame(
+            {"vertex_id": pairs[:, 0], "dim": pairs[:, 1], "f": c.astype(np.int64)}
+        )
+
+    return _feat
+
+
+def sage_features(
+    edges: "ray.data.Dataset",
+    urlmap: "ray.data.Dataset",
+    work_dir: str,
+    hops: int = 2,
+    fanout: int = 3,
+    seed_mod: int = 8,
+    dim: int = SAGE_DIM,
+    B: int = 16,
+) -> pd.DataFrame:
+    """GraphSAGE-style pooled neighborhood featurization — the composite
+    minibatch operator a GNN trainer consumes: for every seed, SUM-pool
+    the integer url-token features of its whole sampled k-hop tree (the
+    seed itself plus every sampled tree row, duplicates across parents
+    kept, exactly as the tree is trained on). Dense (seed, dim, f)
+    output, integer-exact.
+
+    Scale shape: vertex features are computed from the staged urlmap and
+    staged ONCE as co-partitioned bucket files (reused across seed
+    batches — the production layout for repeated minibatch epochs); the
+    tree rides `khop_sample`'s bounded seeds x fanout^hop product; the
+    pooling is a co-partitioned attach of tree rows on vertex_id plus a
+    seeds x dim bounded final sum. Nothing graph-sized reaches the
+    driver."""
+    feats_dir = storage.join(work_dir, f"sage_feats_d{dim}_b{B}")
+    if not storage.exists(storage.join(feats_dir, "bucket_0.parquet")):
+        rows = urlmap.map_batches(url_feature_rows(dim), batch_format="pyarrow")
+        write_bucketed(rows, "vertex_id", B, feats_dir)
+
+    tree = khop_sample(edges, work_dir, hops=hops, fanout=fanout,
+                       seed_mod=seed_mod, B=B)
+    seeds = np.unique(tree["seed"].to_numpy(np.int64)) if len(tree) else np.empty(0, np.int64)
+    rows = pd.concat(
+        [
+            pd.DataFrame({"seed": seeds, "vertex_id": seeds}),  # hop-0 self
+            tree[["seed", "vertex_id"]],
+        ],
+        ignore_index=True,
+    )
+    tree_ds = ray.data.from_pandas(rows).repartition(max(1, min(B, len(rows) // 256 + 1)))
+    attached = attach_from_bucketed(tree_ds, "vertex_id", feats_dir, B, "vertex_id")
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "dim" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "seed": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "f": pd.Series([], dtype="int64"),
+                }
+            )
+        out = b.groupby(["seed", "dim"], as_index=False)["f"].sum()
+        out["f"] = out["f"].astype("int64")
+        return out
+
+    part = attached.map_batches(_partial, batch_format="pandas").to_pandas()
+    pooled = (
+        part.groupby(["seed", "dim"], as_index=False)["f"].sum()
+        if len(part)
+        else part
+    )
+    # dense seeds x dim grid with zero fill (stable output shape)
+    grid = pd.MultiIndex.from_product(
+        [seeds, np.arange(dim, dtype=np.int64)], names=["seed", "dim"]
+    ).to_frame(index=False)
+    out = grid.merge(pooled, on=["seed", "dim"], how="left")
+    out["f"] = out["f"].fillna(0).astype("int64")
+    return out.sort_values(["seed", "dim"], ignore_index=True)

@@ -1899,3 +1899,57 @@ def test_biased_walks_reference_parity(ray_session):
     t1 = biased_walks(ray.data.from_pandas(tri), [0], length=2, B=4)
     t2 = biased_walks(ray.data.from_pandas(tri), [0], length=2, B=8)
     pd.testing.assert_frame_equal(t1, t2)  # bucket-count invariant
+
+
+def test_sage_features_hand_graph(ray_session, tmp_path):
+    """Pooled SAGE featurization on a hand graph: pooled vector = sum of
+    integer url-token features over {seed} + every tree row (duplicates
+    kept), dense zero-filled seeds x dim grid."""
+    import re
+
+    from graphlite_ray.functions.hashing import hash_strings
+    from graphlite_ray.pipelines.sampling import khop_sample, sage_features
+
+    rows = [(i, (i * 7 + j) % 40) for i in range(40) for j in range(1, 8)]
+    edf = pd.DataFrame(rows, columns=["src", "dst"])
+    urls = {i: f"https://x{i}.test/a{i}-{i % 3}" for i in range(40)}
+    umap = pd.DataFrame(
+        {"vertex_id": list(urls), "url": [urls[i] for i in urls]}
+    )
+    dim = 8
+    out = sage_features(
+        ray.data.from_pandas(edf).repartition(4),
+        ray.data.from_pandas(umap).repartition(2),
+        str(tmp_path),
+        hops=2,
+        fanout=3,
+        seed_mod=8,
+        dim=dim,
+        B=8,
+    )
+    tree = khop_sample(
+        ray.data.from_pandas(edf).repartition(4),
+        str(tmp_path / "t2"),
+        hops=2,
+        fanout=3,
+        seed_mod=8,
+        B=8,
+    )
+
+    def feat(u):
+        tk = [x for x in re.split(r"[^a-z0-9]+", u.lower()) if x]
+        v = np.zeros(dim, np.int64)
+        if tk:
+            b = (hash_strings(tk) % np.uint64(dim)).astype(np.int64)
+            np.add.at(v, b, 1)
+        return v
+
+    exp = {}
+    for s in sorted(tree["seed"].unique()):
+        v = feat(urls[s]).copy()
+        for vid in tree[tree.seed == s]["vertex_id"]:
+            v += feat(urls[int(vid)])
+        exp[s] = v
+    assert len(out) == len(exp) * dim
+    for (s, d, f) in out.itertuples(index=False):
+        assert f == exp[s][d], (s, d)
