@@ -704,6 +704,15 @@ def _q_sage_features(sf_dir: str):
     )
 
 
+def _q_skipgram_pairs(sf_dir: str):
+    """Skip-gram training pairs (window=2) from the second-order biased
+    walk corpus — the node2vec corpus step (`walks.skipgram_pairs`).
+    Oracle: the walk-trace replay self-joined within the window."""
+    from graphlite_ray.pipelines.walks import skipgram_pairs
+
+    return skipgram_pairs(_q_biased_walks(sf_dir), window=2)
+
+
 _N2V_LEN = 8
 
 
@@ -2572,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_random_walks": _q_random_walks,
         "graph_biased_walks": _q_biased_walks,
         "graph_sage_features": _q_sage_features,
+        "walk_skipgram_pairs": _q_skipgram_pairs,
         "reshard_out_degrees": _q_reshard_degrees,
         "host_edge_counts": _q_host_edge_counts,
         "graph_cliques4": _q_graph_cliques4,
@@ -4332,6 +4342,17 @@ def oracle_sql() -> dict[str, str]:
             edges_glob,
             os.path.join(os.path.dirname(os.path.dirname(edges_glob)),
                          "urlmap_p*.parquet"),
+        ),
+        # skip-gram pairs = the biased-walk trace replay self-joined
+        # within the +-2 window
+        "walk_skipgram_pairs": (
+            "WITH trace AS (SELECT * FROM ("
+            + _n2v_oracle_sql(edges_glob, _walk_seeds(_ORACLE_SF), _N2V_LEN)
+            + ")) SELECT a.walk_id, a.step AS center_step, "
+            "a.vertex_id AS center, b.vertex_id AS context "
+            "FROM trace a JOIN trace b ON a.walk_id = b.walk_id "
+            "AND abs(b.step - a.step) <= 2 AND b.step <> a.step "
+            "ORDER BY a.walk_id, center_step, context"
         ),
         "graph_modularity": _modularity_oracle_sql(edges_glob),
         "graph_coreness": _coreness_oracle_sql(edges_glob),

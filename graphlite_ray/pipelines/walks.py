@@ -248,3 +248,53 @@ def biased_walks(
     out = pd.concat(trace, ignore_index=True)
     out["step"] = out["step"].astype("int64")
     return out.sort_values(["walk_id", "step"], ignore_index=True)
+
+
+def skipgram_pairs(trace: pd.DataFrame, window: int = 2) -> pd.DataFrame:
+    """Walk trace -> skip-gram training pairs: for every walk, emit
+    (center, context) for all step pairs within `window` (both
+    directions, center != context step). This is the node2vec/DeepWalk
+    corpus step that turns walks into embedding training examples.
+
+    The trace is output-sized (walks x steps), so the pair product
+    (x 2*window) is too — vectorized shift-and-mask over the
+    step-sorted trace, no shuffle needed beyond what produced the
+    trace. Returns (walk_id, center_step, center, context) sorted."""
+    if trace.empty:
+        return pd.DataFrame(
+            {
+                "walk_id": pd.Series([], dtype="int64"),
+                "center_step": pd.Series([], dtype="int64"),
+                "center": pd.Series([], dtype="int64"),
+                "context": pd.Series([], dtype="int64"),
+            }
+        )
+    t = trace.sort_values(["walk_id", "step"], kind="stable")
+    w = t["walk_id"].to_numpy(np.int64)
+    s = t["step"].to_numpy(np.int64)
+    v = t["vertex_id"].to_numpy(np.int64)
+    parts = []
+    for off in range(1, window + 1):
+        for sign in (1, -1):
+            d = off * sign
+            if d > 0:
+                a = slice(0, len(w) - d)
+                b = slice(d, len(w))
+            else:
+                a = slice(-d, len(w))
+                b = slice(0, len(w) + d)
+            ok = (w[a] == w[b]) & (s[b] - s[a] == d)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "walk_id": w[a][ok],
+                        "center_step": s[a][ok],
+                        "center": v[a][ok],
+                        "context": v[b][ok],
+                    }
+                )
+            )
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(
+        ["walk_id", "center_step", "context"], ignore_index=True
+    )

@@ -1953,3 +1953,30 @@ def test_sage_features_hand_graph(ray_session, tmp_path):
     assert len(out) == len(exp) * dim
     for (s, d, f) in out.itertuples(index=False):
         assert f == exp[s][d], (s, d)
+
+
+def test_skipgram_pairs_window_semantics(ray_session):
+    """Skip-gram pairs: both directions within the window, never across
+    walks, never past a dead-end truncation, center_step preserved."""
+    from graphlite_ray.pipelines.walks import skipgram_pairs
+
+    trace = pd.DataFrame(
+        {
+            "walk_id": [0, 0, 0, 0, 1, 1],
+            "step": [0, 1, 2, 3, 0, 1],
+            "vertex_id": [10, 11, 12, 13, 20, 21],
+        }
+    )
+    out = skipgram_pairs(trace, window=2)
+    got = set(
+        (w, cs, c, x)
+        for w, cs, c, x in out.itertuples(index=False)
+    )
+    # walk 0 step 1 sees steps 0, 2, 3 (within +-2) but not beyond
+    assert (0, 1, 11, 10) in got and (0, 1, 11, 12) in got and (0, 1, 11, 13) in got
+    # walk boundaries respected
+    assert not any(c == 20 or x == 20 for w, cs, c, x in got if w == 0)
+    # short walk 1: exactly two pairs
+    assert {(1, 0, 20, 21), (1, 1, 21, 20)} == {t for t in got if t[0] == 1}
+    # counts: walk 0 len 4, window 2 -> sum over steps of reachable = 3+3+3+3=... 
+    assert len([t for t in got if t[0] == 0]) == 10
