@@ -2134,6 +2134,58 @@ def _q_doc_editdist(sf_dir: str):
     return editdist_pairs(docs, prefix_len=24, k=2)
 
 
+def _q_doc_upsert(sf_dir: str):
+    """CDC upsert into a bucketed corpus store (`curation.upsert_corpus`):
+    base = documents at version 1; delta = re-crawled docs (id % 7 == 0,
+    version 2, n_chars + 1000) plus brand-new ids (id % 11 == 0, shifted
+    +1e6). Latest version per key wins, delta wins ties; only delta-hit
+    bucket files rewrite. Returns the post-merge store contents."""
+    import tempfile
+
+    import ray.data
+
+    from graphlite_ray.pipelines.joins import write_bucketed
+    from graphlite_ray.sources.io import read_parquet_clean
+    from graphlite_ray.stages.curation import upsert_corpus
+
+    B = 8
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    base = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "version": np.ones(t.num_rows, np.int64),
+                "n_chars": t["n_chars"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    store = tempfile.mkdtemp(prefix="glr_upsert_", dir="/tmp")
+    write_bucketed(base, "doc_id", B, store)
+
+    def _delta(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        re7 = d % 7 == 0
+        new11 = d % 11 == 0
+        return pa.table(
+            {
+                "doc_id": np.concatenate([d[re7], d[new11] + 1_000_000]),
+                "version": np.concatenate(
+                    [np.full(re7.sum(), 2, np.int64), np.ones(new11.sum(), np.int64)]
+                ),
+                "n_chars": np.concatenate([n[re7] + 1000, n[new11]]),
+            }
+        )
+
+    upsert_corpus(store, docs.map_batches(_delta, batch_format="pyarrow"),
+                  key_col="doc_id", ver_col="version", B=B)
+    out = ray.data.read_parquet(store).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)[
+        ["doc_id", "version", "n_chars"]
+    ]
+
+
 def _q_doc_tfidf(sf_dir: str):
     """Top-5 TF-IDF terms per document (libm-exact idf, rounded-score
     ranking) — DuckDB window-rank oracle."""
@@ -2643,6 +2695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "doc_tfidf": _q_doc_tfidf,
         "doc_editdist_pairs": _q_doc_editdist,
+        "doc_upsert": _q_doc_upsert,
         "doc_bm25": _q_doc_bm25,
         "doc_pmi": _q_doc_pmi,
         "doc_lm_score": _q_doc_lm_score,
@@ -5116,6 +5169,21 @@ def oracle_sql() -> dict[str, str]:
             "JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b) "
             "SELECT a, b, ROUND(s, 6) AS score FROM sc WHERE s >= 0.9 "
             "ORDER BY a, b"
+        ),
+        # CDC upsert: latest version per key, delta wins ties
+        "doc_upsert": (
+            "WITH base AS (SELECT doc_id, 1::BIGINT AS version, n_chars "
+            "FROM documents), "
+            "delta AS (SELECT doc_id, 2::BIGINT AS version, "
+            "n_chars + 1000 AS n_chars FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL SELECT doc_id + 1000000, 1::BIGINT, n_chars "
+            "FROM documents WHERE doc_id % 11 = 0), "
+            "u AS (SELECT *, 0 AS src FROM base "
+            "UNION ALL SELECT *, 1 FROM delta) "
+            "SELECT doc_id, version, n_chars FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY version DESC, src DESC) AS rn FROM u) "
+            "WHERE rn = 1 ORDER BY doc_id"
         ),
         # SymSpell-blocked edit-distance join; the oracle is the naive
         # all-pairs levenshtein the blocking provably reproduces

@@ -218,3 +218,63 @@ def weighted_mix(
             return t.filter(pa.array(h < pct))
 
     return docs.map_batches(_Mix, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def upsert_corpus(
+    base_dir: str,
+    delta: "ray.data.Dataset",
+    key_col: str = "doc_id",
+    ver_col: str = "version",
+    B: int = 32,
+) -> str:
+    """CDC-style corpus maintenance: merge a delta snapshot into a
+    bucketed document store, latest `ver_col` per `key_col` wins (ties
+    go to the delta — a re-crawl at the same version replaces). The
+    store layout IS `joins.write_bucketed`'s: one parquet per key
+    bucket, so the merge touches each bucket file exactly once and only
+    buckets the delta hits are rewritten (resumable, partition-parallel
+    — the property the 100-TB brief calls resumable output).
+
+    Scale shape: ONE bucketed shuffle of the delta co-partitions it with
+    the store; each bucket group reads its single base file, concatenates,
+    keeps the (ver, delta-wins) argmax per key vectorized, and rewrites
+    atomically (write-then-rename via `storage.write_table_atomic`).
+    Nothing reaches the driver but per-bucket row counts."""
+    from graphlite_ray.pipelines.joins import bucket_of
+    from graphlite_ray.state import storage
+
+    def _tag(t: pa.Table) -> pa.Table:
+        # the STORE's bucket function (key % B, `joins.bucket_of`) — the
+        # same layout `write_bucketed` wrote, so each group maps to
+        # exactly one base file
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__bucket", pa.array(bucket_of(k, B)))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__bucket"].iloc[0])
+        g = g.drop(columns="__bucket")
+        path = storage.join(base_dir, f"bucket_{b}.parquet")
+        g = g.assign(__src=1)  # delta rows win version ties
+        if storage.exists(path):
+            base = storage.read_table(path).to_pandas().assign(__src=0)
+            g = pd.concat([base, g[base.columns.tolist()[:-1] + ["__src"]]],
+                          ignore_index=True)
+        g = g.sort_values([key_col, ver_col, "__src"], kind="stable")
+        last = np.ones(len(g), bool)
+        k = g[key_col].to_numpy()
+        last[:-1] = k[:-1] != k[1:]
+        out = g[last].drop(columns="__src").sort_values(key_col, kind="stable")
+        storage.write_table_atomic(
+            pa.Table.from_pandas(out, preserve_index=False), path
+        )
+        return pd.DataFrame({"bucket": [b], "rows": [len(out)]})
+
+    (
+        delta.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_merge, batch_format="pandas")
+        .materialize()
+    )
+    return base_dir

@@ -1980,3 +1980,57 @@ def test_skipgram_pairs_window_semantics(ray_session):
     assert {(1, 0, 20, 21), (1, 1, 21, 20)} == {t for t in got if t[0] == 1}
     # counts: walk 0 len 4, window 2 -> sum over steps of reachable = 3+3+3+3=... 
     assert len([t for t in got if t[0] == 0]) == 10
+
+
+def test_upsert_corpus_semantics(ray_session, tmp_path):
+    """Upsert invariants: higher version replaces, delta wins a version
+    tie, untouched keys survive, new keys insert, untouched bucket files
+    keep their bytes (only delta-hit buckets rewrite), and re-applying
+    the same delta is idempotent."""
+    import os
+
+    from graphlite_ray.pipelines.joins import write_bucketed
+    from graphlite_ray.stages.curation import upsert_corpus
+
+    B = 4
+    base = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3, 4, 5], "version": 1, "n_chars": [10, 11, 12, 13, 14, 15]}
+    )
+    store = str(tmp_path / "store")
+    write_bucketed(ray.data.from_pandas(base), "doc_id", B, store)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)
+    }
+    delta = pd.DataFrame(
+        {
+            # key 0: higher version; key 1: SAME version (delta wins);
+            # key 100: brand new (bucket 0)
+            "doc_id": [0, 1, 100],
+            "version": [2, 1, 1],
+            "n_chars": [99, 88, 77],
+        }
+    )
+    upsert_corpus(store, ray.data.from_pandas(delta), B=B)
+    got = (
+        ray.data.read_parquet(store)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    idx = got.set_index("doc_id")
+    assert idx.loc[0, "n_chars"] == 99 and idx.loc[0, "version"] == 2
+    assert idx.loc[1, "n_chars"] == 88  # tie -> delta
+    assert idx.loc[100, "n_chars"] == 77
+    assert idx.loc[2, "n_chars"] == 12 and len(got) == 7
+    # delta touched keys 0,1,100 -> buckets 0 and 1; buckets 2,3 untouched
+    for f, m in mtimes.items():
+        b = int(f.split("_")[1].split(".")[0])
+        if b in (2, 3):
+            assert os.path.getmtime(os.path.join(store, f)) == m, f
+    # idempotent re-apply
+    upsert_corpus(store, ray.data.from_pandas(delta), B=B)
+    got2 = (
+        ray.data.read_parquet(store)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
