@@ -2667,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_acctbal": lambda sf: R.q_rollup_acctbal(sf),
         "cube_acctbal": lambda sf: R.q_cube_acctbal(sf),
         "full_outer_activity": lambda sf: R.q_full_outer_activity(sf),
+        "events_daily_dense": lambda sf: R.q_daily_dense(sf),
         "user_set_ops": lambda sf: R.q_user_set_ops(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
         "asof_join": lambda sf: R.q_asof_join(sf),
@@ -4944,6 +4945,18 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, ROUND(sum(c_acctbal), 2) AS sum_bal "
             "FROM customer GROUP BY ROLLUP(c_nationkey, c_mktsegment) "
             "ORDER BY c_nationkey, c_mktsegment"
+        ),
+        # gap-filled daily resample on integer epoch days
+        "events_daily_dense": (
+            "WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "days AS (SELECT unnest(generate_series((SELECT min(day) FROM c), "
+            "(SELECT max(day) FROM c))) AS day), "
+            "types AS (SELECT DISTINCT event_type FROM events) "
+            "SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n "
+            "FROM types t CROSS JOIN days d "
+            "LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day "
+            "ORDER BY t.event_type, d.day"
         ),
         # FULL OUTER join with out-of-domain sentinels (balances are in
         # [-999.99, 9999.99], so -99999.0 marks account-less activity)

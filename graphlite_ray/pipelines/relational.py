@@ -455,6 +455,41 @@ def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_daily_dense(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled time-series resample: events per (event_type, day),
+    DENSIFIED over the full [min_day, max_day] calendar — missing days
+    appear with n = 0 (the resample→fill operator a monitoring/crawl
+    pipeline needs; plain GROUP BY drops empty days silently). Days are
+    integer epoch_ms//86400000 — exact, no timezone/calendar ambiguity.
+
+    Scale shape: per-batch (type, day) partials pre-combine inside
+    `map_batches`, ONE small groupby merges them (cardinality = types x
+    active days, bounded); the dense grid is types x calendar days —
+    output-sized, built driver-side from the bounded aggregate."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ms = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(
+            "int64"
+        ) // 1_000_000
+        day = ms // 86_400_000
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "day": day}
+        )
+        return df.groupby(["event_type", "day"], as_index=False).size()
+
+    part = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    agg = part.groupby(["event_type", "day"], as_index=False)["size"].sum()
+    lo, hi = int(agg["day"].min()), int(agg["day"].max())
+    types = sorted(agg["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, np.arange(lo, hi + 1, dtype=np.int64)], names=["event_type", "day"]
+    ).to_frame(index=False)
+    out = grid.merge(agg, on=["event_type", "day"], how="left")
+    out["n"] = out.pop("size").fillna(0).astype("int64")
+    return out.sort_values(["event_type", "day"], ignore_index=True)
+
+
 def q_full_outer_activity(sf_dir: str) -> pd.DataFrame:
     """FULL OUTER join family: per-user event counts against the customer
     account table on the shared id space — rows survive from BOTH

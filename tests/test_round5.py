@@ -2034,3 +2034,34 @@ def test_upsert_corpus_semantics(ray_session, tmp_path):
         .sort_values("doc_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_daily_dense_gap_fill(ray_session, tmp_path):
+    """Resample densification: a 3-day gap appears as zero rows for every
+    type, counts land on the right integer epoch day."""
+    import os
+
+    from graphlite_ray.pipelines.relational import q_daily_dense
+
+    day = 86_400_000
+
+    def ts(d, off_ms=0):
+        return pd.Timestamp(d * day + off_ms, unit="ms")
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "user_id": 1,
+            "ts": [ts(100), ts(100, 5), ts(104), ts(100), ts(104, 9)],
+            "event_type": ["a", "a", "a", "b", "b"],
+        }
+    )
+    d = str(tmp_path)
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    out = q_daily_dense(d)
+    assert len(out) == 2 * 5  # 2 types x days 100..104
+    g = out.set_index(["event_type", "day"])["n"]
+    assert g[("a", 100)] == 2 and g[("a", 104)] == 1
+    assert g[("b", 100)] == 1 and g[("b", 104)] == 1
+    for dd in (101, 102, 103):
+        assert g[("a", dd)] == 0 and g[("b", dd)] == 0
