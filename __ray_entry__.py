@@ -2668,6 +2668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_acctbal": lambda sf: R.q_cube_acctbal(sf),
         "full_outer_activity": lambda sf: R.q_full_outer_activity(sf),
         "events_daily_dense": lambda sf: R.q_daily_dense(sf),
+        "events_mode_per_user": lambda sf: R.q_mode_per_user(sf),
+        "events_sessionized": lambda sf: R.q_sessionized_events(sf),
         "user_set_ops": lambda sf: R.q_user_set_ops(sf),
         "union_counts": lambda sf: R.q_union_counts(sf),
         "asof_join": lambda sf: R.q_asof_join(sf),
@@ -4945,6 +4947,27 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, ROUND(sum(c_acctbal), 2) AS sum_bal "
             "FROM customer GROUP BY ROLLUP(c_nationkey, c_mktsegment) "
             "ORDER BY c_nationkey, c_mktsegment"
+        ),
+        # per-group mode with the LPA tie-break (count desc, type asc)
+        "events_mode_per_user": (
+            "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) "
+            "AS n FROM events GROUP BY 1, 2) "
+            "SELECT user_id, event_type AS mode_type, n FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY n DESC, event_type) AS rn FROM c) "
+            "WHERE rn = 1 ORDER BY user_id"
+        ),
+        # event-level session index: cumulative new-session flags over the
+        # same (ts, event_id) ordering every window operator here uses
+        "events_sessionized": (
+            "WITH g AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, "
+            "CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) <= 1800000 "
+            "THEN 0 ELSE 1 END AS newf FROM events) "
+            "SELECT event_id, user_id, CAST(SUM(newf) OVER "
+            "(PARTITION BY user_id ORDER BY ms, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+            "FROM g ORDER BY event_id"
         ),
         # gap-filled daily resample on integer epoch days
         "events_daily_dense": (

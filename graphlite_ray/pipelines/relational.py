@@ -455,6 +455,88 @@ def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE (most frequent event_type per user, ties to the
+    lexicographically smallest type — the deterministic tie-break rule
+    LPA uses for labels, SURVEY §7.4). Scale shape: (user, type) counts
+    pre-combine per batch, ONE bucketed shuffle on user co-locates each
+    user's bounded type histogram, the winner is a vectorized sort +
+    keep-first."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pylist(),
+            }
+        )
+        return df.groupby(["user_id", "event_type"], as_index=False).size()
+
+    def _mode(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"], as_index=False)["size"].sum()
+        agg = agg.sort_values(
+            ["user_id", "size", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        win = agg.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": win["user_id"].to_numpy(np.int64),
+                "mode_type": win["event_type"].to_numpy(),
+                "n": win["size"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        grouped_map_bucketed(
+            ds.map_batches(_partial, batch_format="pyarrow"), ["user_id"], _mode, B=16
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+def q_sessionized_events(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
+    """EVENT-LEVEL session assignment (vs `q_sessions`' per-session
+    aggregates): each event gets its user's 1-based session index —
+    a new session starts when the gap since the previous event exceeds
+    `gap_min` minutes. One bucketed user shuffle; the index is a
+    vectorized group-aware cumulative sum over integer epoch-ms gaps."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    gap_ms = gap_min * 60_000
+
+    def _assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        ms = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000_000
+        uid = g["user_id"].to_numpy()
+        new = np.ones(len(g), np.int64)
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            new[1:] = np.where(same & ((ms[1:] - ms[:-1]) <= gap_ms), 0, 1)
+        # per-user cumulative session index: global cumsum minus the
+        # cumsum value just before each user's first row
+        cs = np.cumsum(new)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        base = np.repeat(cs[starts] - 1, np.diff(np.r_[starts, len(g)]))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "session_seq": cs - base,
+            }
+        )
+
+    return (
+        grouped_map_bucketed(ds, ["user_id"], _assign, B=16)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
 def q_daily_dense(sf_dir: str) -> pd.DataFrame:
     """Gap-filled time-series resample: events per (event_type, day),
     DENSIFIED over the full [min_day, max_day] calendar — missing days

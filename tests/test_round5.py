@@ -2065,3 +2065,39 @@ def test_daily_dense_gap_fill(ray_session, tmp_path):
     assert g[("b", 100)] == 1 and g[("b", 104)] == 1
     for dd in (101, 102, 103):
         assert g[("a", dd)] == 0 and g[("b", dd)] == 0
+
+
+def test_mode_and_sessionized_hand_events(ray_session, tmp_path):
+    """Mode tie-break (count desc, type asc) and session index boundaries
+    (gap strictly greater than 30min starts a new session)."""
+    import os
+
+    from graphlite_ray.pipelines.relational import (
+        q_mode_per_user,
+        q_sessionized_events,
+    )
+
+    m = 60_000
+
+    def ts(mins):
+        return pd.Timestamp(mins * m, unit="ms")
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(7),
+            "user_id": [1, 1, 1, 1, 2, 2, 2],
+            "ts": [ts(0), ts(10), ts(41), ts(70), ts(0), ts(30), ts(61)],
+            "event_type": ["b", "a", "a", "b", "x", "x", "y"],
+        }
+    )
+    d = str(tmp_path)
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    mode = q_mode_per_user(d).set_index("user_id")
+    # user 1: a=2, b=2 -> tie -> 'a'; user 2: x=2
+    assert mode.loc[1, "mode_type"] == "a" and mode.loc[1, "n"] == 2
+    assert mode.loc[2, "mode_type"] == "x" and mode.loc[2, "n"] == 2
+    sess = q_sessionized_events(d).set_index("event_id")["session_seq"]
+    # user 1: 0,10 together; 41 (gap 31>30) new; 70 (gap 29) same
+    assert sess[0] == 1 and sess[1] == 1 and sess[2] == 2 and sess[3] == 2
+    # user 2: 0,30 together (gap exactly 30 min = not greater); 61 new
+    assert sess[4] == 1 and sess[5] == 1 and sess[6] == 2
