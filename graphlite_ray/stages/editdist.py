@@ -222,15 +222,10 @@ def editdist_pairs(
     )
 
     # the verify side broadcasts the (doc_id, <=L-byte snippet) matrix via
-    # ray.put — 32 bytes/doc, so 5M docs ~ 160 MB; the guard below marks
-    # where the 100-TB route (attach snippets to pairs with two bucketed
-    # joins on doc1/doc2, the `pipelines/joins.py` machinery) plugs in.
-    n_docs = docs.count()
-    if n_docs > 5_000_000:
-        raise NotImplementedError(
-            "editdist_pairs broadcast-verify is guarded at 5M docs; plug in "
-            "the bucketed snippet attach (pipelines/joins.py) beyond that"
-        )
+    # ray.put — 32 bytes/doc, so 5M docs ~ 160 MB; the guard below (on the
+    # pulled frame itself — no extra counting pass) marks where the 100-TB
+    # route (attach snippets to pairs with two bucketed joins on
+    # doc1/doc2, the `pipelines/joins.py` machinery) plugs in.
     snip_df = docs.map_batches(
         lambda b: pd.DataFrame(
             {
@@ -243,6 +238,11 @@ def editdist_pairs(
         ),
         batch_format="pandas",
     ).to_pandas()
+    if len(snip_df) > 5_000_000:
+        raise NotImplementedError(
+            "editdist_pairs broadcast-verify is guarded at 5M docs; plug in "
+            "the bucketed snippet attach (pipelines/joins.py) beyond that"
+        )
     order = np.argsort(snip_df[id_col].to_numpy())
     sids = snip_df[id_col].to_numpy(np.int64)[order]
     raw = snip_df["snip"].to_numpy(object)[order]
