@@ -241,6 +241,36 @@ def _sssp_source(sf_dir: str) -> int:
     return int(ids_from_urls([url_of(0, n)])[0])
 
 
+def _q_densest(sf_dir: str):
+    """Densest-subgraph 2-approx by parallel peeling (Bahmani et al.;
+    programs.DensestSubgraph — integer cross-multiplied thresholds, two
+    supersteps per round on the aggregator off-by-one). Output: peel
+    round per vertex + membership of the densest round's survivor set.
+    The oracle replays the rounds as a recursive CTE with the SAME
+    integer compares, so even the density argmax is exact."""
+    from graphlite_ray.pipelines.linkgraph import (
+        assert_halted_by_fixpoint,
+        run_algorithm,
+    )
+    from graphlite_ray.programs import DensestSubgraph
+
+    pages, work = _graph_work(sf_dir)
+    res = run_algorithm("densest_subgraph", pages, work, P=8, resume=True)
+    assert_halted_by_fixpoint("densest_subgraph")
+    hv = res.aggr_history[-1].get("histV", {})
+    he = res.aggr_history[-1].get("histE2", {})
+    best = DensestSubgraph.densest_round(hv, he)
+    df = res.values().to_pandas()
+    out = pd.DataFrame(
+        {
+            "vertex_id": df["vertex_id"].astype("int64"),
+            "peel_round": df["value"].astype("int64"),
+            "in_densest": (df["value"].astype("int64") >= best).astype("int64"),
+        }
+    )
+    return out.sort_values("vertex_id", ignore_index=True)
+
+
 def _q_kcore(sf_dir: str, k: int = 4):
     """k-core decomposition by peeling (DuckDB-oracled: recursive-CTE
     synchronous peeling over the symmetrized staged edges).
@@ -2599,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_cc,
         "label_propagation": _q_lpa,
         "kcore": _q_kcore,
+        "graph_densest": _q_densest,
         "sssp": _q_sssp,
         "sssp_weighted": _q_sssp_weighted,
         "personalized_pagerank": _q_ppr,
@@ -4308,6 +4339,35 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_oracle_sql(edges_glob),
         "label_propagation": _lpa_oracle_sql(edges_glob),
         "kcore": _kcore_oracle_sql(edges_glob, k=4),
+        # densest-subgraph peeling: survivors_{r+1} = vertices with
+        # deg * V > E2 (exact integer cross-multiplication, never floats);
+        # densest round via the pairwise cross-compare NOT EXISTS
+        "graph_densest": (
+            f"WITH RECURSIVE {_sym_edges_cte(edges_glob)}, "
+            "pe(iter, v, deg, n, e2) AS ("
+            "SELECT 0, d.v, d.deg, count(*) OVER ()::BIGINT, "
+            "sum(d.deg) OVER ()::BIGINT "
+            "FROM (SELECT src AS v, count(*)::BIGINT AS deg FROM se "
+            "GROUP BY src) d "
+            "UNION ALL "
+            "SELECT p.iter + 1, p.v, coalesce(m.c, 0)::BIGINT, "
+            "count(*) OVER ()::BIGINT, sum(coalesce(m.c, 0)) OVER ()::BIGINT "
+            "FROM pe p "
+            "LEFT JOIN (SELECT e.src AS v, count(*)::BIGINT AS c FROM se e "
+            "JOIN pe a ON a.v = e.src AND a.deg * a.n > a.e2 "
+            "JOIN pe b ON b.v = e.dst AND b.deg * b.n > b.e2 "
+            "GROUP BY e.src) m ON m.v = p.v "
+            "WHERE p.deg * p.n > p.e2 AND p.iter < 300), "
+            "pr AS (SELECT v, max(iter) AS peel_round FROM pe GROUP BY v), "
+            "dens AS (SELECT DISTINCT iter, n, e2 FROM pe), "
+            "best AS (SELECT iter FROM dens r WHERE NOT EXISTS ("
+            "SELECT 1 FROM dens s WHERE s.e2 * r.n > r.e2 * s.n "
+            "OR (s.e2 * r.n = r.e2 * s.n AND s.iter < r.iter))) "
+            "SELECT pr.v AS vertex_id, CAST(pr.peel_round AS BIGINT) "
+            "AS peel_round, CAST(CASE WHEN pr.peel_round >= "
+            "(SELECT iter FROM best) THEN 1 ELSE 0 END AS BIGINT) "
+            "AS in_densest FROM pr ORDER BY vertex_id"
+        ),
         "sssp": (
             # unit-weight directed shortest paths from the page-0 vertex;
             # (vertex, dist) pairs dedup via UNION, bounded by dist<150

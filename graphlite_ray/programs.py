@@ -1476,6 +1476,116 @@ class SeededLabelPropagation(LabelPropagation):
         return out
 
 
+class DensestSubgraph(VertexProgram):
+    """Densest-subgraph 2-approximation by parallel peeling (Bahmani /
+    Kumar / Vassilvitskii's MapReduce algorithm at eps=0): each ROUND
+    removes every alive vertex whose degree is <= the alive set's average
+    (integer cross-multiplied compare `deg * V <= E2`, where E2 = sum of
+    alive degrees = 2|E| — no float thresholds anywhere); the densest
+    round's survivor set is a >= 1/2-approximation of the max-density
+    subgraph. The min-degree vertex always satisfies deg <= avg, so every
+    round removes at least one vertex and the peeling terminates.
+
+    Two supersteps per round on the engine's aggregator off-by-one
+    (SURVEY §2.5 A1 — the same decide/announce split `MaximalIndependentSet`
+    uses): even supersteps APPLY neighbor decrements and report the alive
+    (V, E2) totals through sum aggregators; odd supersteps read those
+    totals (visible k -> k+1), peel, and notify neighbors. The per-round
+    (V, E2) curve rides the history-bearing aggregator lane
+    (`_hist_aggr`), so the density argmax — and therefore the member set
+    — survives checkpoint resume. Alive vertices stay ACTIVE between
+    rounds (rounds are threshold-driven, not message-driven, so
+    quiescence must not end the run early); removed vertices halt and
+    ignore stray decrements, and the run terminates by the reference
+    rule once everything is removed.
+
+    value = round the vertex was peeled in (rounds count from 0).
+    Reference analog: none (the reference ships only PageRank); built on
+    the same BSP surface as the k-core peeling above.
+    """
+
+    name = "densest_subgraph"
+    value_dtype = np.dtype(np.int64)
+    combiner = "sum"
+    symmetrize = True
+    max_supersteps = 602
+
+    def __init__(self):
+        self._deg: Optional[np.ndarray] = None
+
+    def aggregators(self):
+        return {
+            "V": AggregatorSpec(init=0, op="sum"),
+            "E2": AggregatorSpec(init=0, op="sum"),
+            "histV": _hist_aggr(),
+            "histE2": _hist_aggr(),
+        }
+
+    def init_values(self, shard):
+        return np.full(shard.n, -1, np.int64)  # -1 = not peeled yet
+
+    def extra_state(self):
+        return {"deg": None if self._deg is None else self._deg.tolist()}
+
+    def load_extra(self, state):
+        d = state.get("deg")
+        self._deg = None if d is None else np.asarray(d, np.int64)
+
+    def compute(self, ctx, shard, values, active, inbox):
+        out = ComputeOut()
+        if self._deg is None:
+            self._deg = shard.out_deg.astype(np.int64).copy()
+        alive = values < 0
+        if ctx.superstep % 2 == 0:  # APPLY + REPORT
+            if not inbox.empty:
+                rows = inbox.idx
+                keep = alive[rows]
+                self._deg[rows[keep]] -= inbox.val.astype(np.int64)[keep]
+            rnd = ctx.superstep // 2
+            v_cnt = int(alive.sum())
+            e2 = int(self._deg[alive].sum())
+            hv = {rnd: v_cnt}
+            he = {rnd: e2}
+            if ctx.part_id == 0:  # carry the accumulated history forward
+                hv = _dict_sum(dict(ctx.aggr_global.get("histV", {})), hv)
+                he = _dict_sum(dict(ctx.aggr_global.get("histE2", {})), he)
+            out.aggr = {"V": v_cnt, "E2": e2, "histV": hv, "histE2": he}
+            out.halted = ~alive  # removed stay halted; alive stay active
+        else:  # PEEL
+            v_cnt = int(ctx.aggr_global.get("V", 0))
+            e2 = int(ctx.aggr_global.get("E2", 0))
+            rnd = ctx.superstep // 2
+            if ctx.part_id == 0:
+                # aggregators re-init every superstep: the history must be
+                # re-emitted in BOTH phases or the PEEL superstep wipes it
+                out.aggr = {
+                    "histV": dict(ctx.aggr_global.get("histV", {})),
+                    "histE2": dict(ctx.aggr_global.get("histE2", {})),
+                }
+            doomed = alive & (self._deg * v_cnt <= e2)
+            if doomed.any():
+                out.out_dst, out.out_val = _scatter_to_neighbors(
+                    shard, np.ones(shard.n, np.float64), doomed
+                )
+                out.sent = len(out.out_dst)
+                values[doomed] = rnd
+            out.halted = values >= 0  # peeled (now or earlier) halt
+        return out
+
+    @staticmethod
+    def densest_round(hist_v: dict, hist_e2: dict) -> int:
+        """argmax_r E2_r / V_r by exact integer cross-multiplication,
+        smallest round on ties (the SQL oracle replays this compare)."""
+        best = None
+        for r in sorted(int(k) for k in hist_v):
+            v, e2 = int(hist_v[r]), int(hist_e2[r])
+            if v <= 0:
+                continue
+            if best is None or e2 * best[1] > best[2] * v:
+                best = (r, v, e2)
+        return -1 if best is None else best[0]
+
+
 class KCore(VertexProgram):
     """k-core membership by synchronous peeling (our spec; oracle-tested):
     on the symmetrized graph, every vertex starts with its degree; a vertex
@@ -2190,4 +2300,5 @@ BUILTIN_PROGRAMS = {
     "hyperball": HyperBall,
     "random_walks": RandomWalks,
     "scc": StronglyConnectedComponents,
+    "densest_subgraph": DensestSubgraph,
 }

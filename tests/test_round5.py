@@ -2101,3 +2101,31 @@ def test_mode_and_sessionized_hand_events(ray_session, tmp_path):
     assert sess[0] == 1 and sess[1] == 1 and sess[2] == 2 and sess[3] == 2
     # user 2: 0,30 together (gap exactly 30 min = not greater); 61 new
     assert sess[4] == 1 and sess[5] == 1 and sess[6] == 2
+
+
+def test_densest_subgraph_k5_plus_path(ray_session, tmp_path):
+    """Bahmani peeling on K5 + a 10-vertex path: round 0 removes the path
+    (deg <= avg of the union), round 1 removes K5; densest round is K5
+    (density 2.0 > round 0's 38/30) by exact integer cross-compare."""
+    import ray.data as rd
+
+    from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+    from graphlite_ray.programs import DensestSubgraph
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    path = [(10 + i, 11 + i) for i in range(9)]
+    df = pd.DataFrame(k5 + path, columns=["src", "dst"])
+    res = run_on_edge_dataset(
+        "densest_subgraph", rd.from_pandas(df).repartition(3), str(tmp_path), P=4
+    )
+    assert res.halted
+    hv = res.aggr_history[-1]["histV"]
+    he = res.aggr_history[-1]["histE2"]
+    assert hv[0] == 15 and he[0] == 38  # path degs 2*(9 edges)*2... 20+18
+    assert hv[1] == 5 and he[1] == 20
+    best = DensestSubgraph.densest_round(hv, he)
+    assert best == 1
+    vals = res.values().to_pandas()
+    members = set(vals[vals["value"] >= best]["vertex_id"])
+    assert members == {0, 1, 2, 3, 4}
+    assert set(vals[vals["value"] == 0]["vertex_id"]) == set(range(10, 20))
