@@ -403,6 +403,18 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
             ).count(),
         )
 
+        def _densest():
+            from graphlite_ray.pipelines.linkgraph import run_on_edge_dataset
+
+            res = run_on_edge_dataset(
+                "densest_subgraph",
+                ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+                work, P=P,
+            )
+            return res.final_superstep
+
+        _timed("densest_subgraph", _densest)
+
         def _modularity():
             import pyarrow as pa
 
