@@ -241,6 +241,24 @@ def _sssp_source(sf_dir: str) -> int:
     return int(ids_from_urls([url_of(0, n)])[0])
 
 
+def _q_rich_club(sf_dir: str):
+    """Rich-club curve phi(k) over the simple page graph
+    (`pipelines/graphstats.py::rich_club` — cumulative min-degree /
+    degree histograms, integer-exact, one degree attach)."""
+    import ray.data
+
+    from graphlite_ray.pipelines.graphstats import rich_club
+    from graphlite_ray.pipelines.linkgraph import prepare_edges
+
+    pages, work = _graph_work(sf_dir)
+    edges_dir = prepare_edges(pages, work, P=8)
+    return rich_club(
+        ray.data.read_parquet(edges_dir, columns=["src", "dst"]),
+        os.path.join(work, "rc"),
+        B=16,
+    )
+
+
 def _q_densest(sf_dir: str):
     """Densest-subgraph 2-approx by parallel peeling (Bahmani et al.;
     programs.DensestSubgraph — integer cross-multiplied thresholds, two
@@ -2630,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_lpa,
         "kcore": _q_kcore,
         "graph_densest": _q_densest,
+        "graph_rich_club": _q_rich_club,
         "sssp": _q_sssp,
         "sssp_weighted": _q_sssp_weighted,
         "personalized_pagerank": _q_ppr,
@@ -4339,6 +4358,27 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_oracle_sql(edges_glob),
         "label_propagation": _lpa_oracle_sql(edges_glob),
         "kcore": _kcore_oracle_sql(edges_glob, k=4),
+        # rich-club curve: cumulative strictly-greater histograms of
+        # degree (N_k) and per-edge min-degree (E_k) on the simple graph
+        "graph_rich_club": (
+            f"WITH e AS (SELECT DISTINCT least(src, dst) AS lo, "
+            f"greatest(src, dst) AS hi FROM read_parquet('{edges_glob}') "
+            "WHERE src <> dst), "
+            "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM "
+            "(SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) GROUP BY v), "
+            "m AS (SELECT least(da.d, db.d) AS md FROM e "
+            "JOIN deg da ON da.v = e.lo JOIN deg db ON db.v = e.hi), "
+            "ks AS (SELECT DISTINCT d AS k FROM deg) "
+            "SELECT k, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > k) AS n_k, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM m WHERE md > k) AS e_k, "
+            "ROUND(CASE WHEN (SELECT count(*) FROM deg WHERE d > k) >= 2 "
+            "THEN 2.0 * (SELECT count(*) FROM m WHERE md > k) / "
+            "((SELECT count(*) FROM deg WHERE d > k) * "
+            "((SELECT count(*) FROM deg WHERE d > k) - 1.0)) "
+            "ELSE 0.0 END, 6) AS phi "
+            "FROM ks ORDER BY k"
+        ),
         # densest-subgraph peeling: survivors_{r+1} = vertices with
         # deg * V > E2 (exact integer cross-multiplication, never floats);
         # densest round via the pairwise cross-compare NOT EXISTS

@@ -2129,3 +2129,25 @@ def test_densest_subgraph_k5_plus_path(ray_session, tmp_path):
     members = set(vals[vals["value"] >= best]["vertex_id"])
     assert members == {0, 1, 2, 3, 4}
     assert set(vals[vals["value"] == 0]["vertex_id"]) == set(range(10, 20))
+
+
+def test_rich_club_hand_graph(ray_session, tmp_path):
+    """Rich-club on K4 + two pendant vertices: pendant degs 1, K4 members
+    attached to pendants have deg 4; phi(1) counts only the K4-internal
+    edges over the deg>1 club."""
+    from graphlite_ray.pipelines.graphstats import rich_club
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    pend = [(0, 10), (1, 11)]
+    df = pd.DataFrame(k4 + pend + [(2, 2), (0, 1)], columns=["src", "dst"])
+    out = rich_club(
+        ray.data.from_pandas(df).repartition(3), str(tmp_path), B=4
+    ).set_index("k")
+    # degrees: 0->4, 1->4, 2->3, 3->3, 10->1, 11->1 (self-loop + dup dropped)
+    # k=1: club = {0,1,2,3} (deg>1), E_1 = 6 K4 edges -> phi = 12/12 = 1.0
+    assert out.loc[1, "n_k"] == 4 and out.loc[1, "e_k"] == 6
+    assert abs(out.loc[1, "phi"] - 1.0) < 1e-12
+    # k=3: club = {0,1} -> one edge -> phi = 1.0
+    assert out.loc[3, "n_k"] == 2 and out.loc[3, "e_k"] == 1
+    # k=4: empty club
+    assert out.loc[4, "n_k"] == 0 and out.loc[4, "phi"] == 0.0
