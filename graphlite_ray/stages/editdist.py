@@ -204,7 +204,9 @@ def editdist_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     B: int = 32,
-    max_bucket_group: int = 10_000,
+    max_bucket_group: int = 2_000,  # caps one variant group at ~2M pairs
+    # (triu of 2000 ids ~ 32 MB in one task); bigger boilerplate clusters
+    # log their size and drop the tail — raise only with the memory math
 ) -> pd.DataFrame:
     """All (doc1 < doc2) pairs whose text prefixes are within edit
     distance k, with the exact distance. See module docstring for the
